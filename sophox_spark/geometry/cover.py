@@ -1,0 +1,75 @@
+"""Polygon → grid-cell covering (the "polyfill" step).
+
+Produces the ``polygon_cells(cell, polygon_id, fully_contained)`` dim
+table that turns the spatial join into a cell equi-join (SURVEY §4
+"spatial filter-then-refine"). Guarantees:
+
+  * superset — every cell whose area intersects the polygon interior is
+    emitted (a point can never be lost by the coarse join);
+  * ``fully_contained=True`` only when the whole cell is provably inside
+    (no boundary edge touches the cell) — those pairs skip exact
+    refinement entirely, which is most of the area of large admin
+    polygons.
+
+The reference has no equivalent (PostGIS GiST does candidate generation
+per query); precomputing the covering is what makes the join
+*distributable* and lets the polygon side be range-partitioned by cell
+prefix (north_rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cells import grid
+from .pip import PreparedPolygons
+from .wkb import PackedPolygons
+
+
+def cover_polygons(
+    packed: PackedPolygons, res: int, max_cells_per_poly: int = 262_144
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (poly_idx, cell, fully_contained) arrays.
+
+    poly_idx indexes into the packed batch (caller maps to polygon_id).
+    """
+    prep = PreparedPolygons(packed)
+    bb = packed.bbox
+    valid = np.flatnonzero(np.isfinite(bb[:, 0]))
+    if valid.size == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, bool),)
+    src, cells = grid.cover_bbox(
+        bb[valid, 0], bb[valid, 1], bb[valid, 2], bb[valid, 3], res,
+        max_cells=max_cells_per_poly * max(valid.size, 1),
+    )
+    poly_idx = valid[src]
+    lon0, lat0, lon1, lat1 = grid.cell_bounds(cells)
+    # 1. does any boundary edge possibly touch the cell? (conservative
+    #    seg-bbox vs cell-rect overlap — may over-keep, never under-)
+    counts = prep.edge_count[poly_idx]
+    total = int(counts.sum())
+    touched = np.zeros(cells.size, dtype=bool)
+    if total:
+        pair = np.repeat(np.arange(cells.size, dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        e = np.repeat(prep.edge_start[poly_idx], counts) + local
+        ex_lo = np.minimum(prep.x1[e], prep.x2[e])
+        ex_hi = np.maximum(prep.x1[e], prep.x2[e])
+        ey_lo = np.minimum(prep.y1[e], prep.y2[e])
+        ey_hi = np.maximum(prep.y1[e], prep.y2[e])
+        hit = (
+            (ex_lo <= lon1[pair]) & (ex_hi >= lon0[pair])
+            & (ey_lo <= lat1[pair]) & (ey_hi >= lat0[pair])
+        )
+        touched = np.bincount(pair[hit], minlength=cells.size) > 0
+    # 2. cells not touched by the boundary are all-in or all-out — decide
+    #    by center parity
+    cx, cy = grid.cell_center(cells)
+    interior = np.zeros(cells.size, dtype=bool)
+    untouched = ~touched
+    if untouched.any():
+        ui = np.flatnonzero(untouched)
+        interior[ui] = prep.contains(cx[ui], cy[ui], poly_idx[ui])
+    keep = touched | interior
+    return poly_idx[keep], cells[keep], interior[keep]
