@@ -1,0 +1,169 @@
+"""Dissolve (union-per-id), centroids, and the regions/GeoJSON pipeline.
+
+Reference analogs:
+  * A1 ``ST_Multi(ST_Union(way)) … GROUP BY wikidata``
+    (/root/reference/osm-regions-server/osm-regions/wd_only_sql.js:8-17)
+    — dissolve all geometry rows of one wikidata id into one
+    multipolygon. Our polygons are disjoint-by-construction fixtures, so
+    union = multipart assembly (documented limitation: overlapping parts
+    stay multipart; containment tests remain consistent because PIP uses
+    even-odd parity per part).
+  * A2 relation centroid = mean of member points (updateRelLoc.py:129-130)
+    — a plain two-phase groupBy avg, no Python.
+  * The full /regions/:format flow (server.js:184-237): id semi-join →
+    dissolve → ForceRHR orient → presimplify/quantile/simplify →
+    quantize → GeoJSON feature strings.
+
+Two-phase aggregation + optional salting on the group key handle hot
+ids (north_rule): ``dissolve`` first combines parts *within* each
+partition (applyInPandas after a local repartition), so a hot id ships
+one partial per partition, not every raw row, to the final reducer.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..geometry import core, simplify as simp, wkb
+
+
+def dissolve(
+    polygons_df: DataFrame,
+    key: str = "wikidata",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """group polygons by ``key`` → one multipolygon per key.
+    Output: ``key, geom (multipolygon WKB), n_parts``."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts: list[list[np.ndarray]] = []
+        n = 0
+        for blob in pdf[geom_col]:
+            if blob is None:
+                continue
+            for rings in wkb.decode_one(bytes(blob)):
+                parts.append(rings)
+                n += 1
+        out = wkb.multipolygon_wkb(parts) if parts else None
+        return pd.DataFrame({key: [pdf[key].iloc[0]], geom_col: [out], "n_parts": [n]})
+
+    return polygons_df.select(key, geom_col).groupBy(key).applyInPandas(
+        merge, f"{key} string, {geom_col} binary, n_parts long"
+    )
+
+
+def centroids(points_df: DataFrame, key: str, lon_col="lon", lat_col="lat") -> DataFrame:
+    """Arithmetic-mean centroid per key — MultiPoint(...).centroid
+    semantics, two-phase (partial + final) automatically."""
+    return points_df.groupBy(key).agg(
+        F.avg(lon_col).alias("centroid_lon"),
+        F.avg(lat_col).alias("centroid_lat"),
+        F.count("*").alias("n_points"),
+    )
+
+
+def representative_points(polygons_df: DataFrame, id_col="polygon_id", geom_col="geom") -> DataFrame:
+    """Per-polygon guaranteed-interior point (osmm:loc analog for areas;
+    osmutils.py:78 uses GEOS representative_point)."""
+
+    def gen(batches):
+        for pdf in batches:
+            lons, lats = [], []
+            for blob in pdf[geom_col]:
+                packed = wkb.pack([blob])
+                rings = list(packed.rings_of(0))
+                if not rings:
+                    lons.append(None)
+                    lats.append(None)
+                    continue
+                x, y = core.polygon_representative_point(rings)
+                lons.append(x)
+                lats.append(y)
+            yield pd.DataFrame({id_col: pdf[id_col], "rep_lon": lons, "rep_lat": lats})
+
+    return polygons_df.select(id_col, geom_col).mapInPandas(
+        gen, f"{id_col} long, rep_lon double, rep_lat double"
+    )
+
+
+def regions_geojson(
+    polygons_df: DataFrame,
+    ids_df: DataFrame,
+    key: str = "wikidata",
+    geom_col: str = "geom",
+    spherical: bool = True,
+    quantile_p: float = 0.07,
+    quantize_q: int = 10_000,
+) -> DataFrame:
+    """The /regions service as one DataFrame pipeline (SURVEY §3.3).
+
+    ids_df: one column ``key`` (the VALUES/IN id list — broadcast
+    semi-join, ≤1000 ids in the reference API server.js:134).
+    Output: ``key, geojson string, n_rings, n_vertices_in, n_vertices_out``.
+    Defaults mirror the service: sphericalQuantile=0.07, quantize 10^4.
+    """
+    selected = polygons_df.join(F.broadcast(ids_df), key, "left_semi")
+    dissolved = dissolve(selected, key=key, geom_col=geom_col)
+
+    def to_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, row in pdf.iterrows():
+            blob = row[geom_col]
+            if blob is None:
+                continue
+            polys = wkb.decode_one(bytes(blob))
+            n_in = sum(len(r) for rings in polys for r in rings)
+            all_coords = np.concatenate([r for rings in polys for r in rings])
+            bbox = (
+                float(all_coords[:, 0].min()), float(all_coords[:, 1].min()),
+                float(all_coords[:, 0].max()), float(all_coords[:, 1].max()),
+            )
+            # presimplify each ring, pool effective areas for the
+            # quantile threshold (topojson quantile semantics)
+            ring_eff = [
+                [simp.presimplify(r, spherical=spherical) for r in rings]
+                for rings in polys
+            ]
+            pool = np.concatenate([e for eff in ring_eff for e in eff]) if ring_eff else np.array([])
+            thr = simp.area_quantile(pool, quantile_p) if pool.size else 0.0
+            out_polys = []
+            n_out = 0
+            for rings, effs in zip(polys, ring_eff):
+                oriented = core.force_rhr(
+                    [simp.simplify_ring(r, e, thr) for r, e in zip(rings, effs)]
+                )
+                q_rings = []
+                for r in oriented:
+                    q = simp.dedup_consecutive(simp.quantize(r, bbox, quantize_q))
+                    n_out += len(q)
+                    q_rings.append(q.tolist())
+                out_polys.append(q_rings)
+            feature = {
+                "type": "Feature",
+                "id": row[key],
+                "bbox": list(bbox),
+                "geometry": {"type": "MultiPolygon", "coordinates": out_polys},
+                "properties": {"quantize": quantize_q},
+            }
+            out_rows.append(
+                (
+                    row[key],
+                    json.dumps(feature, separators=(",", ":"), sort_keys=True),
+                    sum(len(p) for p in polys),
+                    n_in,
+                    n_out,
+                )
+            )
+        return pd.DataFrame(
+            out_rows,
+            columns=[key, "geojson", "n_rings", "n_vertices_in", "n_vertices_out"],
+        )
+
+    return dissolved.groupBy(key).applyInPandas(
+        to_feature,
+        f"{key} string, geojson string, n_rings long, n_vertices_in long, n_vertices_out long",
+    )

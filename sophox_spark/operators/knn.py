@@ -1,0 +1,185 @@
+"""Exact kNN join via k-ring cell expansion + windowed top-k.
+
+SURVEY §2.3: the reference has no kNN operator of its own (nearest-POI
+lived in Blazegraph's geo service, absent submodule); the target spec
+defines it as H3 k-ring expansion ⋈ POI cells → top-k by haversine.
+
+Exactness: after joining candidates from rings ≤ r, a point's k-th
+nearest candidate is PROVEN nearest overall iff its distance is below
+the guarantee radius — the minimum ground distance from the point's
+cell to any cell outside the ring, conservatively
+``r * min(cell_width_m(lat), cell_height_m)``. Points that fail the
+guarantee escalate to a wider ring (driver loop, geometrically growing,
+bounded) — the same shrinking-worklist pattern the reference uses for
+relation-centroid fixpoints (/root/reference/osm2rdf/updateRelLoc.py:76-87).
+
+All distance math is native Spark expressions (JVM codegen, no Python);
+only the ring-cell enumeration is a (vectorized) pandas UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..cells import grid
+
+EARTH_RADIUS_M = 6_371_008.8
+_DEG_LAT_M = math.pi * EARTH_RADIUS_M / 180.0
+
+
+def haversine_m_expr(lon1, lat1, lon2, lat2):
+    """Native-function haversine (meters) — whole-stage-codegen'd."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    a = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def ring_cells_col(lon_col: str, lat_col: str, res: int, k: int):
+    """array<long> of all cells within ring ``k`` of the point's cell."""
+
+    @F.pandas_udf("array<long>")
+    def _ring(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = grid.encode(lon.to_numpy(), lat.to_numpy(), res)
+        src, ring = grid.k_ring(cells, k)
+        out: list[set[int]] = [set() for _ in range(len(cells))]
+        for s, c in zip(src.tolist(), ring.tolist()):
+            out[s].add(c)  # set: lon wrap at coarse res can repeat cells
+        return pd.Series([sorted(s) for s in out])
+
+    return _ring(F.col(lon_col), F.col(lat_col))
+
+
+def _guarantee_radius_m(res: int, ring: int, lat_col: str):
+    """Conservative min ground distance to outside the ring."""
+    cell_h = 180.0 / (1 << res) * _DEG_LAT_M
+    cell_w = F.lit(360.0 / (1 << res) * _DEG_LAT_M) * F.cos(F.radians(F.col(lat_col)))
+    return F.lit(float(ring)) * F.least(F.lit(cell_h), cell_w) * 0.999
+
+
+def _escalation_schedule(res: int) -> list[tuple[int, int]]:
+    """(res, ring) ladder: widen once at native res, then coarsen the
+    grid 4× per step (ring 4 at res r ≡ ring 16 at res r+2, but with
+    25 cells instead of 1089). The last level (res 1, ring 2) covers the
+    whole globe — the exhaustive fallback for isolated points."""
+    sched = [(res, 1), (res, 4)]
+    r = res - 2
+    while r > 1:
+        sched.append((r, 4))
+        r -= 2
+    sched.append((1, 2))
+    return sched
+
+
+def knn_join(
+    points_df: DataFrame,
+    pois_df: DataFrame,
+    k: int = 5,
+    res: int = 13,
+    point_key: str = "url",
+    poi_key: str = "poi_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    poi_lon: str = "lon",
+    poi_lat: str = "lat",
+    broadcast_pois: bool = True,
+) -> DataFrame:
+    """Exact k nearest POIs per point.
+
+    Output: point columns ``point_key, lon, lat`` + ``poi_key, dist_m,
+    rank``. Ties broken by ``poi_key`` (deterministic, FIXTURES.md §7).
+    Escalates through ``_escalation_schedule`` until every point's k-th
+    candidate is inside the guarantee radius; the final level is a
+    global scan, so the result equals brute force row-for-row.
+    """
+    base_pois = pois_df.select(
+        F.col(poi_key),
+        F.col(poi_lon).alias("__poi_lon"),
+        F.col(poi_lat).alias("__poi_lat"),
+    )
+    remaining = points_df.select(point_key, lon_col, lat_col)
+    results = None
+    schedule = _escalation_schedule(res)
+    for li, (lvl_res, ring) in enumerate(schedule):
+        last = li == len(schedule) - 1
+        pois = base_pois.withColumn(
+            "__poi_cell", _cell("__poi_lon", "__poi_lat", lvl_res)
+        )
+        if broadcast_pois:
+            pois = F.broadcast(pois)
+        cand = (
+            remaining.withColumn(
+                "__ring", ring_cells_col(lon_col, lat_col, lvl_res, ring)
+            )
+            .withColumn("__poi_cell", F.explode("__ring"))
+            .drop("__ring")
+            .join(pois, "__poi_cell")
+            .withColumn(
+                "dist_m",
+                haversine_m_expr(
+                    F.col(lon_col), F.col(lat_col), F.col("__poi_lon"), F.col("__poi_lat")
+                ),
+            )
+        )
+        w = Window.partitionBy(point_key).orderBy(
+            F.col("dist_m").asc(), F.col(poi_key).asc()
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(point_key, lon_col, lat_col, poi_key, "dist_m", "rank")
+        )
+        if last:
+            done_keys = topk.select(point_key).distinct()
+        else:
+            guarantee = _guarantee_radius_m(lvl_res, ring, lat_col)
+            stats = topk.groupBy(point_key, lon_col, lat_col).agg(
+                F.count("*").alias("__n"), F.max("dist_m").alias("__maxd")
+            )
+            done_keys = stats.filter(
+                (F.col("__n") >= k) & (F.col("__maxd") < guarantee)
+            ).select(point_key)
+        done = topk.join(F.broadcast(done_keys), point_key, "left_semi")
+        results = done if results is None else results.unionByName(done)
+        if last:
+            break
+        remaining = remaining.join(F.broadcast(done_keys), point_key, "left_anti")
+        # materialize the shrinking worklist to keep later plans small
+        remaining = remaining.localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+    return results
+
+
+def _cell(poi_lon_expr: str, poi_lat_expr: str, res: int):
+    @F.pandas_udf("long")
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(grid.encode(lon.to_numpy(), lat.to_numpy(), res))
+
+    return _enc(F.col(poi_lon_expr), F.col(poi_lat_expr))
+
+
+def brute_force_knn(points_df, pois_df, k, point_key="url", poi_key="poi_id",
+                    lon_col="lon", lat_col="lat", poi_lon="lon", poi_lat="lat"):
+    """O(N·M) cross-join oracle (tests/bench baseline only)."""
+    pois = pois_df.select(
+        F.col(poi_key), F.col(poi_lon).alias("__plon"), F.col(poi_lat).alias("__plat")
+    )
+    cand = points_df.select(point_key, lon_col, lat_col).crossJoin(F.broadcast(pois))
+    cand = cand.withColumn(
+        "dist_m",
+        haversine_m_expr(F.col(lon_col), F.col(lat_col), F.col("__plon"), F.col("__plat")),
+    )
+    w = Window.partitionBy(point_key).orderBy(F.col("dist_m").asc(), F.col(poi_key).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(point_key, lon_col, lat_col, poi_key, "dist_m", "rank")
+    )

@@ -1,0 +1,170 @@
+"""Grammar goldens: tag normalization, TTL literal grammar, HTML text
+extraction (byte-identical), mention extraction."""
+
+import json
+from urllib.parse import quote
+
+import pandas as pd
+import pytest
+
+from sophox_spark.functions import extract, normalize, ttl
+from sophox_spark.sources import synth
+
+
+class TestNormalize:
+    def test_key_validity(self):
+        keys = pd.Series(
+            ["name", "addr:street", "is_in:city", "-lead", "trail-", "a" * 61,
+             "a" * 60, "ok_key-1", "bad key", "x"]
+        )
+        got = normalize.valid_keys(keys).tolist()
+        assert got == [True, True, True, False, False, False, True, True, False, True]
+
+    def test_wikidata_values(self):
+        vals = pd.Series(["Q42", "Q1;Q2", "Q01", "nope", "Q42;bad", None])
+        got = normalize.wikidata_iris(vals).tolist()
+        assert got[0] == ["wd:Q42"]
+        assert got[1] == ["wd:Q1", "wd:Q2"]
+        assert got[2] is None and got[3] is None and got[4] is None
+
+    def test_wikipedia_urls(self):
+        vals = pd.Series(["en:Page With Space#anchor", "de:Straße", "EN:Bad", "plain"])
+        got = normalize.wikipedia_urls(vals).tolist()
+        assert got[0] == "https://en.wikipedia.org/wiki/Page_With_Space#anchor"
+        assert got[1] == "https://de.wikipedia.org/wiki/Stra%C3%9Fe"
+        assert got[2] is None and got[3] is None
+
+
+class TestTtlGrammar:
+    """Byte-level goldens re-derived independently from the reference
+    grammar spec (osmutils.py:107-132 + utils.py:23-24,90-98)."""
+
+    def test_tag_plain(self):
+        assert ttl.tag_statement("name", 'Caffè "X"') == 'osmt:name "Caffè \\"X\\""'
+
+    def test_tag_badkey(self):
+        assert ttl.tag_statement("-lead", "v") == 'osmm:badkey "-lead"'
+        assert ttl.tag_statement("k" * 61, "v") == f'osmm:badkey "{"k" * 61}"'
+
+    def test_tag_wikidata(self):
+        assert ttl.tag_statement("wikidata", "Q42") == "osmt:wikidata wd:Q42"
+        assert (
+            ttl.tag_statement("xx:wikidata", "Q1;Q2")
+            == "osmt:xx:wikidata wd:Q1,wd:Q2"
+        )
+        # invalid Q stays a plain string literal
+        assert ttl.tag_statement("wikidata", "Q01") == 'osmt:wikidata "Q01"'
+
+    def test_tag_wikipedia(self):
+        got = ttl.tag_statement("wikipedia", "en:Page With Space#anchor")
+        assert got == "osmt:wikipedia <https://en.wikipedia.org/wiki/Page_With_Space#anchor>"
+        # the exact reference safe-set must hold for every special char
+        title = "A;B@C$D!E*F(G)H,I/J~K:L#M N?O&P"
+        got = ttl.tag_statement("wikipedia", f"en:{title}")
+        want = "<https://en.wikipedia.org/wiki/" + quote(
+            title.replace(" ", "_"), safe=";@$!*(),/~:#"
+        ) + ">"
+        assert got == "osmt:wikipedia " + want
+
+    def test_typed_literals(self):
+        assert ttl.point_statement("osmm:loc", 13.4, 52.5) == (
+            'osmm:loc "Point(13.4 52.5)"^^geo:wktLiteral'
+        )
+        # str(float) shortest-repr, not fixed precision
+        assert ttl.point_statement("osmm:loc", 0.1 + 0.2, 1.0) == (
+            'osmm:loc "Point(0.30000000000000004 1.0)"^^geo:wktLiteral'
+        )
+        import datetime as dt
+
+        d = dt.datetime(2015, 5, 1, 1, 0, 0)
+        assert ttl.xsd_date(d) == '"2015-05-01T01:00:00Z"^^xsd:dateTime'
+
+    def test_stringify_json_escape(self):
+        assert ttl.stringify('tab\there "q" ß') == json.dumps(
+            'tab\there "q" ß', ensure_ascii=False
+        )
+
+    def test_turtle_block(self):
+        blk = ttl.turtle_block("osmnode:1", ['osmt:name "x"', 'osmm:version "2"^^xsd:integer'])
+        assert blk == 'osmnode:1\nosmt:name "x";\nosmm:version "2"^^xsd:integer.\n\n'
+
+    def test_header_footer(self):
+        h = ttl.file_header()
+        assert h.startswith("@prefix wd: <http://www.wikidata.org/entity/> .")
+        assert h.endswith("\n\n")
+        import datetime as dt
+
+        f = ttl.footer(dt.datetime(2025, 1, 2, 3, 4, 5))
+        assert f == '\nosmroot: schema:dateModified "2025-01-02T03:04:05Z"^^xsd:dateTime .'
+
+
+def independent_extract(html: str) -> str:
+    """Second implementation of the text-extraction spec, written
+    differently on purpose (char scanner instead of regex substitution)."""
+    import re as _re
+
+    # strip script/style/comment blocks
+    for pat in (r"(?is)<script\b.*?</script\s*>", r"(?is)<style\b.*?</style\s*>", r"(?s)<!--.*?-->"):
+        html = _re.sub(pat, "", html)
+    out = []
+    in_tag = False
+    for ch in html:
+        if ch == "<":
+            in_tag = True
+            out.append(" ")
+        elif ch == ">" and in_tag:
+            in_tag = False
+        elif not in_tag:
+            out.append(ch)
+    s = "".join(out)
+    for ent, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        s = s.replace(ent, rep)
+    return _re.sub(r"[ \t\r\n]+", " ", s).strip()
+
+
+class TestExtract:
+    def test_byte_identical_vs_independent_impl(self):
+        pages = synth.pages_pdf(80)
+        for _, row in pages.iterrows():
+            html = row["html"].decode("utf-8")
+            assert extract.extract_text_str(html) == independent_extract(html), row["url"]
+
+    def test_text_column_matches_extractor(self):
+        pages = synth.pages_pdf(40)
+        got = extract.extract_text_batch(pages["html"])
+        assert (got == pages["text"]).all()
+
+    def test_script_style_comment_stripped(self):
+        html = '<p>keep</p><script>var a = "1.234, 5.678";</script><!-- 9.123, 4.567 -->'
+        t = extract.extract_text_str(html)
+        assert t == "keep"
+
+    def test_entities(self):
+        assert extract.extract_text_str("a &amp;&lt;b&gt; &quot;c&#39;") == 'a &<b> "c\''
+
+    def test_mentions_found(self):
+        pages = synth.pages_pdf(120)
+        m = extract.extract_mentions_batch(pages["url"], pages["html"])
+        kinds = set(m["kind"])
+        assert {"meta_geo", "meta_icbm", "text_latlon", "osm_ref"} <= kinds
+        coords = m[m["kind"].isin(["meta_geo", "meta_icbm", "text_latlon"])]
+        assert coords["lat"].abs().max() <= 90
+        assert coords["lon"].abs().max() <= 180
+        # script/comment decoys never leak
+        assert not ((coords["lat"] == 12.345) & (coords["lon"] == 67.890)).any()
+        assert not (coords["lat"] == 99.999).any()
+
+    def test_mentions_spark_parity(self, spark):
+        pages = synth.pages_df(spark, 60)
+        got = extract.extract_mentions(pages).toPandas()
+        pdf = synth.pages_pdf(60)
+        want = extract.extract_mentions_batch(pdf["url"], pdf["html"])
+        got_s = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want_s = want.sort_values(list(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got_s[sorted(got.columns)], want_s[sorted(want.columns)], check_dtype=False
+        )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

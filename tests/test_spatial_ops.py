@@ -1,0 +1,178 @@
+"""Spark-level operator goldens: PIP join, kNN, tiles, dissolve.
+
+Oracles are brute-force numpy/Spark computations independent of the
+filter-then-refine machinery — row-for-row equality (north_rule)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sophox_spark.geometry import simplify as simp, wkb
+from sophox_spark.geometry.pip import PreparedPolygons, point_in_rings
+from sophox_spark.operators import dissolve, knn, spatial_join, tiles
+from sophox_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def polygons(spark):
+    return synth.admin_polygons_df(spark, 40).cache()
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    lon, lat = synth.random_points(800, salt=77)
+    pdf = pd.DataFrame(
+        {"pt_id": np.arange(800, dtype=np.int64), "lon": lon, "lat": lat}
+    )
+    return spark.createDataFrame(pdf, "pt_id long, lon double, lat double").cache()
+
+
+def oracle_pip(points_pdf, polygons_pdf):
+    """Brute-force: every point against every polygon, ray-cast."""
+    packed = wkb.pack(polygons_pdf["geom"].tolist())
+    prep = PreparedPolygons(packed)
+    got = set()
+    for gi, pid in enumerate(polygons_pdf["polygon_id"]):
+        inside = prep.contains(
+            points_pdf["lon"].to_numpy(),
+            points_pdf["lat"].to_numpy(),
+            np.full(len(points_pdf), gi),
+        )
+        for pt in points_pdf["pt_id"].to_numpy()[inside]:
+            got.add((int(pt), int(pid)))
+    return got
+
+
+class TestPipJoin:
+    def test_matches_bruteforce(self, spark, points, polygons):
+        out = spatial_join.point_in_polygon_join(points, polygons)
+        got = {(r.pt_id, r.polygon_id) for r in out.collect()}
+        want = oracle_pip(points.toPandas(), polygons.toPandas())
+        assert got == want
+
+    def test_salted_identical(self, spark, points, polygons):
+        plain = spatial_join.point_in_polygon_join(points, polygons)
+        salted = spatial_join.point_in_polygon_join(points, polygons, salt=8)
+        a = {(r.pt_id, r.polygon_id) for r in plain.collect()}
+        b = {(r.pt_id, r.polygon_id) for r in salted.collect()}
+        assert a == b
+
+    def test_no_broadcast_same_result(self, spark, points, polygons):
+        out = spatial_join.point_in_polygon_join(points, polygons, broadcast_dim=False)
+        got = {(r.pt_id, r.polygon_id) for r in out.collect()}
+        assert got == oracle_pip(points.toPandas(), polygons.toPandas())
+
+    def test_coarser_res_same_result(self, spark, points, polygons):
+        out = spatial_join.point_in_polygon_join(points, polygons, res=10)
+        got = {(r.pt_id, r.polygon_id) for r in out.collect()}
+        assert got == oracle_pip(points.toPandas(), polygons.toPandas())
+
+    def test_fully_contained_short_circuits(self, spark, points, polygons):
+        # the covering must classify a meaningful interior share for the
+        # big city polygon — otherwise every pair pays Python refinement
+        pc = spatial_join.build_polygon_cells(polygons, res=13)
+        frac = (
+            pc.groupBy().agg(F.avg(F.col("fully_contained").cast("double"))).collect()[0][0]
+        )
+        assert frac > 0.3
+
+
+class TestKnn:
+    def test_matches_bruteforce(self, spark, points, polygons):
+        pois = synth.pois_df(spark, 300).cache()
+        got = knn.knn_join(
+            points, pois, k=3, point_key="pt_id", res=13
+        )
+        want = knn.brute_force_knn(points, pois, k=3, point_key="pt_id")
+        g = {(r.pt_id, r.poi_id, r.rank) for r in got.collect()}
+        w = {(r.pt_id, r.poi_id, r.rank) for r in want.collect()}
+        assert g == w
+
+    def test_isolated_points_escalate(self, spark):
+        # 1 poi far away from all points → needs many rings, still exact
+        pts = spark.createDataFrame(
+            pd.DataFrame({"pt_id": [0, 1], "lon": [0.0, 20.0], "lat": [0.0, 40.0]}),
+            "pt_id long, lon double, lat double",
+        )
+        pois = spark.createDataFrame(
+            pd.DataFrame({"poi_id": [7], "name": ["x"], "category": ["c"],
+                          "lon": [10.0], "lat": [20.0]}),
+            synth.POIS_SCHEMA,
+        )
+        got = knn.knn_join(pts, pois, k=1, point_key="pt_id", res=13)
+        rows = got.collect()
+        assert {r.pt_id for r in rows} == {0, 1}
+        assert all(r.poi_id == 7 for r in rows)
+
+
+class TestTiles:
+    def test_point_tiles_match_numpy(self, spark, points):
+        out = tiles.assign_point_tiles(points, [7, 12]).toPandas()
+        for z in (7, 12):
+            x, y = simp.tile_xyz(out["lon"].to_numpy(), out["lat"].to_numpy(), z)
+            assert np.array_equal(out[f"tile_x_{z}"].to_numpy(), x)
+            assert np.array_equal(out[f"tile_y_{z}"].to_numpy(), y)
+
+    def test_polygon_tile_cover_superset(self, spark, points, polygons):
+        z = 10
+        cov = tiles.cover_polygon_tiles(polygons, z).toPandas()
+        cover_set = {(int(r.polygon_id), int(r.tile_x), int(r.tile_y)) for r in cov.itertuples()}
+        # any point inside a polygon must land in a covered tile
+        pip = spatial_join.point_in_polygon_join(points, polygons).toPandas()
+        pts = points.toPandas().set_index("pt_id")
+        for r in pip.itertuples():
+            lon, lat = pts.loc[r.pt_id, "lon"], pts.loc[r.pt_id, "lat"]
+            x, y = simp.tile_xyz([lon], [lat], z)
+            assert (int(r.polygon_id), int(x[0]), int(y[0])) in cover_set
+
+    def test_vector_tile_features_quantized(self, spark, polygons):
+        vt = tiles.vector_tile_features(polygons.limit(5), z=8, extent=4096)
+        pdf = vt.toPandas()
+        assert len(pdf) > 0
+        assert (pdf["coords_q"].map(len) % 2 == 0).all()
+
+
+class TestDissolve:
+    def test_nparts_and_pip_consistency(self, spark, polygons):
+        d = dissolve.dissolve(polygons, key="wikidata").toPandas()
+        src = polygons.toPandas()
+        # part counts: one part per source polygon part
+        for r in d.itertuples():
+            n_src = sum(
+                len(wkb.decode_one(bytes(g)))
+                for g in src[src["wikidata"] == r.wikidata]["geom"]
+            )
+            assert r.n_parts == n_src
+
+    def test_centroids_match_avg(self, spark, points):
+        pts = points.withColumn("grp", (F.col("pt_id") % 7).cast("string"))
+        got = dissolve.centroids(pts, "grp").toPandas().set_index("grp")
+        pdf = pts.toPandas()
+        for g, sub in pdf.groupby("grp"):
+            assert got.loc[g, "centroid_lon"] == pytest.approx(sub["lon"].mean())
+            assert got.loc[g, "centroid_lat"] == pytest.approx(sub["lat"].mean())
+
+    def test_representative_points_inside(self, spark, polygons):
+        reps = dissolve.representative_points(polygons).toPandas()
+        src = polygons.toPandas().set_index("polygon_id")
+        for r in reps.itertuples():
+            packed = wkb.pack([src.loc[r.polygon_id, "geom"]])
+            assert point_in_rings(r.rep_lon, r.rep_lat, list(packed.rings_of(0)))
+
+    def test_regions_geojson_pipeline(self, spark, polygons):
+        import json
+
+        ids = polygons.select("wikidata").distinct().limit(5)
+        out = dissolve.regions_geojson(polygons, ids).toPandas()
+        assert len(out) == 5
+        for r in out.itertuples():
+            f = json.loads(r.geojson)
+            assert f["type"] == "Feature"
+            assert f["geometry"]["type"] == "MultiPolygon"
+            assert r.n_vertices_out <= r.n_vertices_in
+            # quantized coords within grid
+            for poly in f["geometry"]["coordinates"]:
+                for ring in poly:
+                    arr = np.asarray(ring)
+                    assert arr.min() >= 0 and arr.max() <= 9999
