@@ -1,38 +1,657 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial-join pipeline at sf0.001.
+``queries()`` — one entry per implemented operator class (SURVEY §2 +
+the training-data-pipeline ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+ops whose semantics aren't ANSI-SQL-expressible; those get the driver's
+rows-only check and full pytest goldens instead).
+
+Parity discipline: every float that reaches the driver's value-hash is
+either (a) produced by the byte-identical arithmetic expression in both
+engines, (b) an exact DECIMAL sum cast to double, or (c) explicitly
+rounded. Geo tables are derived deterministically from ``events`` via
+pure int64 arithmetic so both engines compute identical doubles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names or TABLES:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# --------------------------------------------------------------------------
+# Derived geo tables: identical pure-arithmetic SQL for Spark and DuckDB.
+# Points: skewed (30% in the "dense city" box — north_rule skew case).
+# --------------------------------------------------------------------------
+
+PTS_SQL = """
+SELECT event_id AS pt_id,
+       CASE WHEN event_id % 10 < 3
+            THEN 13.3e0 + ((event_id * 7919) % 200000) / 1000000.0e0
+            ELSE -25.0e0 + ((event_id * 48271) % 70000000) / 1000000.0e0 END AS lon,
+       CASE WHEN event_id % 10 < 3
+            THEN 52.4e0 + ((event_id * 104729) % 200000) / 1000000.0e0
+            ELSE 30.0e0 + ((event_id * 69621) % 35000000) / 1000000.0e0 END AS lat
+FROM events
+"""
+
+POIS_SQL = """
+SELECT event_id AS poi_id,
+       -25.0e0 + ((event_id * 16807) % 70000000) / 1000000.0e0 AS lon,
+       30.0e0 + ((event_id * 39916801) % 35000000) / 1000000.0e0 AS lat
+FROM events WHERE event_id % 37 = 0
+"""
+
+# 20 x 10 grid of 3.5e0-degree rectangles over the world box
+RECTS_BODY = """
+SELECT i + 20 * j AS polygon_id,
+       -25.0e0 + i * 3.5e0 AS x0, -25.0e0 + (i + 1) * 3.5e0 AS x1,
+       30.0e0 + j * 3.5e0 AS y0, 30.0e0 + (j + 1) * 3.5e0 AS y1
+FROM gx CROSS JOIN gy
+"""
+RECTS_SPARK = (
+    "WITH gx AS (SELECT id AS i FROM range(20)), gy AS (SELECT id AS j FROM range(10)) "
+    + RECTS_BODY
+)
+RECTS_DUCK = (
+    "WITH gx AS (SELECT range AS i FROM range(20)), gy AS (SELECT range AS j FROM range(10)) "
+    + RECTS_BODY
+)
+
+HAVERSINE = (
+    "2.0e0 * 6371008.8e0 * asin(sqrt(least(1.0e0,"
+    " power(sin(radians({lat2} - {lat1}) / 2), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * power(sin(radians({lon2} - {lon1}) / 2), 2))))"
+)
+
+_TILE_Z = 10
+TILE_EXPR = {
+    "x": f"greatest(0, least({(1 << _TILE_Z) - 1}, CAST(floor((lon + 180.0e0) / 360.0e0 * {float(1 << _TILE_Z)}) AS BIGINT)))",
+    "y": (
+        f"greatest(0, least({(1 << _TILE_Z) - 1}, CAST(floor((1.0e0 - ln(tan(radians(greatest(-85.05112878e0, least(85.05112878e0, lat))))"
+        f" + sqrt(tan(radians(greatest(-85.05112878e0, least(85.05112878e0, lat)))) * tan(radians(greatest(-85.05112878e0, least(85.05112878e0, lat)))) + 1.0e0))"
+        f" / 3.141592653589793e0) / 2.0e0 * {float(1 << _TILE_Z)}) AS BIGINT)))"
+    ),
+}
+
+_GRID_RES = 13
+_GRID_N = 1 << _GRID_RES
+CELL_EXPR = (
+    f"CAST({_GRID_RES} AS BIGINT) * {1 << 58} "
+    f"+ CAST(floor((lon + 180.0e0) / 360.0e0 * {float(_GRID_N)}) AS BIGINT) * {1 << 29} "
+    f"+ CAST(floor((lat + 90.0e0) / 180.0e0 * {float(_GRID_N)}) AS BIGINT)"
+)
+
+
+def _simhash_sql(dialect: str) -> str:
+    pos = "instr" if dialect == "spark" else "strpos"
+    if dialect == "spark":
+        toks = (
+            "SELECT doc_id, token FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS token "
+            "FROM documents) WHERE length(token) > 0"
+        )
+    else:
+        toks = (
+            "SELECT doc_id, t.token AS token FROM documents, "
+            "unnest(string_split(lower(text), ' ')) AS t(token) WHERE length(t.token) > 0"
+        )
+    votes = ", ".join(
+        f"sum(CASE WHEN {pos}('89abcdef', substr(md5(token), {j + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return (
+        f"WITH toks AS ({toks}), v AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v"
+    )
+
+
+def _minhash_sql(dialect: str, n_hashes: int = 4) -> str:
+    if dialect == "spark":
+        toks = (
+            "SELECT DISTINCT doc_id, token FROM (SELECT doc_id, explode(split(lower(text), ' ')) "
+            "AS token FROM documents) WHERE length(token) > 0"
+        )
+    else:
+        toks = (
+            "SELECT DISTINCT doc_id, t.token AS token FROM documents, "
+            "unnest(string_split(lower(text), ' ')) AS t(token) WHERE length(t.token) > 0"
+        )
+    mins = ", ".join(
+        f"min(md5(concat('{i}:', token))) AS h{i}" for i in range(n_hashes)
+    )
+    return f"WITH toks AS ({toks}) SELECT doc_id, {mins} FROM toks GROUP BY doc_id"
+
+
+def _tokens_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            "SELECT DISTINCT doc_id, token FROM (SELECT doc_id, explode(split(lower(text), ' ')) "
+            "AS token FROM documents) WHERE length(token) > 0"
+        )
+    return (
+        "SELECT DISTINCT doc_id, t.token AS token FROM documents, "
+        "unnest(string_split(lower(text), ' ')) AS t(token) WHERE length(t.token) > 0"
+    )
+
+
+def _textstats_exprs(dialect: str) -> dict[str, str]:
+    """token_count / quality formulas, dialect-adjusted (DuckDB
+    regexp_replace needs the 'g' flag; regex escaping differs)."""
+    if dialect == "spark":
+        toks = r"size(split(trim(text), '\\s+'))"
+        punct = r"length(text) - length(regexp_replace(text, '[.,!?;:]', ''))"
+    else:
+        toks = r"len(string_split_regex(trim(text), '\s+'))"
+        punct = r"length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
+    token_count = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {toks} END"
+    quality = (
+        f"((CASE WHEN length(text) >= 200 AND length(text) <= 20000 THEN 1.0e0 "
+        f"WHEN length(text) >= 50 THEN 0.5e0 ELSE 0.0e0 END) "
+        f"+ (CASE WHEN ({punct}) * 1.0e0 / greatest(length(text), 1) >= 0.005e0 "
+        f"AND ({punct}) * 1.0e0 / greatest(length(text), 1) <= 0.1e0 THEN 1.0e0 ELSE 0.5e0 END) "
+        f"+ (CASE WHEN length(text) * 1.0e0 / greatest({token_count}, 1) >= 3.0e0 "
+        f"AND length(text) * 1.0e0 / greatest({token_count}, 1) <= 12.0e0 THEN 1.0e0 ELSE 0.5e0 END)) / 3.0e0"
+    )
+    return {"token_count": token_count, "quality": quality}
+
+
+_OCC = "CAST((length({t}) - length(replace({t}, '{w}', ''))) / {n} AS BIGINT)"
+
+
+def _lang_id_expr() -> str:
+    """Portable argmax-stopword language id (same text both dialects)."""
+    profiles = {
+        "en": [" the ", " and ", " of ", " to "],
+        "de": [" der ", " und ", " die ", " nicht "],
+        "fr": [" le ", " et ", " les ", " des "],
+        "es": [" el ", " y ", " los ", " que "],
+    }
+    padded = "concat(' ', lower(text), ' ')"
+    scores = {
+        lang: " + ".join(_OCC.format(t=padded, w=w, n=len(w)) for w in words)
+        for lang, words in profiles.items()
+    }
+    expr = "'und'"
+    best = "CAST(0 AS BIGINT)"
+    for lang in reversed(list(scores)):
+        s = scores[lang]
+        expr = f"CASE WHEN ({s}) > ({best}) THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({s}, {best})"
+    return expr
+
+
+# --------------------------------------------------------------------------
+# Query definitions. Each item: (spark_fn, duckdb_sql or None).
+# --------------------------------------------------------------------------
+
+
+def _sql_query(spark_sql: str, tables: tuple[str, ...] = ()):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir, *tables)
+        return spark.sql(spark_sql)
+
+    return run
+
+
+Q01_SPARK = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q03_SPARK = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+SEMI_SQL = """
+SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+GROUP BY o.o_orderpriority
+"""
+
+ANTI_SQL = """
+SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 250000)
+GROUP BY c.c_mktsegment
+"""
+
+LEFT_OUTER_SQL = """
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+ASSEMBLY_SPARK = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       min_by(event_type, event_id) AS first_type,
+       max_by(event_type, event_id) AS last_type,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM events GROUP BY user_id
+"""
+ASSEMBLY_DUCK = ASSEMBLY_SPARK.replace("min_by", "arg_min").replace("max_by", "arg_max")
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, rk AS rank
+FROM (SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+RUNNING_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events WHERE user_id % 10 = 0
+"""
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+SESSION_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour_start,
+       CAST(floor(extract(minute FROM ts) / 5) AS BIGINT) AS bucket5m,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts), CAST(floor(extract(minute FROM ts) / 5) AS BIGINT)
+"""
+
+LATEST_SQL = """
+SELECT user_id, event_id AS latest_event, event_type AS latest_type
+FROM (SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+WHERE rk = 1
+"""
+
+MERGE_SQL = """
+WITH updates AS (SELECT o_orderkey, 'X' AS new_status FROM orders WHERE o_orderkey % 7 = 0),
+merged AS (
+  SELECT o.o_orderkey, COALESCE(u.new_status, o.o_orderstatus) AS status
+  FROM orders o LEFT JOIN updates u ON u.o_orderkey = o.o_orderkey
+)
+SELECT status, COUNT(*) AS n FROM merged GROUP BY status
+"""
+
+DEDUP_EXACT_SQL_SPARK = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ')))) AS n_distinct
+FROM documents GROUP BY lang
+"""
+DEDUP_EXACT_SQL_DUCK = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_distinct
+FROM documents GROUP BY lang
+"""
+
+
+def _lsh_sql(dialect: str) -> str:
+    return (
+        f"WITH sig AS ({_minhash_sql(dialect)}) "
+        "SELECT substr(h0, 1, 3) AS band_sig, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc "
+        "FROM sig GROUP BY substr(h0, 1, 3) HAVING COUNT(*) > 1"
+    )
+
+
+def _jaccard_sql(dialect: str) -> str:
+    toks = _tokens_sql(dialect)
+    return f"""
+WITH toks AS ({toks}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND b.token = a.token
+  WHERE a.doc_id % 5 = 0
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b, i.inter,
+       sa.n_sh + sb.n_sh - i.inter AS union_sz,
+       ROUND(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+"""
+
+
+def _textstats_sql(dialect: str) -> str:
+    e = _textstats_exprs(dialect)
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM({e['token_count']}) AS BIGINT) AS total_tokens,
+       ROUND(AVG({e['quality']}), 4) AS avg_quality
+FROM documents GROUP BY lang
+"""
+
+
+def _lang_id_sql() -> str:
+    return f"""
+SELECT lang, {_lang_id_expr()} AS lang_pred, COUNT(*) AS n
+FROM documents GROUP BY lang, {_lang_id_expr()}
+"""
+
+
+def _cosine_duck() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+  GROUP BY a.vec_id, b.vec_id
+),
+ranked AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---- geo (derived tables) -------------------------------------------------
+
+
+def _geo_pip_sql(dialect: str) -> str:
+    rects = RECTS_SPARK if dialect == "spark" else RECTS_DUCK
+    return f"""
+WITH pts AS ({PTS_SQL}), rects AS ({rects})
+SELECT p.pt_id, r.polygon_id
+FROM pts p JOIN rects r
+  ON p.lon >= r.x0 AND p.lon < r.x1 AND p.lat >= r.y0 AND p.lat < r.y1
+"""
+
+
+def _geo_centroid_sql(dialect: str) -> str:
+    rects = RECTS_SPARK if dialect == "spark" else RECTS_DUCK
+    return f"""
+WITH pts AS ({PTS_SQL}), rects AS ({rects})
+SELECT r.polygon_id, COUNT(*) AS n_points,
+       ROUND(AVG(p.lon), 4) AS centroid_lon,
+       ROUND(AVG(p.lat), 4) AS centroid_lat
+FROM pts p JOIN rects r
+  ON p.lon >= r.x0 AND p.lon < r.x1 AND p.lat >= r.y0 AND p.lat < r.y1
+GROUP BY r.polygon_id
+"""
+
+
+def _geo_knn_sql() -> str:
+    dist = HAVERSINE.format(lat1="p.lat", lon1="p.lon", lat2="q.lat", lon2="q.lon")
+    return f"""
+WITH pts AS (SELECT * FROM ({PTS_SQL}) t WHERE pt_id % 20 = 1),
+pois AS ({POIS_SQL}),
+d AS (SELECT p.pt_id, q.poi_id, {dist} AS dist FROM pts p CROSS JOIN pois q),
+ranked AS (SELECT pt_id, poi_id,
+                  ROW_NUMBER() OVER (PARTITION BY pt_id ORDER BY dist ASC, poi_id ASC) AS rank
+           FROM d)
+SELECT pt_id, poi_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _geo_tile_sql() -> str:
+    return f"""
+WITH pts AS ({PTS_SQL})
+SELECT pt_id, {TILE_EXPR['x']} AS tile_x, {TILE_EXPR['y']} AS tile_y,
+       CAST({_TILE_Z} AS BIGINT) * {1 << 58} + {TILE_EXPR['x']} * {1 << 29} + {TILE_EXPR['y']} AS tile
+FROM pts
+"""
+
+
+def _geo_cell_sql() -> str:
+    return f"""
+WITH pts AS ({PTS_SQL})
+SELECT pt_id, {CELL_EXPR} AS cell FROM pts
+"""
+
+
+# ---- Spark-side callables that use the real engine operators --------------
+
+
+def _q_geo_knn_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import knn
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL).filter("pt_id % 20 = 1")
+    pois = spark.sql(POIS_SQL)
+    out = knn.knn_join(pts, pois, k=3, res=13, point_key="pt_id")
+    return out.select("pt_id", "poi_id", "rank")
+
+
+def _q_geo_tiles_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import tiles
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+    out = tiles.assign_point_tiles(pts, [_TILE_Z])
+    return out.select(
+        "pt_id",
+        F.col(f"tile_x_{_TILE_Z}").alias("tile_x"),
+        F.col(f"tile_y_{_TILE_Z}").alias("tile_y"),
+        F.col(f"tile_{_TILE_Z}").alias("tile"),
+    )
+
+
+def _q_geo_cells_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators.spatial_join import cell_col
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+    return pts.select("pt_id", cell_col("lon", "lat", _GRID_RES).alias("cell"))
+
+
+def _q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import similarity
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    out = similarity.cosine_topk(emb.filter("vec_id < 20"), emb, k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+# ---- rows-only engine showcases (no SQL-expressible oracle) ----------------
+
+
+def _q_pip_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import spatial_join
+    from sophox_spark.sources import synth
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+    polygons = synth.admin_polygons_df(spark, 60)
+    return spatial_join.point_in_polygon_join(pts, polygons, res=13, salt=4)
+
+
+def _q_regions_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import dissolve
+    from sophox_spark.sources import synth
+
+    polygons = synth.admin_polygons_df(spark, 60)
+    ids = polygons.select("wikidata").distinct().limit(40)
+    return dissolve.regions_geojson(polygons, ids)
+
+
+def _q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import tiles
+    from sophox_spark.sources import synth
+
+    polygons = synth.admin_polygons_df(spark, 30)
+    return tiles.vector_tile_features(polygons, z=7)
+
+
+def _q_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import similarity
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return similarity.ann_topk(emb, k=3, dim=64, n_planes=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import multimodal
+
+    media = multimodal.synth_media_df(spark, 64)
+    return multimodal.decode_media_meta(media)
+
+
+def _q_page_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.functions import extract
+    from sophox_spark.sources import synth
+
+    pages = synth.pages_df(spark, 300)
+    return extract.extract_mentions(pages)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
+    skewed geo points from the events table, PIP-join them (cell-cover
+    equi-join + Arrow ray-cast refine, salted) against synthetic admin
+    polygons, and stamp every match with its raster tile + grid cell."""
+    from sophox_spark.operators import spatial_join, tiles
+    from sophox_spark.operators.spatial_join import cell_col
+    from sophox_spark.sources import synth
+
+    sf_dir = "/root/testdata/sf0.001"
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+    polygons = synth.admin_polygons_df(spark, 60)
+    joined = spatial_join.point_in_polygon_join(pts, polygons, res=13, salt=4)
+    out = tiles.assign_point_tiles(joined, [_TILE_Z])
+    return out.select(
+        "pt_id", "lon", "lat", "polygon_id",
+        F.col(f"tile_x_{_TILE_Z}").alias("tile_x"),
+        F.col(f"tile_y_{_TILE_Z}").alias("tile_y"),
+        cell_col("lon", "lat", _GRID_RES).alias("cell"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # relational operator coverage (SURVEY §2.2-2.6)
+        "q01_pricing_agg": _sql_query(Q01_SPARK, ("lineitem",)),
+        "q03_join_topk": _sql_query(Q03_SPARK, ("customer", "orders", "lineitem")),
+        "q_semi_join": _sql_query(SEMI_SQL, ("orders", "lineitem")),
+        "q_anti_join": _sql_query(ANTI_SQL, ("customer", "orders")),
+        "q_left_outer_join": _sql_query(LEFT_OUTER_SQL, ("customer", "orders")),
+        "q_order_assembly": _sql_query(ASSEMBLY_SPARK, ("events",)),
+        "q_window_topk": _sql_query(WINDOW_TOPK_SQL, ("orders",)),
+        "q_window_running": _sql_query(RUNNING_SQL, ("events",)),
+        "q_rollup": _sql_query(ROLLUP_SQL, ("lineitem",)),
+        "q_tumbling_window": _sql_query(SESSION_SQL, ("events",)),
+        "q_latest_version": _sql_query(LATEST_SQL, ("events",)),
+        "q_merge_upsert": _sql_query(MERGE_SQL, ("orders",)),
+        # dedup / text pipeline
+        "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
+        "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
+        "q_lsh_buckets": _sql_query(_lsh_sql("spark"), ("documents",)),
+        "q_ngram_jaccard": _sql_query(_jaccard_sql("spark"), ("documents",)),
+        "q_simhash": _sql_query(_simhash_sql("spark"), ("documents",)),
+        "q_lang_id": _sql_query(_lang_id_sql(), ("documents",)),
+        "q_text_stats": _sql_query(_textstats_sql("spark"), ("documents",)),
+        # similarity
+        "q_embedding_cosine_topk": _q_embedding_cosine,
+        # geo with SQL oracle
+        "q_geo_pip_rects": _sql_query(_geo_pip_sql("spark"), ("events",)),
+        "q_geo_centroids": _sql_query(_geo_centroid_sql("spark"), ("events",)),
+        "q_geo_knn": _q_geo_knn_engine,
+        "q_geo_tiles": _q_geo_tiles_engine,
+        "q_geo_cells": _q_geo_cells_engine,
+        # rows-only engine showcases
+        "q_pip_engine": _q_pip_engine,
+        "q_regions_geojson": _q_regions_geojson,
+        "q_vector_tiles": _q_vector_tiles,
+        "q_ann_embeddings": _q_ann_embeddings,
+        "q_multimodal_meta": _q_multimodal_meta,
+        "q_page_mentions": _q_page_mentions,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_agg": Q01_SPARK,
+        "q03_join_topk": Q03_SPARK,
+        "q_semi_join": SEMI_SQL,
+        "q_anti_join": ANTI_SQL,
+        "q_left_outer_join": LEFT_OUTER_SQL,
+        "q_order_assembly": ASSEMBLY_DUCK,
+        "q_window_topk": WINDOW_TOPK_SQL,
+        "q_window_running": RUNNING_SQL,
+        "q_rollup": ROLLUP_SQL,
+        "q_tumbling_window": SESSION_SQL,
+        "q_latest_version": LATEST_SQL,
+        "q_merge_upsert": MERGE_SQL,
+        "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
+        "q_minhash_signatures": _minhash_sql("duckdb"),
+        "q_lsh_buckets": _lsh_sql("duckdb"),
+        "q_ngram_jaccard": _jaccard_sql("duckdb"),
+        "q_simhash": _simhash_sql("duckdb"),
+        "q_lang_id": _lang_id_sql(),
+        "q_text_stats": _textstats_sql("duckdb"),
+        "q_embedding_cosine_topk": _cosine_duck(),
+        "q_geo_pip_rects": _geo_pip_sql("duckdb"),
+        "q_geo_centroids": _geo_centroid_sql("duckdb"),
+        "q_geo_knn": _geo_knn_sql(),
+        "q_geo_tiles": _geo_tile_sql(),
+        "q_geo_cells": _geo_cell_sql(),
+    }

@@ -1,1 +1,9 @@
-from . import dissolve, knn, spatial_join, tiles  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    dissolve,
+    knn,
+    multimodal,
+    similarity,
+    spatial_join,
+    tiles,
+)
