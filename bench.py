@@ -1,0 +1,75 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "spatial_join_rows_per_sec": ..., "joined_rows": ...}
+
+The headline metric (BASELINE.json) is spatial-join throughput in
+joined rows/sec — measured on the flagship PIP pipeline (cell-cover
+equi-join + salted skew lanes + Arrow ray-cast refine) over the skewed
+derived point set. Scaling-efficiency evidence (N vs 4N cores) is a
+separate two-process run: tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from sophox_spark.plans import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q01_pricing_agg",
+    "q03_join_topk",
+    "q_window_topk",
+    "q_minhash_signatures",
+    "q_simhash",
+    "q_embedding_cosine_topk",
+    "q_geo_pip_rects",
+    "q_geo_knn",
+    "q_geo_tiles",
+    "q_pip_engine",
+    "q_regions_geojson",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    qs = entry_mod.queries()
+    # warm the JVM/Arrow path so query timings measure the engine
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        counts[name] = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    joined_rows = counts["q_pip_engine"]
+    pip_sec = timings["q_pip_engine"]
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "spatial-join throughput (joined rows/sec) over skewed points",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "joined_rows": joined_rows,
+        "spatial_join_rows_per_sec": round(joined_rows / pip_sec, 1) if pip_sec else None,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

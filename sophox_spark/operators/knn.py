@@ -78,6 +78,27 @@ def _escalation_schedule(res: int) -> list[tuple[int, int]]:
     return sched
 
 
+def _density_adapted_res(pois_df, k: int, res: int, poi_lon: str, poi_lat: str) -> int:
+    """Pick the starting resolution so a ring-1 (3×3 cell) neighborhood
+    is expected to hold ≥ ~4k POIs — most points then resolve in one
+    round instead of walking the whole coarsening ladder (each ladder
+    level is a full Spark job). One cheap agg on the small side."""
+    row = pois_df.agg(
+        F.count("*").alias("n"),
+        F.min(poi_lon).alias("lon0"), F.max(poi_lon).alias("lon1"),
+        F.min(poi_lat).alias("lat0"), F.max(poi_lat).alias("lat1"),
+    ).collect()[0]
+    if not row.n:
+        return res
+    area = max((row.lon1 - row.lon0) * (row.lat1 - row.lat0), 1e-9)
+    density = row.n / area  # per deg²
+    want = 4.0 * k
+    # block area at res r: 9 * (180/2^r) * (360/2^r) = 583200 / 4^r
+    ratio = 583_200.0 * density / want
+    r0 = int(math.floor(math.log(max(ratio, 4.0), 4)))
+    return max(2, min(res, r0))
+
+
 def knn_join(
     points_df: DataFrame,
     pois_df: DataFrame,
@@ -90,6 +111,7 @@ def knn_join(
     poi_lon: str = "lon",
     poi_lat: str = "lat",
     broadcast_pois: bool = True,
+    adaptive_res: bool = True,
 ) -> DataFrame:
     """Exact k nearest POIs per point.
 
@@ -98,35 +120,56 @@ def knn_join(
     Escalates through ``_escalation_schedule`` until every point's k-th
     candidate is inside the guarantee radius; the final level is a
     global scan, so the result equals brute force row-for-row.
+    ``adaptive_res`` starts the ladder at the POI-density-matched
+    resolution (results are identical at any resolution — only the
+    number of escalation rounds changes).
     """
     base_pois = pois_df.select(
         F.col(poi_key),
         F.col(poi_lon).alias("__poi_lon"),
         F.col(poi_lat).alias("__poi_lat"),
     )
+    if adaptive_res:
+        res = _density_adapted_res(pois_df, k, res, poi_lon, poi_lat)
     remaining = points_df.select(point_key, lon_col, lat_col)
     results = None
     schedule = _escalation_schedule(res)
     for li, (lvl_res, ring) in enumerate(schedule):
         last = li == len(schedule) - 1
+        from .spatial_join import cell_expr
+
         pois = base_pois.withColumn(
-            "__poi_cell", _cell("__poi_lon", "__poi_lat", lvl_res)
+            "__poi_cell", cell_expr("__poi_lon", "__poi_lat", lvl_res)
         )
         if broadcast_pois:
             pois = F.broadcast(pois)
-        cand = (
-            remaining.withColumn(
-                "__ring", ring_cells_col(lon_col, lat_col, lvl_res, ring)
-            )
-            .withColumn("__poi_cell", F.explode("__ring"))
-            .drop("__ring")
-            .join(pois, "__poi_cell")
+        # native k-ring: two explodes + modular lon wrap / lat clamp —
+        # no Python anywhere in the candidate path
+        n = 1 << lvl_res
+        expanded = (
+            remaining.withColumn("__cell", cell_expr(lon_col, lat_col, lvl_res))
+            .withColumn("__x", (F.col("__cell") / F.lit(1 << 29)).cast("long") % F.lit(1 << 29))
+            .withColumn("__y", F.col("__cell") % F.lit(1 << 29))
+            .withColumn("__dx", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+            .withColumn("__dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+            .withColumn("__nx", F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)))
+            .withColumn("__ny", F.col("__y") + F.col("__dy"))
+            .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
             .withColumn(
-                "dist_m",
-                haversine_m_expr(
-                    F.col(lon_col), F.col(lat_col), F.col("__poi_lon"), F.col("__poi_lat")
-                ),
+                "__poi_cell",
+                F.lit(lvl_res).cast("long") * F.lit(1 << 58)
+                + F.col("__nx") * F.lit(1 << 29)
+                + F.col("__ny"),
             )
+            .drop("__cell", "__x", "__y", "__dx", "__dy", "__nx", "__ny")
+        )
+        if 2 * ring + 1 > n:  # lon wrap can repeat cells at coarse res
+            expanded = expanded.dropDuplicates([point_key, "__poi_cell"])
+        cand = expanded.join(pois, "__poi_cell").withColumn(
+            "dist_m",
+            haversine_m_expr(
+                F.col(lon_col), F.col(lat_col), F.col("__poi_lon"), F.col("__poi_lat")
+            ),
         )
         w = Window.partitionBy(point_key).orderBy(
             F.col("dist_m").asc(), F.col(poi_key).asc()

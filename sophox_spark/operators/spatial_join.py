@@ -39,8 +39,34 @@ from ..geometry.pip import PreparedPolygons
 DEFAULT_RES = 13  # ≈ 2.4 km cells (H3 res-7 analog, grid.H3_ANALOG_RES)
 
 
+def cell_expr(lon_col: str, lat_col: str, res: int):
+    """NATIVE column expression for grid.encode — identical IEEE double
+    arithmetic to the numpy kernel (same ops in the same order), but
+    whole-stage-codegen'd JVM-side: the hot path ships no rows to
+    Python. Invalid coords → -1 (loc:error semantics)."""
+    n = float(1 << res)
+    n_max = (1 << res) - 1
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    x = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(n_max).cast("long"), F.floor((lon + 180.0) / 360.0 * n).cast("long")),
+    )
+    y = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(n_max).cast("long"), F.floor((lat + 90.0) / 180.0 * n).cast("long")),
+    )
+    cell = F.lit(res).cast("long") * F.lit(1 << 58) + x * F.lit(1 << 29) + y
+    bad = (
+        lon.isNull() | lat.isNull() | F.isnan(lon) | F.isnan(lat)
+        | (lon < -180.0) | (lon > 180.0) | (lat < -90.0) | (lat > 90.0)
+    )
+    return F.when(bad, F.lit(-1).cast("long")).otherwise(cell)
+
+
 def cell_col(lon_col: str, lat_col: str, res: int):
-    """Column expression: grid cell id of (lon, lat) at ``res``."""
+    """Arrow-batched variant of ``cell_expr`` running the shared numpy
+    kernel — kept for cross-validation (the q_geo_cells driver check
+    pins numpy == SQL semantics; tests pin numpy == native expr)."""
 
     @F.pandas_udf("long")
     def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -73,7 +99,15 @@ def build_polygon_cells(
                 }
             )
 
-    cells_df = polygons_df.select(id_col, geom_col).mapInPandas(gen, out_schema)
+    # spread the covering work: one polygon row is cheap to ship, its
+    # covering fan-out is not — parallelize across cores
+    spark = polygons_df.sparkSession
+    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cells_df = (
+        polygons_df.select(id_col, geom_col)
+        .repartition(n_slices)
+        .mapInPandas(gen, out_schema)
+    )
     if num_partitions:
         cells_df = cells_df.repartitionByRange(num_partitions, "cell")
     return cells_df
@@ -105,18 +139,25 @@ def point_in_polygon_join(
     ``id_col`` (one output row per (point, containing polygon) pair).
 
     ``salt > 1`` replicates dim-side cell rows across ``salt`` lanes and
-    routes each point to one lane — bounding the per-task pair fan-out
-    for pathologically hot cells (dense-urban skew, north_rule).
+    routes each point to one lane — bounding the per-reducer pair
+    fan-out for pathologically hot cells (dense-urban skew, north_rule).
+    Salting only applies to the SHUFFLE join path: a broadcast hash join
+    has no reducers — every input partition probes the broadcast table
+    locally, so cell skew cannot concentrate work, and salting would
+    only inflate the broadcast ``salt``-fold. With ``broadcast_dim``
+    the salt argument is therefore ignored.
     """
     pcells = (
         polygon_cells_df
         if polygon_cells_df is not None
         else build_polygon_cells(polygons_df, res, geom_col, id_col)
     )
-    pts = points_df.withColumn("__cell", cell_col(lon_col, lat_col, res)).filter(
+    pts = points_df.withColumn("__cell", cell_expr(lon_col, lat_col, res)).filter(
         F.col("__cell") >= 0
     )
     dim = pcells.withColumnRenamed("cell", "__cell")
+    if broadcast_dim:
+        salt = 0
     if salt > 1:
         dim = dim.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -139,17 +180,19 @@ def point_in_polygon_join(
     maybe_schema = maybe.schema
 
     def refine(batches):
-        prep_cache: dict[tuple, tuple] = {}
+        # pack + edge-index the broadcast dim ONCE per python worker
+        # (the STRtree-packed broadcast partition of the north_star),
+        # then probe with every Arrow batch
+        prep = None
+        idx_of: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].unique()
-            key = tuple(sorted(ids.tolist()))
-            if key not in prep_cache:
+            if prep is None:
                 mapping = poly_bc.value
-                packed = wkb.pack([mapping.get(i) for i in key])
-                prep_cache = {key: (PreparedPolygons(packed), {p: i for i, p in enumerate(key)})}
-            prep, idx_of = prep_cache[key]
+                ids = sorted(mapping)
+                prep = PreparedPolygons(wkb.pack([mapping[i] for i in ids]))
+                idx_of = {p: i for i, p in enumerate(ids)}
             poly_idx = pdf[id_col].map(idx_of).to_numpy()
             ok = prep.contains(
                 pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy(), poly_idx, covers=covers

@@ -1,0 +1,72 @@
+"""One scaling-run worker: the flagship spatial-join job at a given
+parallelism. Invoked by tools/bench_scaling.py in a fresh process per
+cluster size (a Spark session pins local[N] for the process lifetime).
+
+Job: derive the skewed point set from events at sf0.1, replicate ×K for
+a CPU-bound problem size, PIP-join against 200 synthetic admin polygons
+(cell-cover equi-join + salted skew lanes + Arrow ray-cast refine), and
+stamp raster tiles. Prints one JSON line {cpus, elapsed_sec, rows}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from sophox_spark.operators import spatial_join, tiles
+from sophox_spark.plans import get_spark
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # strong scaling: IDENTICAL plan + partitioning at both cluster
+    # sizes — only the executor-thread count differs (shuffle partition
+    # count is part of the plan, so it is pinned, not scaled)
+    partitions = 128
+    spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=partitions)
+    from sophox_spark.sources import synth
+
+    # repartition the fact side BEFORE derivation so row expansion and
+    # UDF work spread across all partitions (no single-task scan phase)
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        partitions
+    ).createOrReplaceTempView("events")
+    polygons = synth.admin_polygons_df(spark, 200)
+    pts = (
+        spark.sql(entry_mod.PTS_SQL)
+        .crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
+        .withColumn("pt_id", F.col("pt_id") * replicate + F.col("rep"))
+        .drop("rep")
+    )
+    # dim-side prep (cell covering) is a one-off amortized table at
+    # scale — persist it outside the clock
+    res = 13
+    pcells = spatial_join.build_polygon_cells(polygons, res).persist()
+    pcells.count()
+    # steady-state measurement: run the identical full pipeline twice
+    # un-clocked to pay one-time costs (C2 JIT tier-up, python worker
+    # forks, shuffle file setup), then clock the third execution
+    # (count() caches nothing — the full computation re-runs)
+    joined = spatial_join.point_in_polygon_join(
+        pts, polygons, res=res, polygon_cells_df=pcells
+    )
+    out = tiles.assign_point_tiles(joined, [10])
+    out.count()
+    out.count()
+    t0 = time.perf_counter()
+    rows = out.count()
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 3), "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
