@@ -322,6 +322,22 @@ merged AS (
 SELECT status, COUNT(*) AS n FROM merged GROUP BY status
 """
 
+# J11 pageview-style read-modify-write increment: base counters from the
+# first half of the stream, increments from the second, MERGE-summed
+# (updatePageViewStats.py:179-187 semantics)
+INCREMENT_SQL = """
+WITH split AS (SELECT user_id, event_id, CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS half
+               FROM events WHERE event_type = 'view'),
+base AS (SELECT user_id, COUNT(*) AS views FROM split WHERE half = 0 GROUP BY user_id),
+inc AS (SELECT user_id, COUNT(*) AS views FROM split WHERE half = 1 GROUP BY user_id),
+merged AS (
+  SELECT COALESCE(b.user_id, i.user_id) AS user_id,
+         COALESCE(b.views, 0) + COALESCE(i.views, 0) AS views
+  FROM base b FULL OUTER JOIN inc i ON b.user_id = i.user_id
+)
+SELECT user_id, views FROM merged
+"""
+
 DEDUP_EXACT_SQL_SPARK = r"""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -547,6 +563,79 @@ def _q_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OSM_SCHEMAS = {
+    "nodes": (
+        "id long, version int, user string, ts timestamp, changeset long, "
+        "deleted boolean, lon double, lat double, tags map<string,string>"
+    ),
+    "ways": (
+        "id long, version int, user string, ts timestamp, changeset long, "
+        "deleted boolean, refs array<long>, tags map<string,string>"
+    ),
+    "rels": (
+        "id long, version int, user string, ts timestamp, changeset long, "
+        "deleted boolean, members array<struct<type:string,ref:long,role:string>>, "
+        "tags map<string,string>"
+    ),
+}
+
+
+def _osm_dfs(spark: SparkSession):
+    from sophox_spark.sources import synth
+
+    nodes_pdf = synth.osm_nodes_pdf(300)
+    ways_pdf = synth.osm_ways_pdf(nodes_pdf, 80)
+    rels_pdf = synth.osm_relations_pdf(nodes_pdf, ways_pdf, 30)
+    return (
+        spark.createDataFrame(nodes_pdf, OSM_SCHEMAS["nodes"]),
+        spark.createDataFrame(ways_pdf, OSM_SCHEMAS["ways"]),
+        spark.createDataFrame(rels_pdf, OSM_SCHEMAS["rels"]),
+    )
+
+
+def _q_osm_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import osm2ttl
+
+    nodes, ways, rels = _osm_dfs(spark)
+    return osm2ttl.convert(nodes, ways, rels)
+
+
+def _q_way_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import osm_geometry
+
+    nodes, ways, _ = _osm_dfs(spark)
+    return osm_geometry.way_locations(nodes, ways).drop("coords")
+
+
+def _q_rel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import osm_geometry
+    from sophox_spark.streaming import incremental
+
+    nodes, ways, rels = _osm_dfs(spark)
+    way_locs = osm_geometry.way_locations(nodes, ways)
+    return incremental.relation_centroids_fixpoint(nodes, way_locs, rels)
+
+
+def _q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sophox_spark.manifest import Manifest
+    from sophox_spark.sources import synth
+    from sophox_spark.streaming import incremental
+
+    nodes_pdf = synth.osm_nodes_pdf(100)
+    changes = spark.createDataFrame(
+        synth.changes_pdf(nodes_pdf, 5),
+        "seqid long, op string, id long, version int, user string, ts timestamp, "
+        "lon double, lat double, tags map<string,string>",
+    )
+    tmp = tempfile.mkdtemp(prefix="sophox_upsert_")
+    man = Manifest(spark, f"{tmp}/manifest")
+    table = incremental.SnapshotTable(spark, f"{tmp}/tbl", man, "nodes")
+    incremental.apply_change_batches(spark, table, changes)
+    return table.read().drop("tags")
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import multimodal
 
@@ -600,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tumbling_window": _sql_query(SESSION_SQL, ("events",)),
         "q_latest_version": _sql_query(LATEST_SQL, ("events",)),
         "q_merge_upsert": _sql_query(MERGE_SQL, ("orders",)),
+        "q_increment_merge": _sql_query(INCREMENT_SQL, ("events",)),
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -623,6 +713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_embeddings": _q_ann_embeddings,
         "q_multimodal_meta": _q_multimodal_meta,
         "q_page_mentions": _q_page_mentions,
+        "q_osm_ttl": _q_osm_ttl,
+        "q_osm_way_locations": _q_way_locations,
+        "q_rel_centroids_fixpoint": _q_rel_centroids,
+        "q_incremental_upsert": _q_incremental_upsert,
     }
     return q
 
@@ -641,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tumbling_window": SESSION_SQL,
         "q_latest_version": LATEST_SQL,
         "q_merge_upsert": MERGE_SQL,
+        "q_increment_merge": INCREMENT_SQL,
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),

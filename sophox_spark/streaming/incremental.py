@@ -1,0 +1,181 @@
+"""Incremental ingestion: micro-batch MERGE with the reference's
+streaming semantics (SURVEY §2.8 ST1-ST8).
+
+The reference's update loop polls minute diffs, dedups within a batch
+(flushes early on a duplicate subject, RdfUpdateHandler.py:27-31),
+upserts by delete-then-insert per subject (idempotent, :42-57), and
+persists the high-watermark seqid transactionally with the data
+(:59-66). Spark-native re-expression:
+
+  ST5 in-batch dedup    → row_number() over (key ORDER BY version/seq DESC) = 1
+  ST4 idempotent upsert → MERGE emulation: base LEFT-ANTI batch ∪ batch
+  ST1/ST3 offsets       → manifest.last_seqid(); replay-safe skip
+  ST2 watermark         → manifest row (seqid, max event ts, row count)
+  snapshot atomicity    → versioned table dirs {path}/v=N; readers pick
+                          the latest manifest-recorded version (no
+                          Iceberg jars in this container — this is the
+                          snapshot-commit emulation, documented)
+
+The fixpoint derived-view job (ST7, relation centroids with rel→rel
+chains and cycles, updateRelLoc.py:62-88,159-161) lives here too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..manifest import Manifest
+from ..operators.osm_geometry import relation_member_locations
+
+
+def dedup_latest(batch_df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """ST5/ST8: keep only the newest row per key within a batch (the
+    osmosis --simplify-change analog)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    base_df: DataFrame,
+    batch_df: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO emulation (J9): delete-then-insert per key.
+    Rows of ``batch_df`` replace base rows with the same key; rows
+    flagged by ``delete_col`` are removed entirely. Idempotent: applying
+    the same batch twice yields the identical table."""
+    kept = base_df.join(batch_df.select(*keys).distinct(), keys, "left_anti")
+    inserts = batch_df
+    if delete_col is not None:
+        inserts = inserts.filter(~F.col(delete_col)).drop(delete_col)
+    return kept.unionByName(inserts.select(*base_df.columns))
+
+
+class SnapshotTable:
+    """Versioned parquet table with manifest-committed snapshots."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: Manifest, name: str):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self.name = name
+
+    def current_version(self) -> int | None:
+        units = self.manifest.completed_units(f"table:{self.name}")
+        versions = [int(u[1:]) for u in units if u.startswith("v")]
+        return max(versions) if versions else None
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(f"{self.path}/v={v}")
+
+    def commit(self, df: DataFrame, seqid: int, watermark=None) -> int:
+        v = (self.current_version() or 0) + 1
+        df.write.mode("overwrite").parquet(f"{self.path}/v={v}")
+        n = self.spark.read.parquet(f"{self.path}/v={v}").count()
+        self.manifest.record(f"table:{self.name}", f"v{v}", seqid, watermark, n)
+        return v
+
+
+def apply_change_batches(
+    spark: SparkSession,
+    table: SnapshotTable,
+    changes_df: DataFrame,
+    keys: list[str] = ("id",),
+    seq_col: str = "seqid",
+    ts_col: str = "ts",
+    version_cols: list[str] | None = None,
+) -> dict:
+    """Consume a change stream batch-by-batch with ST1-ST5 semantics.
+
+    Batches with ``seqid <= last applied`` are skipped (at-least-once
+    replay, no-op by idempotence). Returns per-batch apply/skip stats —
+    the A5 counter analog."""
+    keys = list(keys)
+    version_cols = version_cols or ["version", ts_col]
+    last = table.manifest.last_seqid(f"table:{table.name}") or -1
+    seqids = [
+        r[0]
+        for r in changes_df.select(seq_col).distinct().orderBy(seq_col).collect()
+    ]
+    stats = {"applied": [], "skipped": []}
+    for seq in seqids:
+        if seq <= last:
+            stats["skipped"].append(seq)
+            continue
+        batch = changes_df.filter(F.col(seq_col) == seq)
+        batch = dedup_latest(batch, keys, version_cols)
+        upserts = batch.withColumn("__del", F.col("op") == "delete")
+        base = table.read()
+        if base is None:
+            base = upserts.filter(~F.col("__del")).drop("__del", seq_col, "op")
+            merged = base
+        else:
+            merged = merge_upsert(
+                base,
+                upserts.drop(seq_col, "op"),
+                keys,
+                delete_col="__del",
+            )
+        wm = batch.agg(F.max(ts_col)).collect()[0][0]
+        table.commit(merged, seq, wm)
+        last = seq
+        stats["applied"].append(seq)
+    return stats
+
+
+def relation_centroids_fixpoint(
+    nodes_df: DataFrame,
+    way_locs_df: DataFrame,
+    relations_df: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """ST7: derived-view fixpoint. A relation's location is the centroid
+    (arithmetic mean — MultiPoint centroid, updateRelLoc.py:129-130) of
+    its members' locations; relations referencing unresolved relations
+    wait for a later pass. Iterate while progress is made (the
+    reference's shrinking-skipped-list loop, updateRelLoc.py:76-87);
+    cycles never resolve and are left out — termination by no-progress,
+    exactly as the reference.
+
+    Returns (rel_id, lon, lat, n_members, iteration)."""
+    spark = nodes_df.sparkSession
+    resolved = spark.createDataFrame(
+        [], "rel_id long, lon double, lat double, n_members long, iteration int"
+    )
+    node_locs = nodes_df.select("id", "lon", "lat").filter(
+        F.col("lon").isNotNull() & ~F.isnan("lon") & F.col("lat").isNotNull() & ~F.isnan("lat")
+    )
+    n_prev = 0
+    for it in range(1, max_iters + 1):
+        member_locs = relation_member_locations(
+            relations_df,
+            node_locs,
+            way_locs_df.filter(~F.col("loc_error")),
+            rel_locs=resolved.select("rel_id", "lon", "lat"),
+        )
+        # a relation resolves when EVERY member has a location
+        agg = member_locs.groupBy("rel_id").agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("lon").isNull(), 1).otherwise(0)).alias("n_missing"),
+            F.avg("lon").alias("lon"),
+            F.avg("lat").alias("lat"),
+        )
+        new_resolved = (
+            agg.filter(F.col("n_missing") == 0)
+            .select("rel_id", "lon", "lat", "n_members")
+            .withColumn("iteration", F.lit(it))
+        )
+        n_now = new_resolved.count()
+        if n_now == n_prev:
+            return new_resolved.localCheckpoint(eager=True)
+        n_prev = n_now
+        resolved = new_resolved.localCheckpoint(eager=True)
+    return resolved

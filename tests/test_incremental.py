@@ -1,0 +1,154 @@
+"""Incremental ingestion semantics (ST1-ST8): idempotent replay,
+in-batch dedup, manifest resume, relation-centroid fixpoint."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sophox_spark.manifest import Manifest
+from sophox_spark.operators import osm_geometry
+from sophox_spark.sources import synth
+from sophox_spark.streaming import incremental
+
+from tests.test_osm_pipeline import NODES_SCHEMA, RELS_SCHEMA, WAYS_SCHEMA
+
+CHANGES_SCHEMA = (
+    "seqid long, op string, id long, version int, user string, ts timestamp, "
+    "lon double, lat double, tags map<string,string>"
+)
+
+
+@pytest.fixture()
+def changes(spark):
+    nodes_pdf = synth.osm_nodes_pdf(100)
+    return spark.createDataFrame(synth.changes_pdf(nodes_pdf, 5), CHANGES_SCHEMA).cache()
+
+
+def oracle_state(changes_pdf):
+    """Sequential replay oracle: last write (by seqid, version, ts) wins;
+    deletes remove."""
+    state = {}
+    for _, r in changes_pdf.sort_values(["seqid", "version", "ts"]).iterrows():
+        if r["op"] == "delete":
+            state.pop(r["id"], None)
+        else:
+            state[r["id"]] = (r["version"], r["tags"]["name"])
+    return state
+
+
+class TestApplyChanges:
+    def test_matches_sequential_oracle(self, spark, changes, tmp_path):
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        table = incremental.SnapshotTable(spark, str(tmp_path / "tbl"), man, "nodes")
+        stats = incremental.apply_change_batches(spark, table, changes)
+        assert stats["applied"] == [1000, 1001, 1002, 1003, 1004]
+        got = {
+            r.id: (r.version, r.tags["name"]) for r in table.read().collect()
+        }
+        want = oracle_state(changes.toPandas())
+        assert got == want
+
+    def test_in_batch_dup_latest_wins(self, spark, changes, tmp_path):
+        # synth adds a same-seqid duplicate with higher version and
+        # name 'dup-win-{b}' — that row must win within its batch
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        table = incremental.SnapshotTable(spark, str(tmp_path / "tbl"), man, "nodes")
+        incremental.apply_change_batches(spark, table, changes.filter("seqid = 1000"))
+        pdf = changes.filter("seqid = 1000").toPandas()
+        dup_id = pdf[pdf["tags"].map(lambda t: t["name"].startswith("dup-win"))]["id"].iloc[0]
+        row = table.read().filter(F.col("id") == int(dup_id)).collect()
+        if row:  # unless the dup row op was superseded by a delete
+            assert row[0].tags["name"].startswith("dup-win")
+
+    def test_replay_is_noop(self, spark, changes, tmp_path):
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        table = incremental.SnapshotTable(spark, str(tmp_path / "tbl"), man, "nodes")
+        incremental.apply_change_batches(spark, table, changes)
+        before = sorted(map(tuple, table.read().drop("tags").collect()))
+        v_before = table.current_version()
+        # the change stream itself contains a replayed seqid 1001 —
+        # re-apply everything: all batches must skip
+        stats = incremental.apply_change_batches(spark, table, changes)
+        assert stats["applied"] == []
+        assert stats["skipped"] == [1000, 1001, 1002, 1003, 1004]
+        assert table.current_version() == v_before
+        after = sorted(map(tuple, table.read().drop("tags").collect()))
+        assert before == after
+
+    def test_resume_mid_stream(self, spark, changes, tmp_path):
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        table = incremental.SnapshotTable(spark, str(tmp_path / "tbl"), man, "nodes")
+        incremental.apply_change_batches(spark, table, changes.filter("seqid <= 1002"))
+        # "restart": new objects, same manifest path → resumes after 1002
+        man2 = Manifest(spark, str(tmp_path / "manifest"))
+        table2 = incremental.SnapshotTable(spark, str(tmp_path / "tbl"), man2, "nodes")
+        assert man2.last_seqid("table:nodes") == 1002
+        stats = incremental.apply_change_batches(spark, table2, changes)
+        assert stats["applied"] == [1003, 1004]
+        got = {r.id: (r.version, r.tags["name"]) for r in table2.read().collect()}
+        assert got == oracle_state(changes.toPandas())
+
+    def test_manifest_metrics(self, spark, changes, tmp_path):
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        table = incremental.SnapshotTable(spark, str(tmp_path / "tbl"), man, "nodes")
+        incremental.apply_change_batches(spark, table, changes)
+        m = man.metrics("table:nodes").toPandas()
+        assert len(m) == 5  # one lineage row per committed version
+        assert (m["rows"] > 0).all()
+
+
+class TestFixpoint:
+    def test_chain_and_cycle(self, spark):
+        nodes_pdf = synth.osm_nodes_pdf(300)
+        ways_pdf = synth.osm_ways_pdf(nodes_pdf, 80)
+        rels_pdf = synth.osm_relations_pdf(nodes_pdf, ways_pdf, 30)
+        nodes = spark.createDataFrame(nodes_pdf, NODES_SCHEMA)
+        ways = spark.createDataFrame(ways_pdf, WAYS_SCHEMA)
+        rels = spark.createDataFrame(rels_pdf, RELS_SCHEMA)
+        way_locs = osm_geometry.way_locations(nodes, ways)
+        out = incremental.relation_centroids_fixpoint(nodes, way_locs, rels)
+        got = {r.rel_id: (r.lon, r.lat) for r in out.collect()}
+        # rel 21 ↔ 22 cycle (members reference each other) never resolves
+        assert 21 not in got and 22 not in got
+        # oracle: iterative resolution in plain python
+        node_loc = nodes_pdf.set_index("id")[["lon", "lat"]]
+        wl = {r.way_id: (r.rep_lon, r.rep_lat)
+              for r in way_locs.filter("NOT loc_error").collect()}
+        resolved = {}
+        for _ in range(30):
+            progress = False
+            for _, r in rels_pdf.iterrows():
+                if r["id"] in resolved:
+                    continue
+                pts = []
+                ok = True
+                for m in r["members"]:
+                    if m["type"] == "n" and m["ref"] in node_loc.index:
+                        lon, lat = node_loc.loc[m["ref"]]
+                        if pd.isna(lon) or pd.isna(lat):
+                            ok = False
+                            break
+                        pts.append((lon, lat))
+                    elif m["type"] == "w" and m["ref"] in wl:
+                        pts.append(wl[m["ref"]])
+                    elif m["type"] == "r" and m["ref"] in resolved:
+                        pts.append(resolved[m["ref"]])
+                    else:
+                        ok = False
+                        break
+                if ok and pts:
+                    resolved[r["id"]] = (
+                        sum(p[0] for p in pts) / len(pts),
+                        sum(p[1] for p in pts) / len(pts),
+                    )
+                    progress = True
+            if not progress:
+                break
+        assert set(got) == set(resolved)
+        for rid, (lon, lat) in resolved.items():
+            assert got[rid][0] == pytest.approx(lon)
+            assert got[rid][1] == pytest.approx(lat)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
