@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
@@ -558,7 +559,7 @@ def _q_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    return similarity.ann_topk(emb, k=3, dim=64, n_planes=10).select(
+    return similarity.ann_topk(emb, k=3, dim=64).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -636,6 +637,96 @@ def _q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().drop("tags")
 
 
+
+# S4/P8/A3: pageview-line parsing — lines derived portably from documents
+PAGEVIEW_LINES_BODY = """
+SELECT concat(lang, ' Page_', CAST(doc_id % 40 AS STRING), ' ', CAST(n_chars % 97 AS STRING)) AS value
+FROM documents
+"""
+
+
+def _pageview_sql(dialect: str) -> str:
+    lines = PAGEVIEW_LINES_BODY if dialect == "spark" else PAGEVIEW_LINES_BODY.replace(
+        "AS STRING", "AS VARCHAR"
+    )
+    match = (
+        "project RLIKE '^[-a-z]+$'" if dialect == "spark"
+        else "regexp_matches(project, '^[-a-z]+$')"
+    )
+    return f"""
+WITH lines AS ({lines}),
+parsed AS (
+  SELECT split_part(value, ' ', 1) AS project,
+         split_part(value, ' ', 2) AS title,
+         CAST(split_part(value, ' ', 3) AS BIGINT) AS views
+  FROM lines
+)
+SELECT project, title, CAST(SUM(views) AS BIGINT) AS views
+FROM parsed WHERE {match}
+GROUP BY project, title
+"""
+
+
+def _q_pageview_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.sources import pageviews
+
+    _load(spark, sf_dir, "documents")
+    lines = spark.sql(PAGEVIEW_LINES_BODY)
+    return pageviews.aggregate_pageviews(pageviews.parse_pageview_lines(lines))
+
+
+
+def _geo_pip_subtract_sql(dialect: str) -> str:
+    """SO1 oracle: point in region rect AND NOT in any water rect
+    (water = every 9th grid rect, deterministically)."""
+    rects = RECTS_SPARK if dialect == "spark" else RECTS_DUCK
+    return f"""
+WITH pts AS ({PTS_SQL}), rects AS ({rects}),
+regions AS (SELECT * FROM rects WHERE polygon_id % 9 <> 0),
+water AS (SELECT * FROM rects WHERE polygon_id % 9 = 0),
+hits AS (
+  SELECT p.pt_id, r.polygon_id, p.lon, p.lat
+  FROM pts p JOIN regions r
+    ON p.lon >= r.x0 AND p.lon < r.x1 AND p.lat >= r.y0 AND p.lat < r.y1
+)
+SELECT h.pt_id, h.polygon_id FROM hits h
+WHERE NOT EXISTS (
+  SELECT 1 FROM water w
+  WHERE h.lon >= w.x0 AND h.lon < w.x1 AND h.lat >= w.y0 AND h.lat < w.y1
+)
+"""
+
+
+def _q_pip_water_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine path for SO1 over real (non-rect) polygons: rows-only."""
+    from sophox_spark.operators import dissolve
+    from sophox_spark.sources import synth
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+    polys = synth.admin_polygons_df(spark, 60)
+    regions = polys.filter("kind = 'admin'")
+    water = polys.filter("kind = 'water'")
+    return dissolve.point_in_region_minus_water(pts, regions, water)
+
+
+def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary S2 index (rows-only; no SQL oracle exists for the
+    Hilbert-curve encoding — invariants are pytest-pinned)."""
+    from pyspark.sql import functions as F2
+
+    from sophox_spark.cells import s2
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+
+    @F2.pandas_udf("long")
+    def s2_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(s2.encode(lon.to_numpy(), lat.to_numpy(), 16))
+
+    return pts.select("pt_id", s2_cell("lon", "lat").alias("s2_cell_l16"))
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import multimodal
 
@@ -690,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_version": _sql_query(LATEST_SQL, ("events",)),
         "q_merge_upsert": _sql_query(MERGE_SQL, ("orders",)),
         "q_increment_merge": _sql_query(INCREMENT_SQL, ("events",)),
+        "q_pageview_agg": _q_pageview_agg,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -702,12 +794,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_cosine_topk": _q_embedding_cosine,
         # geo with SQL oracle
         "q_geo_pip_rects": _sql_query(_geo_pip_sql("spark"), ("events",)),
+        "q_geo_pip_subtract": _sql_query(_geo_pip_subtract_sql("spark"), ("events",)),
         "q_geo_centroids": _sql_query(_geo_centroid_sql("spark"), ("events",)),
         "q_geo_knn": _q_geo_knn_engine,
         "q_geo_tiles": _q_geo_tiles_engine,
         "q_geo_cells": _q_geo_cells_engine,
         # rows-only engine showcases
         "q_pip_engine": _q_pip_engine,
+        "q_pip_water_engine": _q_pip_water_engine,
+        "q_s2_cells": _q_s2_cells,
         "q_regions_geojson": _q_regions_geojson,
         "q_vector_tiles": _q_vector_tiles,
         "q_ann_embeddings": _q_ann_embeddings,
@@ -736,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "q_latest_version": LATEST_SQL,
         "q_merge_upsert": MERGE_SQL,
         "q_increment_merge": INCREMENT_SQL,
+        "q_pageview_agg": _pageview_sql("duckdb"),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
@@ -745,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "q_text_stats": _textstats_sql("duckdb"),
         "q_embedding_cosine_topk": _cosine_duck(),
         "q_geo_pip_rects": _geo_pip_sql("duckdb"),
+        "q_geo_pip_subtract": _geo_pip_subtract_sql("duckdb"),
         "q_geo_centroids": _geo_centroid_sql("duckdb"),
         "q_geo_knn": _geo_knn_sql(),
         "q_geo_tiles": _geo_tile_sql(),

@@ -90,6 +90,31 @@ def representative_points(polygons_df: DataFrame, id_col="polygon_id", geom_col=
     )
 
 
+def point_in_region_minus_water(
+    points_df: DataFrame,
+    regions_df: DataFrame,
+    water_df: DataFrame,
+    res: int = 13,
+    id_col: str = "polygon_id",
+    **kw,
+) -> DataFrame:
+    """SO1, the water-subtraction case (wd_only_sql.js:23-28): the
+    reference vector-clips each region by the union of intersecting
+    water polygons (``ST_Difference``) before classifying. For point
+    classification the set identity  p ∈ (R − W) ⟺ p ∈ R ∧ p ∉ ⋃W
+    turns the geometric difference into pure join composition — a PIP
+    join against regions and a LEFT-ANTI PIP join against water. No
+    vector clipping, fully distributed, exact."""
+    from .spatial_join import point_in_polygon_join
+
+    in_region = point_in_polygon_join(points_df, regions_df, res=res, id_col=id_col, **kw)
+    in_water = point_in_polygon_join(
+        points_df, water_df.withColumnRenamed(id_col, "__water_id"),
+        res=res, id_col="__water_id", **kw,
+    ).select(*points_df.columns).distinct()
+    return in_region.join(in_water, on=list(points_df.columns), how="left_anti")
+
+
 def regions_geojson(
     polygons_df: DataFrame,
     ids_df: DataFrame,

@@ -1,0 +1,177 @@
+"""Training-data-pipeline operator tests: dedup family (with planted
+near-duplicates), similarity search (ANN recall vs exact), multimodal
+plumbing, resumable cell-partitioned join."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sophox_spark.manifest import Manifest
+from sophox_spark.operators import dedup, multimodal, resumable, similarity, spatial_join
+from sophox_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic docs with planted exact dups and near-dups."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(120):
+        words = list(rng.choice(vocab, 60))
+        rows.append((i, " ".join(words)))
+    # exact dups: 200/201 copy doc 0; 202 copies doc 1
+    rows.append((200, rows[0][1]))
+    rows.append((201, rows[0][1]))
+    rows.append((202, rows[1][1]))
+    # near dups: doc 300 = doc 2 with two words changed
+    w = rows[2][1].split()
+    w[5], w[25] = "zzz1", "zzz2"
+    rows.append((300, " ".join(w)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+    ).cache()
+
+
+class TestDedup:
+    def test_exact_groups(self, spark, docs):
+        out = dedup.exact_dedup(docs).filter("n_docs > 1").toPandas()
+        groups = {tuple(sorted(r.doc_ids)) for r in out.itertuples()}
+        assert (0, 200, 201) in groups
+        assert (1, 202) in groups
+        assert all(g in [(0, 200, 201), (1, 202)] for g in groups)
+
+    def test_minhash_lsh_finds_near_dup(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4).toPandas()
+        got = {(r.a, r.b) for r in pairs.itertuples()}
+        # exact dups always collide on every band; the near-dup pair
+        # (2, 300) shares 58/62 shingles -> ~0.87 jaccard; with 4 bands
+        # of 2 hashes collision prob ~1-(1-0.87^2)^4 ~ 0.97
+        assert (0, 200) in got and (0, 201) in got and (200, 201) in got
+        assert (1, 202) in got
+        assert (2, 300) in got
+
+    def test_jaccard_verification(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4).select("a", "b").distinct()
+        verified = dedup.jaccard_pairs(docs, pairs).toPandas().set_index(["a", "b"])
+        assert verified.loc[(0, 200), "jaccard"] == 1.0
+        near = verified.loc[(2, 300), "jaccard"]
+        assert 0.7 < near < 1.0
+        # oracle for the near pair
+        ta = set(docs.filter("doc_id = 2").collect()[0].text.split())
+        tb = set(docs.filter("doc_id = 300").collect()[0].text.split())
+        want = len(ta & tb) / len(ta | tb)
+        assert near == pytest.approx(round(want, 6))
+
+    def test_simhash_near_dup_close(self, spark, docs):
+        out = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
+        assert out[0] == out[200] == out[201]
+        ham = bin(out[2] ^ out[300]).count("1")
+        assert ham <= 4  # near-dup: few bit flips
+        # unrelated docs: larger distances on average
+        dists = [bin(out[2] ^ out[i]).count("1") for i in range(40, 80)]
+        assert np.mean(dists) > ham
+
+    def test_char_ngrams(self, spark, docs):
+        grams = dedup.char_ngrams_df(docs.limit(3), n=3).toPandas()
+        assert (grams["gram"].str.len() == 3).all()
+        txt = docs.limit(1).collect()[0].text.lower()
+        want = {txt[i : i + 3] for i in range(len(txt) - 2)}
+        got = set(grams[grams["doc_id"] == 0]["gram"])
+        assert got == want
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_oracle(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        out = similarity.cosine_topk(emb.filter("vec_id < 5"), emb, k=3).toPandas()
+        pdf = emb.toPandas()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        for q in range(5):
+            qi = np.where(ids == q)[0][0]
+            cos = (mat @ mat[qi]) / (norms * norms[qi])
+            cos[qi] = -np.inf
+            order = np.lexsort((ids, -cos))[:3]
+            want = ids[order].tolist()
+            got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+            assert got == want
+
+    def test_ann_recall(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        exact = similarity.cosine_topk(emb, emb, k=3).toPandas()
+        approx = similarity.ann_topk(emb, k=3, dim=64).toPandas()
+        e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+        recall = len(e & a) / len(e)
+        # random (clusterless) embeddings are LSH's worst case; the
+        # multi-table union still recovers most true neighbors
+        assert recall > 0.5
+        # and the candidate set stays sub-quadratic: per-table buckets
+        # are small
+        sig = emb.withColumn(
+            "b", similarity.hyperplane_signature_col("embedding", 64, 5)
+        )
+        sizes = sig.groupBy("b").count().toPandas()["count"]
+        assert sizes.max() < 100
+
+
+class TestMultimodal:
+    def test_decode_meta(self, spark):
+        media = multimodal.synth_media_df(spark, 30)
+        out = multimodal.decode_media_meta(media).toPandas().set_index("media_id")
+        assert set(out["kind"]) == {"image", "audio"}
+        img = out[out["kind"] == "image"]
+        assert (img["width"] * img["height"] * img["channels"] + 13 == img["byte_len"]).all()
+        aud = out[out["kind"] == "audio"]
+        assert (aud["n_samples"] * 2 + 12 == aud["byte_len"]).all()
+        assert out["mean_value"].notna().all()
+
+    def test_resize_roundtrip(self, spark):
+        media = multimodal.synth_media_df(spark, 12)
+        resized = multimodal.resize_images(media, 16, 16)
+        meta = multimodal.decode_media_meta(resized).toPandas()
+        assert (meta["width"] == 16).all() and (meta["height"] == 16).all()
+
+    def test_real_codec_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode_image(b"IMG1xxxx")
+
+
+class TestResumable:
+    def test_mid_job_resume_skips_completed(self, spark, tmp_path):
+        lon, lat = synth.random_points(2000, salt=9)
+        pts = spark.createDataFrame(
+            pd.DataFrame({"pt_id": np.arange(2000, dtype=np.int64), "lon": lon, "lat": lat}),
+            "pt_id long, lon double, lat double",
+        )
+        polygons = synth.admin_polygons_df(spark, 40)
+        out_dir = str(tmp_path / "out")
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        with pytest.raises(RuntimeError, match="injected crash"):
+            resumable.resumable_pip_join(
+                spark, pts, polygons, out_dir, man, fail_after_units=5
+            )
+        done_before = man.completed_units("pip")
+        assert len(done_before) == 5
+        mtimes = {
+            p: os.path.getmtime(p) for p in glob.glob(out_dir + "/bucket=*/_SUCCESS")
+        }
+        # resume: completes the rest without touching finished units
+        result = resumable.resumable_pip_join(spark, pts, polygons, out_dir, man)
+        for p, t in mtimes.items():
+            assert os.path.getmtime(p) == t, f"completed unit rewritten: {p}"
+        # equals the single-shot join row-for-row
+        direct = spatial_join.point_in_polygon_join(pts, polygons)
+        got = {(r.pt_id, r.polygon_id) for r in result.collect()}
+        want = {(r.pt_id, r.polygon_id) for r in direct.collect()}
+        assert got == want
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

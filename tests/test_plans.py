@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the optimizations we rely on actually
+happen (SURVEY §4) — pushdown, pruning, broadcast strategy, JVM-only
+hot paths, partial aggregation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sophox_spark.operators import knn, spatial_join
+from sophox_spark.plans import explain
+from sophox_spark.sources import synth
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    lon, lat = synth.random_points(500, salt=3)
+    pdf = pd.DataFrame({"pt_id": np.arange(500, dtype=np.int64), "lon": lon, "lat": lat})
+    return spark.createDataFrame(pdf, "pt_id long, lon double, lat double")
+
+
+class TestScanOptimizations:
+    def test_filter_pushdown_to_parquet(self, spark):
+        df = (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .filter(F.col("l_quantity") > 49)
+            .select("l_orderkey")
+        )
+        pushed = explain.pushed_filters(df)
+        assert pushed and "l_quantity" in pushed[0]
+
+    def test_column_pruning(self, spark):
+        df = (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        cols = explain.read_schema_columns(df)
+        assert set(cols) == {"l_returnflag", "l_quantity"}
+
+    def test_partial_aggregation(self, spark):
+        df = (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = explain.formatted_plan(df)
+        # two-phase agg: partial + final HashAggregate
+        assert plan.count("HashAggregate") >= 2
+
+
+class TestSpatialJoinPlan:
+    def test_dim_broadcast_no_smj(self, spark, points):
+        polygons = synth.admin_polygons_df(spark, 40)
+        out = spatial_join.point_in_polygon_join(points, polygons)
+        assert explain.has_broadcast_join(out)
+        assert not explain.has_sort_merge_join(out)
+
+    def test_fact_side_not_shuffled_when_broadcast(self, spark, points):
+        polygons = synth.admin_polygons_df(spark, 40)
+        pcells = spatial_join.build_polygon_cells(polygons, 13).localCheckpoint()
+        out = spatial_join.point_in_polygon_join(
+            points, polygons, polygon_cells_df=pcells
+        )
+        # broadcast join: zero non-broadcast exchanges on the whole plan
+        assert explain.count_exchanges(out) == 0
+
+    def test_python_only_on_refine_branch(self, spark, points):
+        polygons = synth.admin_polygons_df(spark, 40)
+        pcells = spatial_join.build_polygon_cells(polygons, 13).localCheckpoint()
+        out = spatial_join.point_in_polygon_join(
+            points, polygons, polygon_cells_df=pcells
+        )
+        # exactly ONE python crossing: the ray-cast refinement
+        # (cell encode + accept path are native expressions)
+        assert explain.python_eval_nodes(out) == 1
+
+    def test_shuffle_path_when_not_broadcast(self, spark, points):
+        polygons = synth.admin_polygons_df(spark, 40)
+        out = spatial_join.point_in_polygon_join(points, polygons, broadcast_dim=False)
+        assert explain.count_exchanges(out) >= 1
+
+
+class TestKnnPlan:
+    def test_candidate_path_native(self, spark, points):
+        pois = synth.pois_df(spark, 200)
+        out = knn.knn_join(points, pois, k=2, point_key="pt_id")
+        # the kNN plan must ship NO rows to python (native cell +
+        # k-ring + haversine); unioned escalation levels stay JVM-side
+        assert explain.python_eval_nodes(out) == 0
+        assert explain.has_broadcast_join(out)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
