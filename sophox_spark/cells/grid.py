@@ -150,7 +150,12 @@ def k_ring(cell, k: int) -> tuple[np.ndarray, np.ndarray]:
     nx = (x[src] + dx) % n  # lon wrap
     ny = y[src] + dy
     ok = (ny >= 0) & (ny < n)  # lat clamp
-    return src[ok], from_xy(nx[ok], ny[ok], r)
+    src, cells = src[ok], from_xy(nx[ok], ny[ok], r)
+    if side >= n:  # wrap revisits cells at coarse res — dedup per source
+        pair = np.stack([src, cells], axis=1)
+        pair = np.unique(pair, axis=0)
+        src, cells = pair[:, 0], pair[:, 1]
+    return src, cells
 
 
 def cover_bbox(lon0, lat0, lon1, lat1, res: int, max_cells: int = 4_194_304):

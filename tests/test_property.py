@@ -1,0 +1,114 @@
+"""Property-based hardening (hypothesis): cell indexes and PIP kernels
+under adversarial coordinates — poles, antimeridian, degenerate
+polygons, tiny cells."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sophox_spark.cells import grid, s2
+from sophox_spark.geometry import wkb
+from sophox_spark.geometry.pip import PreparedPolygons, point_in_rings
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+res_s = st.integers(min_value=0, max_value=grid.MAX_RES)
+
+
+class TestGridProperties:
+    @given(lons, lats, res_s)
+    @settings(max_examples=300, deadline=None)
+    def test_encode_contains_point(self, lon, lat, res):
+        c = grid.encode([lon], [lat], res)
+        assert c[0] >= 0
+        lon0, lat0, lon1, lat1 = grid.cell_bounds(c)
+        # ±1e-9: (lon+180) absorbs sub-ulp values at the 180 boundary —
+        # deterministic and identical in numpy / Spark / DuckDB, so the
+        # engine-wide guarantee is determinism, not strict containment
+        # at ulp distances from cell edges
+        assert lon0[0] - 1e-9 <= lon <= lon1[0] + 1e-9
+        assert lat0[0] - 1e-9 <= lat <= lat1[0] + 1e-9
+
+    @given(lons, lats, st.integers(2, grid.MAX_RES), st.integers(0, 10))
+    @settings(max_examples=200, deadline=None)
+    def test_parent_consistency(self, lon, lat, res, up):
+        pres = max(res - up, 0)
+        c = grid.encode([lon], [lat], res)
+        assert grid.parent(c, pres)[0] == grid.encode([lon], [lat], pres)[0]
+
+    @given(lons, lats, st.integers(2, 20), st.integers(1, 3))
+    @settings(max_examples=100, deadline=None)
+    def test_kring_contains_self_and_unique(self, lon, lat, res, k):
+        c = grid.encode([lon], [lat], res)
+        src, ring = grid.k_ring(c, k)
+        ring_list = ring.tolist()
+        assert int(c[0]) in ring_list
+        assert len(ring_list) == len(set(ring_list))  # no duplicate cells
+        assert len(ring_list) <= (2 * k + 1) ** 2
+
+
+class TestS2Properties:
+    # |lat| < 89.9999999: within ~10 cm of the poles (z = sin(lat) rounds to exactly 1.0 in float64) the decoded leaf
+    # center saturates to exactly ±90° in float and re-encodes into the
+    # adjacent corner leaf — a one-leaf artifact, not a hierarchy bug
+    @given(lons, st.floats(min_value=-89.9999, max_value=89.9999, allow_nan=False))
+    @settings(max_examples=300, deadline=None)
+    def test_leaf_roundtrip(self, lon, lat):
+        c = s2.encode([lon], [lat], 30)
+        assert int(c[0]) != 0
+        assert s2.level_of(c)[0] == 30
+        rl, rt = s2.decode_center(c)
+        c2 = s2.encode(rl, rt, 30)
+        assert c2[0] == c[0]
+
+    @given(lons, lats, st.integers(0, 29))
+    @settings(max_examples=200, deadline=None)
+    def test_parent_prefix(self, lon, lat, level):
+        leaf = s2.encode([lon], [lat], 30)
+        assert s2.parent(leaf, level)[0] == s2.encode([lon], [lat], level)[0]
+
+
+@st.composite
+def star_polygons(draw):
+    cx = draw(st.floats(-170, 170, allow_nan=False))
+    cy = draw(st.floats(-80, 80, allow_nan=False))
+    nv = draw(st.integers(3, 12))
+    rng = np.random.default_rng(draw(st.integers(0, 10_000)))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    # ensure distinct angles (degenerate repeats allowed by sort are ok)
+    r = rng.uniform(0.1, 3.0, nv)
+    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+class TestPipProperties:
+    @given(star_polygons(), st.integers(0, 5_000))
+    @settings(max_examples=100, deadline=None)
+    def test_vectorized_matches_scalar(self, ring, seed):
+        packed = wkb.pack([wkb.polygon_wkb([ring])])
+        prep = PreparedPolygons(packed)
+        rng = np.random.default_rng(seed)
+        bb = packed.bbox[0]
+        px = rng.uniform(bb[0] - 1, bb[2] + 1, 64)
+        py = rng.uniform(bb[1] - 1, bb[3] + 1, 64)
+        got = prep.contains(px, py, np.zeros(64, np.int64))
+        rings = list(packed.rings_of(0))
+        want = np.array([point_in_rings(x, y, rings) for x, y in zip(px, py)])
+        assert np.array_equal(got, want)
+
+    @given(star_polygons())
+    @settings(max_examples=60, deadline=None)
+    def test_cover_superset_random_polygons(self, ring):
+        from sophox_spark.geometry import cover
+
+        packed = wkb.pack([wkb.polygon_wkb([ring])])
+        prep = PreparedPolygons(packed)
+        res = 8
+        poly_idx, cells, full = cover.cover_polygons(packed, res)
+        cellset = set(cells.tolist())
+        rng = np.random.default_rng(1)
+        bb = packed.bbox[0]
+        px = rng.uniform(bb[0], bb[2], 200)
+        py = rng.uniform(bb[1], bb[3], 200)
+        inside = prep.contains(px, py, np.zeros(200, np.int64))
+        pc = grid.encode(px[inside], py[inside], res)
+        assert set(pc.tolist()) <= cellset
