@@ -534,7 +534,7 @@ def _q_pip_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "events")
     pts = spark.sql(PTS_SQL)
     polygons = synth.admin_polygons_df(spark, 60)
-    return spatial_join.point_in_polygon_join(pts, polygons, res=13, salt=4)
+    return spatial_join.point_in_polygon_join(pts, polygons, res=(8, 13), salt=4)
 
 
 def _q_regions_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,7 +755,7 @@ def entry(spark: SparkSession) -> DataFrame:
     _load(spark, sf_dir, "events")
     pts = spark.sql(PTS_SQL)
     polygons = synth.admin_polygons_df(spark, 60)
-    joined = spatial_join.point_in_polygon_join(pts, polygons, res=13, salt=4)
+    joined = spatial_join.point_in_polygon_join(pts, polygons, res=(8, 13), salt=4)
     out = tiles.assign_point_tiles(joined, [_TILE_Z])
     return out.select(
         "pt_id", "lon", "lat", "polygon_id",

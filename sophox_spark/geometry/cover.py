@@ -26,6 +26,94 @@ from .pip import PreparedPolygons
 from .wkb import PackedPolygons
 
 
+def _classify_cells(prep: PreparedPolygons, poly_idx, cells):
+    """(touched_by_boundary, interior) flags for candidate cells."""
+    lon0, lat0, lon1, lat1 = grid.cell_bounds(cells)
+    counts = prep.edge_count[poly_idx]
+    total = int(counts.sum())
+    touched = np.zeros(cells.size, dtype=bool)
+    if total:
+        pair = np.repeat(np.arange(cells.size, dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        e = np.repeat(prep.edge_start[poly_idx], counts) + local
+        ex_lo = np.minimum(prep.x1[e], prep.x2[e])
+        ex_hi = np.maximum(prep.x1[e], prep.x2[e])
+        ey_lo = np.minimum(prep.y1[e], prep.y2[e])
+        ey_hi = np.maximum(prep.y1[e], prep.y2[e])
+        hit = (
+            (ex_lo <= lon1[pair]) & (ex_hi >= lon0[pair])
+            & (ey_lo <= lat1[pair]) & (ey_hi >= lat0[pair])
+        )
+        touched = np.bincount(pair[hit], minlength=cells.size) > 0
+    interior = np.zeros(cells.size, dtype=bool)
+    un = ~touched
+    if un.any():
+        ui = np.flatnonzero(un)
+        cx, cy = grid.cell_center(cells[ui])
+        interior[ui] = prep.contains(cx, cy, poly_idx[ui])
+    return touched, interior
+
+
+def cover_polygons_adaptive(
+    packed: PackedPolygons,
+    res_min: int,
+    res_max: int,
+    max_cells_per_poly: int = 262_144,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quadtree covering: start at ``res_min``, emit fully-interior
+    cells as soon as they classify (coarse), split boundary-touched
+    cells into their 4 children, recurse to ``res_max`` where remaining
+    boundary cells are emitted with fully_contained=False.
+
+    Compared to single-res covering at ``res_max``: the dim table
+    shrinks from O(area/fine_cell) to O(perimeter/fine_cell) rows, and
+    interior acceptance happens at the coarsest possible level. Same
+    superset + interior-correctness guarantees.
+
+    Returns (poly_idx, cell, fully_contained).
+    """
+    prep = PreparedPolygons(packed)
+    bb = packed.bbox
+    valid = np.flatnonzero(np.isfinite(bb[:, 0]))
+    if valid.size == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, bool),)
+    src, cells = grid.cover_bbox(
+        bb[valid, 0], bb[valid, 1], bb[valid, 2], bb[valid, 3], res_min,
+        max_cells=max_cells_per_poly * max(valid.size, 1),
+    )
+    poly_idx = valid[src]
+    out_p: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    out_f: list[np.ndarray] = []
+    for res in range(res_min, res_max + 1):
+        touched, interior = _classify_cells(prep, poly_idx, cells)
+        if interior.any():
+            out_p.append(poly_idx[interior])
+            out_c.append(cells[interior])
+            out_f.append(np.ones(int(interior.sum()), dtype=bool))
+        if res == res_max:
+            if touched.any():
+                out_p.append(poly_idx[touched])
+                out_c.append(cells[touched])
+                out_f.append(np.zeros(int(touched.sum()), dtype=bool))
+            break
+        # split touched cells into children
+        ti = np.flatnonzero(touched)
+        if ti.size == 0:
+            break
+        r_arr, x, y = grid.decode(cells[ti])
+        cx = x << 1
+        cy = y << 1
+        child_x = np.concatenate([cx, cx + 1, cx, cx + 1])
+        child_y = np.concatenate([cy, cy, cy + 1, cy + 1])
+        poly_idx = np.tile(poly_idx[ti], 4)
+        cells = grid.from_xy(child_x, child_y, res + 1)
+    if not out_c:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, bool),)
+    return np.concatenate(out_p), np.concatenate(out_c), np.concatenate(out_f)
+
+
 def cover_polygons(
     packed: PackedPolygons, res: int, max_cells_per_poly: int = 262_144
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -49,8 +49,8 @@ def main() -> None:
     )
     # dim-side prep (cell covering) is a one-off amortized table at
     # scale — persist it outside the clock
-    res = 13
-    pcells = spatial_join.build_polygon_cells(polygons, res).persist()
+    res = (8, 13)
+    pcells = spatial_join.build_polygon_cells_adaptive(polygons, *res).persist()
     pcells.count()
     # steady-state measurement: run the identical full pipeline twice
     # un-clocked to pay one-time costs (C2 JIT tier-up, python worker
