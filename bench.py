@@ -68,6 +68,13 @@ def main() -> None:
         "spatial_join_rows_per_sec": round(joined_rows / pip_sec, 1) if pip_sec else None,
         "cpus": CPUS,
     }
+    # attach the latest N->4N scaling evidence (tools/bench_scaling.py)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling_efficiency"] = s.get("scaling_efficiency")
+        out["steady_state_rows_per_sec_4n"] = s.get("rows_per_sec_big")
     print(json.dumps(out))
 
 

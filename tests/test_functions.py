@@ -168,3 +168,32 @@ class TestExtract:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestExtractionGoldenFile:
+    """Checked-in (url → sha256(text)) fixture pins the extractor's
+    output bytes ACROSS sessions and rounds (input_hint: byte-identical
+    extracted text per url). If the extraction spec or the synthetic
+    page generator changes intentionally, regenerate the fixture —
+    any other diff here is a byte-level regression."""
+
+    def test_hashes_match_golden_file(self):
+        import hashlib
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_text_hashes.json")
+        golden = json.load(open(path))
+        pages = synth.pages_pdf(200)
+        got = {
+            r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
+            for _, r in pages.iterrows()
+        }
+        assert got == golden
+        # and re-extracting from html reproduces the same bytes
+        re_extracted = extract.extract_text_batch(pages["html"])
+        got2 = {
+            u: hashlib.sha256(t.encode()).hexdigest()
+            for u, t in zip(pages["url"], re_extracted)
+        }
+        assert got2 == golden
