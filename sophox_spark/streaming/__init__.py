@@ -1,1 +1,1 @@
-from . import incremental  # noqa: F401
+from . import incremental, stream_jobs, votes  # noqa: F401

@@ -152,3 +152,43 @@ class TestFixpoint:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestVoteStatements:
+    """Vote-preservation semantics (RdfUpdateHandler.py:52: the upsert
+    DELETE excludes osmm:task; vote-server writes the task triples)."""
+
+    def test_votes_survive_reimport(self, spark):
+        from sophox_spark.operators import osm2ttl
+        from sophox_spark.streaming import votes as votes_mod
+
+        nodes_pdf = synth.osm_nodes_pdf(60)
+        nodes = spark.createDataFrame(nodes_pdf, NODES_SCHEMA)
+        base = osm2ttl.node_statements(nodes).select("subject", "ord", "stmt")
+        votes = spark.createDataFrame(
+            pd.DataFrame(
+                {"subject_type": ["n", "n"], "subject_id": [1, 2],
+                 "user": ["alice", "bob"], "direction": ["up", "down"]}
+            ),
+            "subject_type string, subject_id long, user string, direction string",
+        )
+        vrows = votes_mod.vote_statements(votes)
+        with_votes = base.unionByName(vrows)
+        # re-import nodes 1 and 2 (same content): votes must survive,
+        # other statements replaced exactly once
+        reimport = osm2ttl.node_statements(nodes.filter("id <= 2")).select(
+            "subject", "ord", "stmt"
+        )
+        merged = votes_mod.merge_statements(with_votes, reimport)
+        got_votes = merged.filter("stmt LIKE 'osmm:task %'").collect()
+        assert {r.stmt for r in got_votes} == {
+            'osmm:task "alice:up"', 'osmm:task "bob:down"'
+        }
+        # statement multiset identical to original+votes (idempotence)
+        a = sorted((r.subject, r.ord, r.stmt) for r in merged.collect())
+        b = sorted((r.subject, r.ord, r.stmt) for r in with_votes.collect())
+        assert a == b
+        # applying the same batch twice changes nothing
+        again = votes_mod.merge_statements(merged, reimport)
+        c = sorted((r.subject, r.ord, r.stmt) for r in again.collect())
+        assert c == a
