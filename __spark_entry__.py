@@ -727,6 +727,40 @@ def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("pt_id", s2_cell("lon", "lat").alias("s2_cell_l16"))
 
 
+
+_RAST_EXTENT = 256
+
+
+def _rasterize_sql() -> str:
+    glat = "greatest(-85.05112878e0, least(85.05112878e0, lat))"
+    fx = "(lon + 180.0e0) / 360.0e0 * 1024.0e0"
+    fy = (
+        f"(1.0e0 - ln(tan(radians({glat})) + sqrt(tan(radians({glat})) * tan(radians({glat})) + 1.0e0))"
+        f" / 3.141592653589793e0) / 2.0e0 * 1024.0e0"
+    )
+    clamp_t = "greatest(CAST(0 AS BIGINT), least(CAST(1023 AS BIGINT), CAST(floor({v}) AS BIGINT)))"
+    clamp_p = "greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT), CAST(floor({v}) AS BIGINT)))"
+    return f"""
+WITH pts AS ({PTS_SQL}),
+proj AS (SELECT {fx} AS fx, {fy} AS fy FROM pts),
+tiles AS (SELECT fx, fy, {clamp_t.format(v='fx')} AS tile_x, {clamp_t.format(v='fy')} AS tile_y FROM proj),
+pix AS (SELECT tile_x, tile_y,
+               {clamp_p.format(v='(fx - tile_x) * 256')} AS px,
+               {clamp_p.format(v='(fy - tile_y) * 256')} AS py
+        FROM tiles)
+SELECT tile_x, tile_y, px, py, COUNT(*) AS n
+FROM pix GROUP BY tile_x, tile_y, px, py
+"""
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import tiles
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+    return tiles.rasterize_points(pts, z=10, extent=_RAST_EXTENT)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import multimodal
 
@@ -798,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_centroids": _sql_query(_geo_centroid_sql("spark"), ("events",)),
         "q_geo_knn": _q_geo_knn_engine,
         "q_geo_tiles": _q_geo_tiles_engine,
+        "q_rasterize_tiles": _q_rasterize,
         "q_geo_cells": _q_geo_cells_engine,
         # rows-only engine showcases
         "q_pip_engine": _q_pip_engine,
@@ -845,5 +880,6 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_centroids": _geo_centroid_sql("duckdb"),
         "q_geo_knn": _geo_knn_sql(),
         "q_geo_tiles": _geo_tile_sql(),
+        "q_rasterize_tiles": _rasterize_sql(),
         "q_geo_cells": _geo_cell_sql(),
     }

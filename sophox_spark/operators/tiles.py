@@ -151,6 +151,35 @@ def _pack_plane(proj_polys) -> wkb.PackedPolygons:
     )
 
 
+def rasterize_points(
+    df: DataFrame, z: int, extent: int = 256, lon_col="lon", lat_col="lat"
+) -> DataFrame:
+    """Raster side of raster↔vector: bin points into per-tile pixel
+    grids (heatmap tiles) — (tile_x, tile_y, px, py, n). Pure native
+    floor math + one two-phase groupBy; at scale this is the canonical
+    map-tile pre-aggregation (reduces 10^12 points to bounded
+    tiles×extent² cells)."""
+    n = F.lit(float(1 << z))
+    lat = F.greatest(
+        F.lit(-MAX_MERCATOR_LAT), F.least(F.lit(MAX_MERCATOR_LAT), F.col(lat_col))
+    )
+    fx = (F.col(lon_col) + 180.0) / 360.0 * n
+    asinh_tan = F.log(F.tan(F.radians(lat)) + F.sqrt(F.tan(F.radians(lat)) * F.tan(F.radians(lat)) + 1.0))
+    fy = (1.0 - asinh_tan / float(np.pi)) / 2.0 * n
+    clamp = lambda c: F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << z) - 1).cast("long"), c.cast("long")))  # noqa: E731
+    xt, yt = clamp(F.floor(fx)), clamp(F.floor(fy))
+    pclamp = lambda c: F.greatest(F.lit(0).cast("long"), F.least(F.lit(extent - 1).cast("long"), c.cast("long")))  # noqa: E731
+    px = pclamp(F.floor((fx - xt) * extent))
+    py = pclamp(F.floor((fy - yt) * extent))
+    return (
+        df.select(
+            xt.alias("tile_x"), yt.alias("tile_y"), px.alias("px"), py.alias("py")
+        )
+        .groupBy("tile_x", "tile_y", "px", "py")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def vector_tile_features(
     polygons_df: DataFrame, z: int, extent: int = 4096,
     geom_col="geom", id_col="polygon_id",

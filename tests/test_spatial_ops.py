@@ -176,3 +176,36 @@ class TestDissolve:
                 for ring in poly:
                     arr = np.asarray(ring)
                     assert arr.min() >= 0 and arr.max() <= 9999
+
+
+class TestCellExprParity:
+    def test_native_expr_equals_numpy_kernel(self, spark):
+        """cell_expr (JVM codegen) and cell_col (numpy kernel) must be
+        bit-identical — including invalid coords and boundary values."""
+        import pandas as pd
+
+        vals = pd.DataFrame(
+            {
+                "lon": [0.0, -180.0, 180.0, 179.9999999, -2.2e-16, 13.4,
+                        float("nan"), 200.0, -180.0, 45.123456],
+                "lat": [0.0, -90.0, 90.0, 89.9999999, -2.2e-16, 52.5,
+                        0.0, 0.0, 91.0, -33.987654],
+            }
+        )
+        df = spark.createDataFrame(vals, "lon double, lat double")
+        for res in (3, 13, 18, 28):
+            out = df.select(
+                spatial_join.cell_expr("lon", "lat", res).alias("native"),
+                spatial_join.cell_col("lon", "lat", res).alias("numpy"),
+            ).toPandas()
+            assert (out["native"] == out["numpy"]).all(), (res, out)
+        # and against a large random sample
+        lon, lat = synth.random_points(5000, salt=123)
+        big = spark.createDataFrame(
+            pd.DataFrame({"lon": lon, "lat": lat}), "lon double, lat double"
+        )
+        out = big.select(
+            spatial_join.cell_expr("lon", "lat", 15).alias("native"),
+            spatial_join.cell_col("lon", "lat", 15).alias("numpy"),
+        ).toPandas()
+        assert (out["native"] == out["numpy"]).all()
