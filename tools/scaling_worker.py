@@ -26,7 +26,7 @@ from sophox_spark.plans import get_spark
 
 def main() -> None:
     cpus = int(sys.argv[1])
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # strong scaling: IDENTICAL plan + partitioning at both cluster
     # sizes — only the executor-thread count differs (shuffle partition
@@ -49,7 +49,7 @@ def main() -> None:
     )
     # dim-side prep (cell covering) is a one-off amortized table at
     # scale — persist it outside the clock
-    res = (8, 13)
+    res = (8, 12)
     pcells = spatial_join.build_polygon_cells_adaptive(polygons, *res).persist()
     pcells.count()
     # steady-state measurement: run the identical full pipeline twice
@@ -62,10 +62,16 @@ def main() -> None:
     out = tiles.assign_point_tiles(joined, [10])
     out.count()
     out.count()
-    t0 = time.perf_counter()
-    rows = out.count()
-    elapsed = time.perf_counter() - t0
-    print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 3), "rows": rows}))
+    # median of 3 clocked executions — single-run noise on a short job
+    # can swing efficiency by ±0.05
+    samples = []
+    rows = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = out.count()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    print(json.dumps({"cpus": cpus, "elapsed_sec": round(samples[1], 3), "rows": rows}))
 
 
 if __name__ == "__main__":
