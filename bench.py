@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q_geo_tiles",
     "q_pip_engine",
     "q_regions_geojson",
+    "q_rasterize_tiles",
+    "q_page_mentions",
 ]
 
 
