@@ -9,8 +9,9 @@ our goldens assert the same grammar):
     ``osmt:{key}`` statements; invalid keys demote to ``osmm:badkey``
     (value = the raw key).
   * ``wikidata`` (and ``*:wikidata``) values: ``^Q[1-9][0-9]{0,18}$`` →
-    a ``wd:`` IRI; ``Q1;Q2;…`` (``;``- or ``; ``-separated) → list of
-    IRIs when every part matches; anything else stays a plain string.
+    a ``wd:`` IRI; ``Q1;Q2;…`` (``;``-separated, no whitespace —
+    reWikidataMultiValue) → list of IRIs when every part matches;
+    anything else stays a plain string.
   * ``wikipedia`` (and ``*:wikipedia``) values: ``lang:Title`` →
     ``https://{lang}.wikipedia.org/wiki/{quoted}`` with spaces→``_`` and
     percent-encoding using the custom safe set ``;@$!*(),/~:#-_.`` (the
@@ -45,13 +46,14 @@ def valid_keys(keys: pd.Series) -> pd.Series:
 
 def wikidata_iris(values: pd.Series) -> pd.Series:
     """Value → list[str] of ``wd:`` IRIs, or None when not a clean Q-id
-    (or Q-id list). Mirrors osmutils.py:49-53: multi-values are split on
-    ``;``, each part stripped, all parts must match."""
+    (or Q-id list). Mirrors osmutils.py:49-53 exactly: multi-values are
+    split on ``;`` with NO whitespace tolerance (reWikidataMultiValue
+    rejects ``Q1; Q2``), same grammar as ttl.tag_statement."""
 
     def conv(v):
         if v is None:
             return None
-        parts = [p.strip() for p in str(v).split(";")]
+        parts = str(v).split(";")
         if all(WIKIDATA_RE.match(p) for p in parts) and parts:
             return ["wd:" + p for p in parts]
         return None

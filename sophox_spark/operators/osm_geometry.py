@@ -13,7 +13,8 @@ key, no side files, hazard impossible by construction (SURVEY §2.3 J1).
 Everything except nothing is native exprs: ordered reassembly uses
 ``array_sort`` on (pos, lon, lat) structs; representative point =
 middle vertex (linestring interior point, geometry/core.py contract);
-isClosed = first==last; missing node refs → loc_error=true rows, never
+isClosed = first REF == last REF (osmium obj.is_closed(),
+RdfHandler.py:76); missing node refs → loc_error=true rows, never
 dropped (osmutils.py:68-73 semantics).
 """
 
@@ -31,10 +32,26 @@ def way_locations(nodes_df: DataFrame, ways_df: DataFrame) -> DataFrame:
     invalid node coord), is_closed, rep_lon/rep_lat (middle vertex of
     the resolved linestring), plus the ordered coords array
     (array<struct<lon,lat>>) for downstream serialization.
+
+    ``is_closed`` is computed from the node REFS (first ref == last
+    ref), exactly like osmium ``obj.is_closed()`` in the reference
+    (RdfHandler.py:76) — independent of whether the refs resolve, true
+    for a 2-node loop [a,a], false for distinct end nodes at identical
+    coordinates. Ways with an empty refs array still emit a row
+    (is_closed=false, loc_error=true), matching the reference which
+    emits isClosed/loc statements for every live way.
     """
+    base = ways_df.select(
+        F.col("id").alias("way_id"),
+        F.greatest(F.size("refs"), F.lit(0)).alias("n_refs"),
+        F.coalesce(
+            (F.size("refs") > 0)
+            & (F.try_element_at("refs", F.lit(1)) == F.try_element_at("refs", F.lit(-1))),
+            F.lit(False),
+        ).alias("is_closed"),
+    )
     refs = ways_df.select(
         F.col("id").alias("way_id"),
-        F.size("refs").alias("n_refs"),
         F.posexplode("refs").alias("pos", "node_id"),
     )
     nodes = nodes_df.select(
@@ -43,26 +60,33 @@ def way_locations(nodes_df: DataFrame, ways_df: DataFrame) -> DataFrame:
          | F.isnan("lon") | F.isnan("lat")).alias("bad_node"),
     )
     joined = refs.join(nodes, "node_id", "left")
-    assembled = joined.groupBy("way_id", "n_refs").agg(
+    assembled = joined.groupBy("way_id").agg(
         F.count("lon").alias("n_resolved"),
         F.sum(F.when(F.col("node_id").isNull() | F.col("bad_node"), 1).otherwise(0)).alias("n_bad"),
         F.array_sort(
             F.collect_list(F.struct("pos", "lon", "lat"))
         ).alias("ordered"),
     )
-    coords = F.transform(F.col("ordered"), lambda s: F.struct(s.lon.alias("lon"), s.lat.alias("lat")))
+    # left join so zero-ref ways (posexplode emits nothing) keep a row
+    full = base.join(assembled, "way_id", "left")
+    coords = F.coalesce(
+        F.transform(F.col("ordered"), lambda s: F.struct(s.lon.alias("lon"), s.lat.alias("lat"))),
+        F.array().cast("array<struct<lon:double,lat:double>>"),
+    )
     n = F.size(coords)
     # middle vertex, matching geometry.core.linestring_representative_point
     # ((len-1)//2 zero-based → 1-based element_at)
-    mid = F.element_at(coords, ((n - 1) / 2).cast("int") + 1)
-    first = F.element_at(coords, 1)
-    last = F.element_at(coords, -1)
-    return assembled.select(
+    mid = F.try_element_at(coords, ((n - 1) / 2).cast("int") + 1)
+    return full.select(
         "way_id",
         "n_refs",
-        "n_resolved",
-        ((F.col("n_bad") > 0) | (F.col("n_resolved") < F.col("n_refs"))).alias("loc_error"),
-        ((n >= 3) & (first.lon == last.lon) & (first.lat == last.lat)).alias("is_closed"),
+        F.coalesce(F.col("n_resolved"), F.lit(0)).alias("n_resolved"),
+        (
+            (F.col("n_refs") == 0)
+            | (F.coalesce(F.col("n_bad"), F.lit(0)) > 0)
+            | (F.coalesce(F.col("n_resolved"), F.lit(0)) < F.col("n_refs"))
+        ).alias("loc_error"),
+        "is_closed",
         mid.lon.alias("rep_lon"),
         mid.lat.alias("rep_lat"),
         coords.alias("coords"),

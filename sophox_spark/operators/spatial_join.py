@@ -261,11 +261,17 @@ def point_in_polygon_join(
             need = np.flatnonzero(~ok)
             if need.size:
                 sub = pdf.iloc[need]
-                poly_idx = sub[id_col].map(idx_of).to_numpy()
-                ok[need] = prep.contains(
-                    sub[lon_col].to_numpy(), sub[lat_col].to_numpy(),
-                    poly_idx, covers=covers,
-                )
+                mapped = sub[id_col].map(idx_of)
+                # ids in a caller-supplied polygon_cells_df but absent
+                # from polygons_df (stale covering) are non-matches, not
+                # executor crashes
+                known = mapped.notna().to_numpy()
+                if known.any():
+                    subk = sub.iloc[known] if not known.all() else sub
+                    ok[need[known]] = prep.contains(
+                        subk[lon_col].to_numpy(), subk[lat_col].to_numpy(),
+                        mapped.to_numpy()[known].astype(np.int64), covers=covers,
+                    )
             yield pdf.loc[ok, [f.name for f in out_schema.fields]]
 
     return cand.mapInPandas(refine, out_schema)

@@ -236,6 +236,10 @@ def osm_ways_pdf(nodes: pd.DataFrame, n: int = 120) -> pd.DataFrame:
             refs.append(refs[0])  # closed ring
         if i == 7:
             refs[0] = 999_999  # missing node → loc error
+        if i == 11:
+            refs = []  # zero-ref way: still emits isClosed/loc rows
+        if i == 13:
+            refs = [refs[0], refs[0]]  # 2-node loop [a,a]: is_closed by REF
         t = {"name": f"way {i}"}
         if rng.random() < 0.4:
             t["building"] = "yes"  # polygon key

@@ -61,4 +61,10 @@ def merge_statements(
         preserved_cond = c if preserved_cond is None else (preserved_cond | c)
     untouched = base_df.join(subjects, "subject", "left_anti")
     kept_votes = base_df.join(subjects, "subject", "left_semi").filter(preserved_cond)
+    # a batch may itself carry preserved-predicate rows (e.g. a replayed
+    # vote batch): drop base rows identical to a batch row so re-applying
+    # a batch that contains osmm:task rows stays idempotent
+    kept_votes = kept_votes.join(
+        batch_df, on=list(base_df.columns), how="left_anti"
+    )
     return untouched.unionByName(kept_votes).unionByName(batch_df)

@@ -45,9 +45,10 @@ class TestWayLocations:
         node_loc = nodes_pdf.set_index("id")[["lon", "lat"]]
         for _, w in ways_pdf.iterrows():
             g = got.loc[w["id"]]
+            refs = list(w["refs"])
             coords = []
-            err = False
-            for r in w["refs"]:
+            err = len(refs) == 0
+            for r in refs:
                 if r in node_loc.index:
                     lon, lat = node_loc.loc[r]
                     if np.isnan(lon) or np.isnan(lat):
@@ -56,12 +57,14 @@ class TestWayLocations:
                 else:
                     err = True
             assert bool(g["loc_error"]) == err, w["id"]
+            # osmium obj.is_closed(): first node REF == last node REF,
+            # regardless of resolution (RdfHandler.py:76)
+            closed = len(refs) > 0 and refs[0] == refs[-1]
+            assert bool(g["is_closed"]) == closed, w["id"]
             if coords and not err:
                 mid = coords[(len(coords) - 1) // 2]
                 assert g["rep_lon"] == pytest.approx(mid[0])
                 assert g["rep_lat"] == pytest.approx(mid[1])
-                closed = len(coords) >= 3 and coords[0] == coords[-1]
-                assert bool(g["is_closed"]) == closed
 
     def test_polygon_classification(self, spark, osm):
         _, ways_df, _, _, ways_pdf, _ = osm
@@ -108,8 +111,9 @@ def oracle_turtle_blocks(nodes_pdf, ways_pdf, rels_pdf):
         stmts = [
             ttl.tag_statement(k, v) for k, v in r["tags"].items() if k != "created_by"
         ]
-        coords, err = [], False
-        for ref in r["refs"]:
+        refs = list(r["refs"])
+        coords, err = [], len(refs) == 0
+        for ref in refs:
             if ref in node_loc.index:
                 lon, lat = node_loc.loc[ref]
                 if np.isnan(lon) or np.isnan(lat):
@@ -118,11 +122,8 @@ def oracle_turtle_blocks(nodes_pdf, ways_pdf, rels_pdf):
             else:
                 err = True
                 coords.append((np.nan, np.nan))
-        ends_ok = not (
-            np.isnan(coords[0][0]) or np.isnan(coords[0][1])
-            or np.isnan(coords[-1][0]) or np.isnan(coords[-1][1])
-        )
-        closed = len(coords) >= 3 and ends_ok and coords[0] == coords[-1]
+        # osmium obj.is_closed(): first REF == last REF (RdfHandler.py:76)
+        closed = len(refs) > 0 and refs[0] == refs[-1]
         stmts.append(f'osmm:isClosed "{"true" if closed else "false"}"^^xsd:boolean')
         if err:
             stmts.append(ttl.loc_error_statement())
@@ -155,8 +156,7 @@ class TestTurtleConversion:
             r.subject: r.block
             for r in osm2ttl.convert(nodes_df, ways_df, rels_df).collect()
         }
-        # way is_closed semantics differ for error ways: spark path sets
-        # is_closed from resolved coords only; oracle matches that
+        # is_closed is refs-based in both paths (osmium obj.is_closed())
         want = oracle_turtle_blocks(nodes_pdf, ways_pdf, rels_pdf)
         assert set(got) == set(want)
         mismatches = [s for s in want if got[s] != want[s]]
