@@ -546,12 +546,85 @@ def _q_regions_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dissolve.regions_geojson(polygons, ids)
 
 
-def _q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sophox_spark.operators import tiles
-    from sophox_spark.sources import synth
+_VT_Z = 6
+_VT_EXTENT = 4096
 
-    polygons = synth.admin_polygons_df(spark, 30)
-    return tiles.vector_tile_features(polygons, z=7)
+
+def _q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector half of raster↔vector tiling (server.js:198-228 semantics)
+    over axis-aligned rect polygons, so the per-(tile, polygon) quantized
+    ring coordinates have an exact floor/round DuckDB oracle."""
+    import numpy as np
+
+    from sophox_spark.geometry import wkb as wkbmod
+    from sophox_spark.operators import tiles
+
+    @F.pandas_udf("binary")
+    def rect_wkb(x0: pd.Series, x1: pd.Series, y0: pd.Series, y1: pd.Series) -> pd.Series:
+        out = []
+        for a, b, c, d in zip(x0, x1, y0, y1):
+            # pinned ring order, mirrored corner-by-corner in the oracle
+            ring = np.array([[a, c], [b, c], [b, d], [a, d]], dtype=np.float64)
+            out.append(wkbmod.polygon_wkb([ring]))
+        return pd.Series(out)
+
+    rects = spark.sql(RECTS_SPARK)
+    polys = rects.select(
+        F.col("polygon_id").cast("long").alias("polygon_id"),
+        rect_wkb("x0", "x1", "y0", "y1").alias("geom"),
+    )
+    feats = tiles.vector_tile_features(polys, z=_VT_Z, extent=_VT_EXTENT)
+    return feats.select(
+        "tile",
+        "polygon_id",
+        "ring_idx",
+        (F.size("coords_q") / 2).cast("long").alias("n_pts"),
+        F.concat_ws(
+            ",", F.transform("coords_q", lambda v: v.cast("string"))
+        ).alias("coords_csv"),
+    )
+
+
+def _vector_tiles_sql() -> str:
+    """DuckDB oracle for _q_vector_tiles: rect covering = all tiles in
+    the projected bbox floor-range; quantized ring = round((proj −
+    tile)·extent) per pinned corner. No rounding ties exist in this
+    fixture (min distance to a .5 boundary ≈ 0.011, checked offline), so
+    DuckDB round == np.round here."""
+    z, ext = _VT_Z, _VT_EXTENT
+    n = float(1 << z)
+
+    def px(e: str) -> str:
+        return f"(({e}) + 180.0e0) / 360.0e0 * {n}"
+
+    def py(e: str) -> str:
+        t = f"tan(radians({e}))"
+        return f"(1.0e0 - ln({t} + sqrt({t} * {t} + 1.0e0)) / 3.141592653589793e0) / 2.0e0 * {n}"
+
+    corners = [("x0", "y0"), ("x1", "y0"), ("x1", "y1"), ("x0", "y1"), ("x0", "y0")]
+    qparts = []
+    for cx, cy in corners:
+        qparts.append(f"CAST(CAST(round(({px(cx)} - tile_x) * {float(ext)}) AS BIGINT) AS VARCHAR)")
+        qparts.append(f"CAST(CAST(round(({py(cy)} - tile_y) * {float(ext)}) AS BIGINT) AS VARCHAR)")
+    coords_csv = "concat_ws(',', " + ", ".join(qparts) + ")"
+    return f"""
+WITH rects AS ({RECTS_DUCK}),
+cov AS (
+  SELECT r.polygon_id, r.x0, r.x1, r.y0, r.y1,
+         tx.range AS tile_x, ty.range AS tile_y
+  FROM rects r
+  JOIN range({1 << z}) tx
+    ON tx.range BETWEEN CAST(floor({px('r.x0')}) AS BIGINT) AND CAST(floor({px('r.x1')}) AS BIGINT)
+  JOIN range({1 << z}) ty
+    ON ty.range BETWEEN CAST(floor({py('r.y1')}) AS BIGINT) AND CAST(floor({py('r.y0')}) AS BIGINT)
+)
+SELECT CAST({z} AS BIGINT) * {1 << 58} + tile_x * {1 << 29} + tile_y AS tile,
+       CAST(polygon_id AS BIGINT) AS polygon_id,
+       CAST(0 AS INTEGER) AS ring_idx,
+       CAST(5 AS BIGINT) AS n_pts,
+       {coords_csv} AS coords_csv
+FROM cov
+"""
 
 
 def _q_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +709,68 @@ def _q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental.apply_change_batches(spark, table, changes)
     return table.read().drop("tags")
 
+
+
+# S5/J10/SO3: taginfo-style JSON stats — lines derived portably from
+# documents (updateUsageStats.py:80-133 shape: JSON snapshot → key→item
+# resolution join → usage-counter aggregation)
+TAGINFO_LINES_SPARK = """
+SELECT concat('{"key":"', lang, '_k', CAST(doc_id % 7 AS STRING),
+              '","count_all":', CAST(n_chars % 1000 AS STRING),
+              ',"count_nodes":', CAST(doc_id % 13 AS STRING), '}') AS value
+FROM documents
+"""
+
+KEY_ITEMS_SPARK = """
+SELECT DISTINCT concat(lang, '_k', CAST(doc_id % 7 AS STRING)) AS key,
+       substr(md5(concat(lang, '_k', CAST(doc_id % 7 AS STRING))), 1, 8) AS item
+FROM documents WHERE lang <> 'de'
+"""
+
+
+def _taginfo_usage_sql() -> str:
+    """DuckDB oracle: same stats/items derivation without the JSON file
+    roundtrip (the roundtrip itself is pinned by pytest)."""
+    return """
+WITH stats AS (
+  SELECT concat(lang, '_k', CAST(doc_id % 7 AS VARCHAR)) AS key,
+         n_chars % 1000 AS count_all,
+         doc_id % 13 AS count_nodes
+  FROM documents
+),
+items AS (
+  SELECT DISTINCT concat(lang, '_k', CAST(doc_id % 7 AS VARCHAR)) AS key,
+         substr(md5(concat(lang, '_k', CAST(doc_id % 7 AS VARCHAR))), 1, 8) AS item
+  FROM documents WHERE lang <> 'de'
+),
+resolved AS (SELECT s.key, s.count_all, s.count_nodes, i.item
+             FROM stats s JOIN items i ON i.key = s.key)
+SELECT item, COUNT(*) AS n_rows,
+       CAST(SUM(count_all) AS BIGINT) AS total_count,
+       CAST(MAX(count_nodes) AS BIGINT) AS max_nodes
+FROM resolved GROUP BY item
+"""
+
+
+def _q_taginfo_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine path S5→J10→A3: JSON lines written to disk, read back
+    through the declared-schema taginfo source, key→item broadcast join,
+    usage-counter aggregation."""
+    import tempfile
+
+    from sophox_spark.sources import taginfo
+
+    _load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="sophox_taginfo_")
+    spark.sql(TAGINFO_LINES_SPARK).write.mode("overwrite").text(tmp)
+    stats = taginfo.read_taginfo_json(spark, tmp)
+    key_items = spark.sql(KEY_ITEMS_SPARK)
+    resolved = taginfo.resolve_keys(stats, key_items)
+    return resolved.groupBy("item").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("count_all").alias("total_count"),
+        F.max("count_nodes").alias("max_nodes"),
+    )
 
 
 # S4/P8/A3: pageview-line parsing — lines derived portably from documents
@@ -816,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": _sql_query(MERGE_SQL, ("orders",)),
         "q_increment_merge": _sql_query(INCREMENT_SQL, ("events",)),
         "q_pageview_agg": _q_pageview_agg,
+        "q_taginfo_usage": _q_taginfo_usage,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -867,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_upsert": MERGE_SQL,
         "q_increment_merge": INCREMENT_SQL,
         "q_pageview_agg": _pageview_sql("duckdb"),
+        "q_taginfo_usage": _taginfo_usage_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
@@ -882,4 +1019,5 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_tiles": _geo_tile_sql(),
         "q_rasterize_tiles": _rasterize_sql(),
         "q_geo_cells": _geo_cell_sql(),
+        "q_vector_tiles": _vector_tiles_sql(),
     }

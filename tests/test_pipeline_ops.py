@@ -175,3 +175,48 @@ class TestResumable:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestTaginfo:
+    """S5/J10/SO3 (updateUsageStats.py:80-133): JSON snapshot source with
+    declared schema, key→item resolution join, delete-then-insert
+    (snapshot-overwrite) usage-counter refresh."""
+
+    def test_json_roundtrip_and_overwrite(self, spark, tmp_path):
+        import json
+
+        from sophox_spark.sources import taginfo
+        from sophox_spark.streaming.incremental import SnapshotTable
+
+        rows = [
+            {"key": "highway", "count_all": 900, "count_nodes": 100,
+             "count_ways": 700, "count_relations": 100, "values_all": 40,
+             "users_all": 12},
+            {"key": "name", "count_all": 500, "count_nodes": 300},
+            {"key": "unmatched_key", "count_all": 7},
+        ]
+        p = tmp_path / "taginfo.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        stats = taginfo.read_taginfo_json(spark, str(p))
+        assert stats.count() == 3
+        got = {r.key: r for r in stats.collect()}
+        # declared schema: absent fields are null, no inference drift
+        assert got["highway"].count_ways == 700
+        assert got["name"].count_ways is None
+
+        key_items = spark.createDataFrame(
+            pd.DataFrame({"key": ["highway", "name"], "item": ["M1", "M2"]}),
+            "key string, item string",
+        )
+        resolved = taginfo.resolve_keys(stats, key_items)
+        # inner join drops keys without a metadata item (reference VALUES join)
+        assert {r.key for r in resolved.collect()} == {"highway", "name"}
+
+        man = Manifest(spark, str(tmp_path / "man"))
+        table = SnapshotTable(spark, str(tmp_path / "usage"), man, "usage")
+        v1 = taginfo.usage_stats_overwrite(stats, key_items, table)
+        # second refresh fully replaces the first (SO3 delete-then-insert)
+        v2 = taginfo.usage_stats_overwrite(stats.filter("key = 'name'"), key_items, table)
+        assert v2 == v1 + 1
+        final = table.read()
+        assert final.count() == 1 and final.collect()[0].key == "name"
