@@ -14,10 +14,11 @@ Reference analogs:
     dissolve → ForceRHR orient → presimplify/quantile/simplify →
     quantize → GeoJSON feature strings.
 
-Two-phase aggregation + optional salting on the group key handle hot
-ids (north_rule): ``dissolve`` first combines parts *within* each
-partition (applyInPandas after a local repartition), so a hot id ships
-one partial per partition, not every raw row, to the final reducer.
+Two-phase aggregation on the group key handles hot ids (north_rule):
+``dissolve`` first combines parts *within* each partition batch via
+``mapInPandas`` (a real map-side partial — no shuffle), so a hot id
+ships one partial per partition, not every raw row, to the final
+``applyInPandas`` reducer.
 """
 
 from __future__ import annotations
@@ -37,23 +38,40 @@ def dissolve(
     geom_col: str = "geom",
 ) -> DataFrame:
     """group polygons by ``key`` → one multipolygon per key.
-    Output: ``key, geom (multipolygon WKB), n_parts``."""
+    Output: ``key, geom (multipolygon WKB), n_parts``.
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    TWO-PHASE: a map-side ``mapInPandas`` pass first merges all parts of
+    a key *within each partition batch* into one multipolygon partial,
+    so the shuffle ships one row per (partition, key) — a hot wikidata
+    id with 10⁵ raw rows moves ≤ numPartitions partials, never the raw
+    rows, to its final reducer (the Spark analog of partial aggregation
+    for an ST_Union-shaped agg)."""
+    schema = f"{key} string, {geom_col} binary, n_parts long"
+
+    def _merge_blobs(blobs) -> tuple[bytes | None, int]:
         parts: list[list[np.ndarray]] = []
-        n = 0
-        for blob in pdf[geom_col]:
+        for blob in blobs:
             if blob is None:
                 continue
-            for rings in wkb.decode_one(bytes(blob)):
-                parts.append(rings)
-                n += 1
-        out = wkb.multipolygon_wkb(parts) if parts else None
-        return pd.DataFrame({key: [pdf[key].iloc[0]], geom_col: [out], "n_parts": [n]})
+            parts.extend(wkb.decode_one(bytes(blob)))
+        return (wkb.multipolygon_wkb(parts) if parts else None), len(parts)
 
-    return polygons_df.select(key, geom_col).groupBy(key).applyInPandas(
-        merge, f"{key} string, {geom_col} binary, n_parts long"
-    )
+    def partial(batches):
+        for pdf in batches:
+            out = {key: [], geom_col: [], "n_parts": []}
+            for k, grp in pdf.groupby(key, sort=False, dropna=False):
+                blob, n = _merge_blobs(grp[geom_col])
+                out[key].append(k)
+                out[geom_col].append(blob)
+                out["n_parts"].append(n)
+            yield pd.DataFrame(out)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob, n = _merge_blobs(pdf[geom_col])
+        return pd.DataFrame({key: [pdf[key].iloc[0]], geom_col: [blob], "n_parts": [n]})
+
+    partials = polygons_df.select(key, geom_col).mapInPandas(partial, schema)
+    return partials.groupBy(key).applyInPandas(final, schema)
 
 
 def centroids(points_df: DataFrame, key: str, lon_col="lon", lat_col="lat") -> DataFrame:

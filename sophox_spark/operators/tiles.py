@@ -104,17 +104,30 @@ def cover_polygon_tiles(
                     np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
                 )
                 gx, gy = gx.ravel(), gy.ravel()
-                # edge-touch: conservative seg-bbox vs tile-square overlap
+                # edge-touch: conservative seg-bbox vs tile-square overlap,
+                # via segment→tile-range binning — O(Σ tiles-per-segment),
+                # not O(tiles × segments). Tile t covers [t, t+1]; a seg
+                # bbox [lo, hi] overlaps iff t ∈ [ceil(lo−1), floor(hi)]
+                # (identical predicate to lo <= t+1 & hi >= t).
                 ex_lo = np.minimum(prep.x1, prep.x2)
                 ex_hi = np.maximum(prep.x1, prep.x2)
                 ey_lo = np.minimum(prep.y1, prep.y2)
                 ey_hi = np.maximum(prep.y1, prep.y2)
-                touched = np.zeros(gx.size, dtype=bool)
-                for t in range(gx.size):
-                    touched[t] = np.any(
-                        (ex_lo <= gx[t] + 1) & (ex_hi >= gx[t])
-                        & (ey_lo <= gy[t] + 1) & (ey_hi >= gy[t])
-                    )
+                sx0 = np.clip(np.ceil(ex_lo - 1.0).astype(np.int64) - x0, 0, nx - 1)
+                sx1 = np.clip(np.floor(ex_hi).astype(np.int64) - x0, 0, nx - 1)
+                sy0 = np.clip(np.ceil(ey_lo - 1.0).astype(np.int64) - y0, 0, ny - 1)
+                sy1 = np.clip(np.floor(ey_hi).astype(np.int64) - y0, 0, ny - 1)
+                touched2d = np.zeros((nx, ny), dtype=bool)
+                wx, wy = sx1 - sx0 + 1, sy1 - sy0 + 1
+                area = wx * wy
+                tot = int(area.sum())
+                if tot:
+                    rep_wy = np.repeat(wy, area)
+                    k = np.arange(tot) - np.repeat(np.cumsum(area) - area, area)
+                    tx_idx = np.repeat(sx0, area) + k // rep_wy
+                    ty_idx = np.repeat(sy0, area) + k % rep_wy
+                    touched2d[tx_idx, ty_idx] = True
+                touched = touched2d.ravel()  # meshgrid 'ij' ⇒ x-major, same order
                 interior = np.zeros(gx.size, dtype=bool)
                 un = ~touched
                 if un.any():
@@ -197,23 +210,27 @@ def vector_tile_features(
             out = {
                 "tile": [], id_col: [], "ring_idx": [], "coords_q": [],
             }
-            for tile, tx, ty, pid, blob in zip(
-                pdf["tile"], pdf["tile_x"], pdf["tile_y"], pdf[id_col], pdf[geom_col]
-            ):
+            # decode + project each polygon ONCE per batch, then emit a
+            # cheap subtract/round per covered tile (a polygon covering k
+            # tiles costs one decode, not k)
+            for pid, grp in pdf.groupby(id_col, sort=False):
+                blob = grp[geom_col].iloc[0]
                 polys_d = wkb.decode_one(bytes(blob))
-                ri = 0
-                for rings in polys_d:
-                    for r in rings:
-                        proj = _project_to_tile_plane(r, z)
-                        local = (proj - np.array([tx, ty])) * extent
+                proj_rings = [
+                    _project_to_tile_plane(r, z)
+                    for rings in polys_d
+                    for r in rings
+                ]
+                for tile, tx, ty in zip(grp["tile"], grp["tile_x"], grp["tile_y"]):
+                    origin = np.array([tx, ty], dtype=np.float64)
+                    for ri, proj in enumerate(proj_rings):
                         q = simp.dedup_consecutive(
-                            np.round(local).astype(np.int64)
+                            np.round((proj - origin) * extent).astype(np.int64)
                         )
                         out["tile"].append(tile)
                         out[id_col].append(pid)
                         out["ring_idx"].append(ri)
                         out["coords_q"].append([int(v) for xy in q for v in xy])
-                        ri += 1
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(

@@ -145,6 +145,25 @@ class TestDissolve:
             )
             assert r.n_parts == n_src
 
+    def test_two_phase_hot_key(self, spark):
+        """north_rule skew: one key with 10^5 parts spread over 16
+        partitions must be partially merged map-side (MapInPandas before
+        the shuffle), then finalized per key — and stay correct."""
+        tri = wkb.polygon_wkb([np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]])])
+        pdf = pd.DataFrame({"wikidata": ["Q1"] * 100_000, "geom": [tri] * 100_000})
+        df = spark.createDataFrame(pdf, "wikidata string, geom binary").repartition(16)
+        out = dissolve.dissolve(df, key="wikidata")
+        from sophox_spark.plans import explain
+
+        plan = explain.formatted_plan(out)
+        # exactly two python crossings: map-side partial + final merge,
+        # with the partial BEFORE the exchange (map-side)
+        assert explain.python_eval_nodes(out) == 2
+        assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+        r = out.collect()[0]
+        assert r.n_parts == 100_000
+        assert len(wkb.decode_one(bytes(r.geom))) == 100_000
+
     def test_centroids_match_avg(self, spark, points):
         pts = points.withColumn("grp", (F.col("pt_id") % 7).cast("string"))
         got = dissolve.centroids(pts, "grp").toPandas().set_index("grp")
