@@ -19,12 +19,16 @@ scale horizontally:
      lane — a two-phase shuffle that caps any single task's pair count.
   3. ACCEPT/REFINE: pairs in ``fully_contained`` cells are inside by
      construction (no Python at all — most of the area of big admin
-     polygons); boundary-cell pairs are ray-cast exactly against the
-     broadcast packed polygons in one Arrow batch pass.
+     polygons); boundary-cell pairs are ray-cast exactly in one Arrow
+     batch pass. With ``broadcast_dim`` the polygon WKB is a broadcast
+     map; on the shuffle path (dim too large to collect) each BOUNDARY
+     pair instead carries its polygon WKB through a co-partitioned left
+     join — fully distributed, no driver collect anywhere.
 
-At 100 TB the only shuffle is the fact-side hash on ``cell`` (and none
-at all when the dim broadcasts); refinement cost is proportional to
-*boundary* candidate pairs only.
+At 100 TB the only shuffles are the fact-side hash on ``cell`` (none at
+all when the dim broadcasts) plus, on the shuffle path, the boundary-
+pair ⋈ polygon-geometry hash on ``polygon_id``; refinement cost is
+proportional to *boundary* candidate pairs only.
 """
 
 from __future__ import annotations
@@ -235,8 +239,58 @@ def point_in_polygon_join(
     cand = pts.join(dimj, join_keys)
 
     out_cols = [c for c in points_df.columns] + [id_col]
-    poly_bc = _broadcast_polygons(points_df, polygons_df, geom_col, id_col)
     out_schema = cand.select(*out_cols).schema
+    if not broadcast_dim:
+        # PARTITIONED REFINE: the dim is too big to collect/broadcast, so
+        # ship each boundary pair its polygon WKB through a left join
+        # conditioned on NOT fully_contained (accepted-interior pairs join
+        # nothing and carry no geometry) — single-pass, no driver collect,
+        # no plan diamond. Geometry bytes duplicate per *boundary* pair
+        # only; the ray-cast then needs no broadcast state at all.
+        geoms = polygons_df.select(
+            F.col(id_col).alias("__geom_id"), F.col(geom_col).alias("__geom")
+        )
+        cand = cand.join(
+            geoms,
+            on=(F.col(id_col) == F.col("__geom_id")) & ~F.col("fully_contained"),
+            how="left",
+        )
+
+        def refine_partitioned(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ok = pdf["fully_contained"].to_numpy(copy=True)
+                need = np.flatnonzero(~ok)
+                if need.size:
+                    sub = pdf.iloc[need]
+                    # pack each polygon ONCE per batch
+                    uniq = sub.drop_duplicates("__geom_id")[["__geom_id", "__geom"]]
+                    blobs = [
+                        bytes(b) for b in uniq["__geom"] if b is not None
+                    ]
+                    ids = [
+                        i for i, b in zip(uniq["__geom_id"], uniq["__geom"])
+                        if b is not None
+                    ]
+                    if blobs:
+                        prep_b = PreparedPolygons(wkb.pack(blobs))
+                        idx_b = {p: i for i, p in enumerate(ids)}
+                        mapped = sub["__geom_id"].map(idx_b)
+                        known = mapped.notna().to_numpy()
+                        if known.any():
+                            subk = sub.iloc[known] if not known.all() else sub
+                            ok[need[known]] = prep_b.contains(
+                                subk[lon_col].to_numpy(),
+                                subk[lat_col].to_numpy(),
+                                mapped.to_numpy()[known].astype(np.int64),
+                                covers=covers,
+                            )
+                yield pdf.loc[ok, [f.name for f in out_schema.fields]]
+
+        return cand.mapInPandas(refine_partitioned, out_schema)
+
+    poly_bc = _broadcast_polygons(points_df, polygons_df, geom_col, id_col)
 
     def refine(batches):
         # SINGLE-PASS accept/refine: every candidate pair flows through

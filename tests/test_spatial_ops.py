@@ -53,7 +53,10 @@ class TestPipJoin:
 
     def test_salted_identical(self, spark, points, polygons):
         plain = spatial_join.point_in_polygon_join(points, polygons)
-        salted = spatial_join.point_in_polygon_join(points, polygons, salt=8)
+        # salt only applies on the shuffle path (broadcast ignores it)
+        salted = spatial_join.point_in_polygon_join(
+            points, polygons, salt=8, broadcast_dim=False
+        )
         a = {(r.pt_id, r.polygon_id) for r in plain.collect()}
         b = {(r.pt_id, r.polygon_id) for r in salted.collect()}
         assert a == b
@@ -62,6 +65,35 @@ class TestPipJoin:
         out = spatial_join.point_in_polygon_join(points, polygons, broadcast_dim=False)
         got = {(r.pt_id, r.polygon_id) for r in out.collect()}
         assert got == oracle_pip(points.toPandas(), polygons.toPandas())
+
+    def test_large_dim_partitioned_refine(self, spark):
+        """10^5-polygon dim — too large to collect comfortably: the
+        shuffle path must carry WKB through the boundary-pair join (no
+        driver collect) and still classify exactly."""
+        n = 100_000
+        ii = np.arange(n)
+        x0 = (ii % 400) * 0.05 - 10.0
+        y0 = (ii // 400) * 0.05 + 1.0
+        blobs = [
+            wkb.polygon_wkb(
+                [np.array([[a, b], [a + 0.04, b], [a + 0.04, b + 0.04], [a, b + 0.04]])]
+            )
+            for a, b in zip(x0, y0)
+        ]
+        polys = spark.createDataFrame(
+            pd.DataFrame({"polygon_id": ii, "geom": blobs}),
+            "polygon_id long, geom binary",
+        )
+        sel = ii[::97]
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {"pt_id": sel, "lon": x0[sel] + 0.02, "lat": y0[sel] + 0.02}
+            ),
+            "pt_id long, lon double, lat double",
+        )
+        out = spatial_join.point_in_polygon_join(pts, polys, broadcast_dim=False)
+        got = {(r.pt_id, r.polygon_id) for r in out.collect()}
+        assert got == {(int(i), int(i)) for i in sel}
 
     def test_coarser_res_same_result(self, spark, points, polygons):
         out = spatial_join.point_in_polygon_join(points, polygons, res=10)
