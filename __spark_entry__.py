@@ -705,7 +705,10 @@ def _q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="sophox_upsert_")
     man = Manifest(spark, f"{tmp}/manifest")
-    table = incremental.SnapshotTable(spark, f"{tmp}/tbl", man, "nodes")
+    # delta path: each seqid batch rewrites only touched hash buckets
+    table = incremental.PartitionedSnapshotTable(
+        spark, f"{tmp}/tbl", man, "nodes", n_buckets=8
+    )
     incremental.apply_change_batches(spark, table, changes)
     return table.read().drop("tags")
 

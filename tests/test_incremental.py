@@ -192,3 +192,71 @@ class TestVoteStatements:
         again = votes_mod.merge_statements(merged, reimport)
         c = sorted((r.subject, r.ord, r.stmt) for r in again.collect())
         assert c == a
+
+
+class TestPartitionedSnapshotTable:
+    """Delta commits: a batch rewrites only buckets holding its keys;
+    every other bucket's files stay byte-identical across the commit."""
+
+    @staticmethod
+    def _file_bytes(root):
+        import glob
+        import os
+
+        return {
+            p: open(p, "rb").read()
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        }
+
+    def test_matches_sequential_oracle(self, spark, changes, tmp_path):
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        table = incremental.PartitionedSnapshotTable(
+            spark, str(tmp_path / "tbl"), man, "nodes", n_buckets=8
+        )
+        stats = incremental.apply_change_batches(spark, table, changes)
+        assert stats["applied"] == [1000, 1001, 1002, 1003, 1004]
+        got = {r.id: (r.version, r.tags["name"]) for r in table.read().collect()}
+        assert got == oracle_state(changes.toPandas())
+
+    def test_untouched_buckets_byte_identical(self, spark, changes, tmp_path):
+        import os
+
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        root = str(tmp_path / "tbl")
+        table = incremental.PartitionedSnapshotTable(
+            spark, root, man, "nodes", n_buckets=8
+        )
+        incremental.apply_change_batches(spark, table, changes.filter("seqid = 1000"))
+        before = self._file_bytes(root)
+        v1_buckets = set(table.bucket_versions())
+        # second batch: a single-key update → at most one bucket rewrites
+        one = changes.filter("seqid = 1001 AND op <> 'delete'").limit(1)
+        incremental.apply_change_batches(spark, table, one)
+        after = self._file_bytes(root)
+        # every v=1 file is still present with identical bytes
+        for p, b in before.items():
+            assert after[p] == b, p
+        # the new version directory holds ONLY the touched bucket
+        new_dirs = {os.path.dirname(p) for p in set(after) - set(before)}
+        new_buckets = {d.split("__bucket=")[1] for d in new_dirs}
+        assert len(new_buckets) == 1
+        # snapshot still reads: untouched buckets from v1, touched from v2
+        m = table.bucket_versions()
+        assert set(m) == v1_buckets | {int(next(iter(new_buckets)))}
+        assert sorted(set(m.values())) in ([1, 2], [2])
+
+    def test_replay_is_noop(self, spark, changes, tmp_path):
+        man = Manifest(spark, str(tmp_path / "manifest"))
+        root = str(tmp_path / "tbl")
+        table = incremental.PartitionedSnapshotTable(
+            spark, root, man, "nodes", n_buckets=8
+        )
+        incremental.apply_change_batches(spark, table, changes)
+        before = self._file_bytes(root)
+        state = {r.id: (r.version, r.tags["name"]) for r in table.read().collect()}
+        stats = incremental.apply_change_batches(spark, table, changes)
+        assert stats["applied"] == [] and len(stats["skipped"]) == 5
+        assert self._file_bytes(root) == before
+        assert {
+            r.id: (r.version, r.tags["name"]) for r in table.read().collect()
+        } == state
