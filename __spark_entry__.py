@@ -550,29 +550,35 @@ _VT_Z = 6
 _VT_EXTENT = 4096
 
 
-def _q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector half of raster↔vector tiling (server.js:198-228 semantics)
-    over axis-aligned rect polygons, so the per-(tile, polygon) quantized
-    ring coordinates have an exact floor/round DuckDB oracle."""
+def _rect_polys(rects: DataFrame) -> DataFrame:
+    """(polygon_id, x0, x1, y0, y1) → (polygon_id, geom WKB) with a
+    pinned CCW ring order (x0,y0)(x1,y0)(x1,y1)(x0,y1), mirrored
+    corner-by-corner in the rect-fixture oracles."""
     import numpy as np
 
     from sophox_spark.geometry import wkb as wkbmod
-    from sophox_spark.operators import tiles
 
     @F.pandas_udf("binary")
     def rect_wkb(x0: pd.Series, x1: pd.Series, y0: pd.Series, y1: pd.Series) -> pd.Series:
         out = []
         for a, b, c, d in zip(x0, x1, y0, y1):
-            # pinned ring order, mirrored corner-by-corner in the oracle
             ring = np.array([[a, c], [b, c], [b, d], [a, d]], dtype=np.float64)
             out.append(wkbmod.polygon_wkb([ring]))
         return pd.Series(out)
 
-    rects = spark.sql(RECTS_SPARK)
-    polys = rects.select(
+    return rects.select(
         F.col("polygon_id").cast("long").alias("polygon_id"),
         rect_wkb("x0", "x1", "y0", "y1").alias("geom"),
     )
+
+
+def _q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector half of raster↔vector tiling (server.js:198-228 semantics)
+    over axis-aligned rect polygons, so the per-(tile, polygon) quantized
+    ring coordinates have an exact floor/round DuckDB oracle."""
+    from sophox_spark.operators import tiles
+
+    polys = _rect_polys(spark.sql(RECTS_SPARK))
     feats = tiles.vector_tile_features(polys, z=_VT_Z, extent=_VT_EXTENT)
     return feats.select(
         "tile",
@@ -835,6 +841,58 @@ WHERE NOT EXISTS (
 """
 
 
+WATER_SHIFT_SQL = """
+SELECT polygon_id, x0 + 1.75e0 AS x0, x1 + 1.75e0 AS x1,
+       y0 + 1.75e0 AS y0, y1 + 1.75e0 AS y1
+FROM rects WHERE polygon_id % 9 = 0
+"""
+
+
+def _q_regions_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 geometry output: region rects minus half-cell-shifted water
+    rects via true Greiner–Hormann ST_Difference (wd_only_sql.js:23-28).
+    Clipped areas are exact binary floats (all coords are multiples of
+    0.25), so the DuckDB interval-arithmetic oracle matches bit-for-bit
+    before rounding."""
+    from sophox_spark.operators import dissolve
+
+    rects = spark.sql(RECTS_SPARK)
+    rects.createOrReplaceTempView("rects")
+    regions = _rect_polys(rects.filter("polygon_id % 9 <> 0"))
+    water = _rect_polys(spark.sql(WATER_SHIFT_SQL))
+    out = dissolve.clipped_regions(regions, water)
+    return out.select(
+        "polygon_id",
+        F.round("area", 6).alias("clipped_area"),
+        "n_rings",
+        "n_fallbacks",
+    )
+
+
+def _regions_clipped_sql() -> str:
+    return f"""
+WITH rects AS ({RECTS_DUCK}),
+regions AS (SELECT * FROM rects WHERE polygon_id % 9 <> 0),
+water AS (SELECT x0 + 1.75e0 AS x0, x1 + 1.75e0 AS x1,
+                 y0 + 1.75e0 AS y0, y1 + 1.75e0 AS y1
+          FROM rects WHERE polygon_id % 9 = 0),
+ov AS (
+  SELECT r.polygon_id,
+         greatest(0.0e0, least(r.x1, w.x1) - greatest(r.x0, w.x0)) *
+         greatest(0.0e0, least(r.y1, w.y1) - greatest(r.y0, w.y0)) AS a
+  FROM regions r JOIN water w
+    ON r.x0 < w.x1 AND w.x0 < r.x1 AND r.y0 < w.y1 AND w.y0 < r.y1
+)
+SELECT r.polygon_id,
+       ROUND((r.x1 - r.x0) * (r.y1 - r.y0) - COALESCE(s.a, 0.0e0), 6) AS clipped_area,
+       CAST(1 AS BIGINT) AS n_rings,
+       CAST(0 AS BIGINT) AS n_fallbacks
+FROM regions r
+LEFT JOIN (SELECT polygon_id, SUM(a) AS a FROM ov GROUP BY polygon_id) s
+       ON s.polygon_id = r.polygon_id
+"""
+
+
 def _q_pip_water_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine path for SO1 over real (non-rect) polygons: rows-only."""
     from sophox_spark.operators import dissolve
@@ -976,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only engine showcases
         "q_pip_engine": _q_pip_engine,
         "q_pip_water_engine": _q_pip_water_engine,
+        "q_regions_clipped": _q_regions_clipped,
         "q_s2_cells": _q_s2_cells,
         "q_regions_geojson": _q_regions_geojson,
         "q_vector_tiles": _q_vector_tiles,
@@ -1023,4 +1082,5 @@ def oracle_sql() -> dict[str, str]:
         "q_rasterize_tiles": _rasterize_sql(),
         "q_geo_cells": _geo_cell_sql(),
         "q_vector_tiles": _vector_tiles_sql(),
+        "q_regions_clipped": _regions_clipped_sql(),
     }

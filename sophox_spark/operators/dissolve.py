@@ -29,13 +29,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..geometry import core, simplify as simp, wkb
+from ..geometry import clip, core, simplify as simp, wkb
 
 
 def dissolve(
     polygons_df: DataFrame,
     key: str = "wikidata",
     geom_col: str = "geom",
+    merge_overlaps: bool = True,
 ) -> DataFrame:
     """group polygons by ``key`` → one multipolygon per key.
     Output: ``key, geom (multipolygon WKB), n_parts``.
@@ -45,7 +46,14 @@ def dissolve(
     so the shuffle ships one row per (partition, key) — a hot wikidata
     id with 10⁵ raw rows moves ≤ numPartitions partials, never the raw
     rows, to its final reducer (the Spark analog of partial aggregation
-    for an ST_Union-shaped agg)."""
+    for an ST_Union-shaped agg).
+
+    ``merge_overlaps`` gives true ST_Union semantics: OVERLAPPING parts
+    dissolve into one boundary (Greiner–Hormann, geometry/clip.py);
+    disjoint parts stay multipart, degenerate contacts (shared edges)
+    fall back to multipart — union is applied in both phases (it is
+    associative), and skipped entirely past clip.union_parts' part-count
+    guard, where multipart assembly is the documented behavior."""
     schema = f"{key} string, {geom_col} binary, n_parts long"
 
     def _merge_blobs(blobs) -> tuple[bytes | None, int]:
@@ -54,6 +62,8 @@ def dissolve(
             if blob is None:
                 continue
             parts.extend(wkb.decode_one(bytes(blob)))
+        if merge_overlaps and parts:
+            parts, _ = clip.union_parts(parts)
         return (wkb.multipolygon_wkb(parts) if parts else None), len(parts)
 
     def partial(batches):
@@ -131,6 +141,89 @@ def point_in_region_minus_water(
         res=res, id_col="__water_id", **kw,
     ).select(*points_df.columns).distinct()
     return in_region.join(in_water, on=list(points_df.columns), how="left_anti")
+
+
+def clipped_regions(
+    regions_df: DataFrame,
+    water_df: DataFrame,
+    id_col: str = "polygon_id",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """SO1 with GEOMETRY output — the reference's ``water=1`` regions
+    mode, ``ST_Difference(geom, ST_Union(water))``
+    (wd_only_sql.js:23-28): each region shape minus every intersecting
+    water polygon, as clipped vector geometry (not just point
+    classification — that exact-by-identity path is
+    ``point_in_region_minus_water``).
+
+    The water table is the SMALL dim by design (the reference queries
+    intersecting water per region the same way); it is collected +
+    broadcast with bboxes, and each Arrow batch runs the sequential
+    Greiner–Hormann difference per region part. Degenerate contacts
+    (shared edges) keep the subject part unclipped and are COUNTED in
+    ``n_fallbacks`` — visible, not silent.
+
+    Output: ``id_col, geom (multipolygon WKB), area (planar shoelace,
+    holes subtracted), n_rings, n_fallbacks``."""
+    water_rows = water_df.select(geom_col).collect()
+    water_blobs = [bytes(r[0]) for r in water_rows if r[0] is not None]
+    w_bc = regions_df.sparkSession.sparkContext.broadcast(water_blobs)
+
+    def gen(batches):
+        waters = None
+        for pdf in batches:
+            if waters is None:
+                waters = []
+                for blob in w_bc.value:
+                    for rings in wkb.decode_one(blob):
+                        ext = rings[0]
+                        waters.append(
+                            (
+                                ext,
+                                (
+                                    ext[:, 0].min(), ext[:, 1].min(),
+                                    ext[:, 0].max(), ext[:, 1].max(),
+                                ),
+                            )
+                        )
+            out = {id_col: [], geom_col: [], "area": [], "n_rings": [], "n_fallbacks": []}
+            for pid, blob in zip(pdf[id_col], pdf[geom_col]):
+                if blob is None:
+                    continue
+                parts = wkb.decode_one(bytes(blob))
+                n_fb = 0
+                for w_ext, wb in waters:
+                    nxt = []
+                    for part in parts:
+                        e = part[0]
+                        pb = (e[:, 0].min(), e[:, 1].min(), e[:, 0].max(), e[:, 1].max())
+                        if wb[2] < pb[0] or pb[2] < wb[0] or wb[3] < pb[1] or pb[3] < wb[1]:
+                            nxt.append(part)
+                            continue
+                        try:
+                            nxt.extend(clip.difference_with_holes(part, w_ext))
+                        except clip.DegenerateGeometry:
+                            n_fb += 1
+                            nxt.append(part)
+                    parts = nxt
+                area = 0.0
+                n_rings = 0
+                for part in parts:
+                    n_rings += len(part)
+                    area += abs(core.ring_signed_area(part[0]))
+                    for h in part[1:]:
+                        area -= abs(core.ring_signed_area(h))
+                out[id_col].append(pid)
+                out[geom_col].append(wkb.multipolygon_wkb(parts) if parts else None)
+                out["area"].append(area)
+                out["n_rings"].append(n_rings)
+                out["n_fallbacks"].append(n_fb)
+            yield pd.DataFrame(out)
+
+    return regions_df.select(id_col, geom_col).mapInPandas(
+        gen,
+        f"{id_col} long, {geom_col} binary, area double, n_rings long, n_fallbacks long",
+    )
 
 
 def regions_geojson(

@@ -247,3 +247,124 @@ class TestSimplify:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestClip:
+    """Greiner–Hormann boolean ops (geometry/clip.py) — goldens vs exact
+    rect arithmetic plus an INDEPENDENT oracle: point-classification
+    equivalence against the even-odd ray-cast (geometry/pip.py), which
+    shares no code with the clipper."""
+
+    @staticmethod
+    def _sq(x0, y0, s):
+        return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float)
+
+    @staticmethod
+    def _area(parts):
+        return sum(
+            abs(core.ring_signed_area(r)) * (-1 if hole else 1) for r, hole in parts
+        )
+
+    def test_square_goldens(self):
+        from sophox_spark.geometry import clip
+
+        A, B = self._sq(0, 0, 1), self._sq(0.5, 0.5, 1)
+        assert self._area(clip.clip_rings(A, B, "intersection")) == pytest.approx(0.25)
+        u = clip.clip_rings(A, B, "union")
+        assert len(u) == 1 and self._area(u) == pytest.approx(1.75)
+        assert self._area(clip.clip_rings(A, B, "difference")) == pytest.approx(0.75)
+
+    def test_containment_cases(self):
+        from sophox_spark.geometry import clip
+
+        A, C = self._sq(0, 0, 1), self._sq(0.3, 0.3, 0.2)
+        d = clip.clip_rings(A, C, "difference")
+        assert [h for _, h in d] == [False, True]  # hole created
+        assert self._area(d) == pytest.approx(1 - 0.04)
+        assert clip.clip_rings(C, A, "difference") == []
+        u = clip.clip_rings(A, C, "union")
+        assert len(u) == 1 and self._area(u) == pytest.approx(1.0)
+        i = clip.clip_rings(A, C, "intersection")
+        assert self._area(i) == pytest.approx(0.04)
+        # fully disjoint
+        D = self._sq(5, 5, 1)
+        assert len(clip.clip_rings(A, D, "union")) == 2
+        assert clip.clip_rings(A, D, "intersection") == []
+
+    def test_degenerate_raises(self):
+        from sophox_spark.geometry import clip
+
+        A = self._sq(0, 0, 1)
+        with pytest.raises(clip.DegenerateGeometry):
+            clip.clip_rings(A, self._sq(1, 0, 1), "union")  # shared edge
+        with pytest.raises(clip.DegenerateGeometry):
+            clip.clip_rings(A, self._sq(1, 1, 1), "union")  # shared vertex
+
+    def test_classification_equivalence_random_stars(self):
+        """p ∈ op(A,B) must equal op(p∈A, p∈B) for every sampled point —
+        the ray-cast is the independent implementation."""
+        from sophox_spark.geometry import clip
+
+        rng = np.random.default_rng(3)
+
+        def star(cx, cy, rm, n=12):
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(0.4, 1.0, n) * rm
+            return np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+
+        closed = lambda r: np.vstack([r, r[:1]])  # noqa: E731
+        preds = {
+            "intersection": lambda a, b: a and b,
+            "union": lambda a, b: a or b,
+            "difference": lambda a, b: a and not b,
+        }
+        tested = 0
+        for _ in range(12):
+            P = star(0, 0, 1.0)
+            Q = star(rng.uniform(-0.8, 0.8), rng.uniform(-0.8, 0.8), 1.0)
+            for op, pred in preds.items():
+                try:
+                    parts = clip.clip_rings(P, Q, op)
+                except clip.DegenerateGeometry:
+                    continue
+                for x, y in rng.uniform(-2, 2, (250, 2)):
+                    a = point_in_rings(x, y, [(closed(P), False)])
+                    b = point_in_rings(x, y, [(closed(Q), False)])
+                    assert point_in_rings(x, y, parts) == pred(a, b)
+                    tested += 1
+        assert tested > 5000
+
+    def test_union_parts_chain_and_fallback(self):
+        from sophox_spark.geometry import clip
+
+        # overlapping diagonal chain dissolves to ONE part (transitive
+        # merge; axis-aligned same-row squares would share collinear
+        # edges — correctly degenerate)
+        chain = [[self._sq(i * 0.6, i * 0.3, 1)] for i in range(4)]
+        merged, fb = clip.union_parts(chain)
+        assert len(merged) == 1 and fb == 0
+        # inclusion-exclusion: pairwise overlaps are disjoint rects
+        assert abs(core.ring_signed_area(merged[0][0])) == pytest.approx(4 - 3 * 0.28)
+        # disjoint parts stay multipart
+        merged, fb = clip.union_parts([[self._sq(0, 0, 1)], [self._sq(3, 3, 1)]])
+        assert len(merged) == 2 and fb == 0
+        # identical parts: degenerate → multipart fallback, counted
+        merged, fb = clip.union_parts([[self._sq(0, 0, 1)], [self._sq(0, 0, 1)]])
+        assert len(merged) == 2 and fb == 1
+
+    def test_difference_with_holes(self):
+        from sophox_spark.geometry import clip
+
+        A = self._sq(0, 0, 4)
+        hole = self._sq(1, 1, 0.5)
+        poly = [A, hole]
+        # clipper crossing the exterior boundary, away from the hole
+        out = clip.difference_with_holes(poly, self._sq(3.5, 3.5, 1))
+        assert len(out) == 1
+        ext, holes = out[0][0], out[0][1:]
+        assert len(holes) == 1  # original hole carried through
+        got = abs(core.ring_signed_area(ext)) - abs(core.ring_signed_area(holes[0]))
+        assert got == pytest.approx(16 - 0.25 - 0.25)
+        # clipper strictly inside the hole: no-op
+        out2 = clip.difference_with_holes(poly, self._sq(1.1, 1.1, 0.2))
+        assert len(out2) == 1 and len(out2[0]) == 2

@@ -177,6 +177,29 @@ class TestDissolve:
             )
             assert r.n_parts == n_src
 
+    def test_union_merges_overlapping_parts(self, spark):
+        """ST_Union semantics (wd_only_sql.js:8-17): two OVERLAPPING
+        parts of one id dissolve into a single boundary whose area is
+        the inclusion-exclusion union, not a 2-part multipart."""
+        from sophox_spark.geometry import core
+
+        a = wkb.polygon_wkb(
+            [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
+        )
+        b = wkb.polygon_wkb(
+            [np.array([[0.6, 0.3], [1.6, 0.3], [1.6, 1.3], [0.6, 1.3]])]
+        )
+        df = spark.createDataFrame(
+            pd.DataFrame({"wikidata": ["Q7", "Q7"], "geom": [a, b]}),
+            "wikidata string, geom binary",
+        )
+        r = dissolve.dissolve(df, key="wikidata").collect()[0]
+        assert r.n_parts == 1
+        parts = wkb.decode_one(bytes(r.geom))
+        assert len(parts) == 1 and len(parts[0]) == 1
+        area = abs(core.ring_signed_area(parts[0][0]))
+        assert area == pytest.approx(2.0 - 0.4 * 0.7)
+
     def test_two_phase_hot_key(self, spark):
         """north_rule skew: one key with 10^5 parts spread over 16
         partitions must be partially merged map-side (MapInPandas before
