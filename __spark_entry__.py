@@ -572,6 +572,21 @@ def _rect_polys(rects: DataFrame) -> DataFrame:
     )
 
 
+def _q_regions_topojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format=topojson regions response (server.js:198-210): shared-arc
+    topology over an adjacent-rect grid — arc extraction is not
+    ANSI-SQL-expressible, so this is rows-only; the arc/junction
+    semantics are pytest-pinned (test_spatial_ops.TestTopojson)."""
+    from sophox_spark.operators import topojson as tj
+
+    rects = spark.sql(RECTS_SPARK).filter("polygon_id < 60")
+    polys = _rect_polys(rects).select(
+        F.col("polygon_id").cast("string").alias("wikidata"), "geom"
+    )
+    ids = polys.select("wikidata").distinct()
+    return tj.regions_topojson(polys, ids, quantile_p=0.0, spherical=False)
+
+
 def _q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector half of raster↔vector tiling (server.js:198-228 semantics)
     over axis-aligned rect polygons, so the per-(tile, polygon) quantized
@@ -1037,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regions_clipped": _q_regions_clipped,
         "q_s2_cells": _q_s2_cells,
         "q_regions_geojson": _q_regions_geojson,
+        "q_regions_topojson": _q_regions_topojson,
         "q_vector_tiles": _q_vector_tiles,
         "q_ann_embeddings": _q_ann_embeddings,
         "q_multimodal_meta": _q_multimodal_meta,
