@@ -566,7 +566,10 @@ def _rect_polys(rects: DataFrame) -> DataFrame:
             out.append(wkbmod.polygon_wkb([ring]))
         return pd.Series(out)
 
-    return rects.select(
+    # the range()×range() grid source fragments into hundreds of tiny
+    # tasks; collapse before the UDF so the 200-row dim crosses into
+    # Python once, not once per task
+    return rects.coalesce(1).select(
         F.col("polygon_id").cast("long").alias("polygon_id"),
         rect_wkb("x0", "x1", "y0", "y1").alias("geom"),
     )

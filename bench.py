@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "q_pip_engine",
     "q_regions_geojson",
     "q_rasterize_tiles",
+    "q_vector_tiles",
+    "q_regions_clipped",
     "q_page_mentions",
 ]
 

@@ -195,15 +195,21 @@ def rasterize_points(
 
 def vector_tile_features(
     polygons_df: DataFrame, z: int, extent: int = 4096,
-    geom_col="geom", id_col="polygon_id",
+    geom_col="geom", id_col="polygon_id", broadcast_polys: bool = True,
 ) -> DataFrame:
     """Per-(tile, polygon) vector feature rows with tile-local integer
     coordinates on an ``extent``×``extent`` grid (MVT-style; geometry is
     quantized, not clipped — renderer-side clipping assumed, documented
-    divergence from MVT)."""
+    divergence from MVT).
+
+    The covering fan-out (tiles × polygons) is always ≥ the polygon dim,
+    so the geometry re-attach join broadcasts the polygon side by
+    default (no shuffle of the fan-out); pass ``broadcast_polys=False``
+    for a polygon table too large to broadcast — the join then shuffles
+    both sides on ``id_col``."""
     cov = cover_polygon_tiles(polygons_df, z, geom_col, id_col)
     polys = polygons_df.select(id_col, geom_col)
-    joined = cov.join(polys, id_col)
+    joined = cov.join(F.broadcast(polys) if broadcast_polys else polys, id_col)
 
     def gen(batches):
         for pdf in batches:
