@@ -537,6 +537,22 @@ def _q_pip_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.point_in_polygon_join(pts, polygons, res=(8, 13), salt=4)
 
 
+def _q_pip_engine_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP engine path (adaptive quadtree covering + salted
+    cell equi-join + single-pass Arrow accept/refine) over rect WKB
+    polygons, so the full engine result has an exact interval-join
+    oracle. The even-odd ray-cast's edge policy for axis-aligned rects
+    is exactly [x0,x1)×[y0,y1) — the same half-open predicate the SQL
+    uses."""
+    from sophox_spark.operators import spatial_join
+
+    _load(spark, sf_dir, "events")
+    pts = spark.sql(PTS_SQL)
+    polys = _rect_polys(spark.sql(RECTS_SPARK))
+    out = spatial_join.point_in_polygon_join(pts, polys, res=(8, 13), salt=4)
+    return out.select("pt_id", "polygon_id")
+
+
 def _q_regions_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import dissolve
     from sophox_spark.sources import synth
@@ -1051,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_cells": _q_geo_cells_engine,
         # rows-only engine showcases
         "q_pip_engine": _q_pip_engine,
+        "q_pip_engine_rects": _q_pip_engine_rects,
         "q_pip_water_engine": _q_pip_water_engine,
         "q_regions_clipped": _q_regions_clipped,
         "q_s2_cells": _q_s2_cells,
@@ -1094,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "q_text_stats": _textstats_sql("duckdb"),
         "q_embedding_cosine_topk": _cosine_duck(),
         "q_geo_pip_rects": _geo_pip_sql("duckdb"),
+        "q_pip_engine_rects": _geo_pip_sql("duckdb"),
         "q_geo_pip_subtract": _geo_pip_subtract_sql("duckdb"),
         "q_geo_centroids": _geo_centroid_sql("duckdb"),
         "q_geo_knn": _geo_knn_sql(),
