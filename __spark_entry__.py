@@ -677,6 +677,85 @@ def _q_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J1 with an exact oracle: ways derived portably from events (refs via
+# pure int arithmetic; some refs miss the node table -> loc_error rows)
+WAY_FIXTURE = {
+    # node ids = event ids; coords from the shared derived-point SQL
+    "nodes": "SELECT pt_id AS id, lon, lat FROM ({pts}) t",
+    # 199 ways; n_refs in 2..7; every 7th way closes (last ref = first);
+    # ref formula may produce ids absent from events (missing-ref case)
+    "ways_spark": """
+SELECT way_id,
+       transform(sequence(0, 1 + CAST(way_id % 6 AS INT)),
+                 k -> CASE WHEN k = 1 + CAST(way_id % 6 AS INT) AND way_id % 7 = 0
+                           THEN (way_id * 131 + 0 * 241) % 12000 + 1
+                           ELSE (way_id * 131 + k * 241) % 12000 + 1 END) AS refs
+FROM (SELECT DISTINCT event_id % 199 AS way_id FROM events) w
+""",
+    "refs_duck": """
+SELECT w.way_id, k.range AS pos,
+       CASE WHEN k.range = 1 + w.way_id % 6 AND w.way_id % 7 = 0
+            THEN (w.way_id * 131) % 12000 + 1
+            ELSE (w.way_id * 131 + k.range * 241) % 12000 + 1 END AS node_id,
+       2 + w.way_id % 6 AS n_refs
+FROM (SELECT DISTINCT event_id % 199 AS way_id FROM events) w
+JOIN range(8) k ON k.range <= 1 + w.way_id % 6
+""",
+}
+
+
+def _q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 engine path (posexplode ⋈ nodes ⋈ array_sort reassembly) with
+    an exact oracle: refs are int-arithmetic-derived, so DuckDB can
+    replay the join + middle-vertex selection in pure SQL."""
+    from sophox_spark.operators import osm_geometry
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(WAY_FIXTURE["nodes"].format(pts=PTS_SQL))
+    ways = spark.sql(WAY_FIXTURE["ways_spark"]).selectExpr(
+        "way_id AS id", "refs"
+    )
+    locs = osm_geometry.way_locations(nodes, ways)
+    return locs.select(
+        "way_id",
+        F.col("n_refs").cast("long").alias("n_refs"),
+        "n_resolved",
+        "loc_error",
+        "is_closed",
+        F.when(F.col("loc_error"), F.lit(None)).otherwise(F.round("rep_lon", 6)).alias("rep_lon"),
+        F.when(F.col("loc_error"), F.lit(None)).otherwise(F.round("rep_lat", 6)).alias("rep_lat"),
+    )
+
+
+def _way_assembly_sql() -> str:
+    nodes = WAY_FIXTURE["nodes"].format(pts=PTS_SQL)
+    return f"""
+WITH nodes AS ({nodes}),
+refs AS ({WAY_FIXTURE['refs_duck']}),
+j AS (SELECT r.way_id, r.pos, r.n_refs, r.node_id, n.lon, n.lat
+      FROM refs r LEFT JOIN nodes n ON n.id = r.node_id),
+agg AS (
+  SELECT way_id, MAX(n_refs) AS n_refs,
+         CAST(COUNT(lon) AS BIGINT) AS n_resolved,
+         MAX(CASE WHEN pos = (n_refs - 1) // 2 THEN lon END) AS mid_lon,
+         MAX(CASE WHEN pos = (n_refs - 1) // 2 THEN lat END) AS mid_lat
+  FROM j GROUP BY way_id
+),
+closed AS (
+  SELECT way_id,
+         MAX(CASE WHEN pos = 0 THEN node_id END)
+           = MAX(CASE WHEN pos = n_refs - 1 THEN node_id END) AS is_closed
+  FROM refs GROUP BY way_id
+)
+SELECT a.way_id, CAST(a.n_refs AS BIGINT) AS n_refs, a.n_resolved,
+       a.n_resolved < a.n_refs AS loc_error,
+       c.is_closed,
+       CASE WHEN a.n_resolved < a.n_refs THEN NULL ELSE ROUND(a.mid_lon, 6) END AS rep_lon,
+       CASE WHEN a.n_resolved < a.n_refs THEN NULL ELSE ROUND(a.mid_lat, 6) END AS rep_lat
+FROM agg a JOIN closed c ON c.way_id = a.way_id
+"""
+
+
 OSM_SCHEMAS = {
     "nodes": (
         "id long, version int, user string, ts timestamp, changeset long, "
@@ -1079,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_mentions": _q_page_mentions,
         "q_osm_ttl": _q_osm_ttl,
         "q_osm_way_locations": _q_way_locations,
+        "q_way_assembly": _q_way_assembly,
         "q_rel_centroids_fixpoint": _q_rel_centroids,
         "q_incremental_upsert": _q_incremental_upsert,
     }
@@ -1102,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "q_increment_merge": INCREMENT_SQL,
         "q_pageview_agg": _pageview_sql("duckdb"),
         "q_taginfo_usage": _taginfo_usage_sql(),
+        "q_way_assembly": _way_assembly_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
