@@ -809,6 +809,77 @@ def _q_rel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.relation_centroids_fixpoint(nodes, way_locs, rels)
 
 
+REL_FIXTURE_SPARK = """
+SELECT r AS id,
+       concat(
+         array(named_struct('type', 'n',
+                            'ref', CAST((r * 37 + 11) % 12000 + 1 AS BIGINT),
+                            'role', '')),
+         filter(array(named_struct('type', 'r', 'ref', CAST(r - 1 AS BIGINT), 'role', '')),
+                x -> r % 5 <> 0)
+       ) AS members
+FROM (SELECT DISTINCT event_id % 120 AS r FROM events) t
+"""
+
+
+def _q_rel_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 fixpoint (updateRelLoc.py:62-88) with an EXACT oracle: rels
+    form rel→rel chains of depth ≤5 (r references r−1 unless r%5=0), so
+    the iterate-until-no-progress resolution is replayable as a DuckDB
+    recursive CTE. Some node refs intentionally miss the node table —
+    those rels (and their dependents) never resolve, in both engines.
+    The engine's ``iteration`` column stamps the terminal pass, not the
+    resolution depth, so it is excluded from the compared output."""
+    from sophox_spark.streaming import incremental
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(
+        f"SELECT pt_id AS id, lon, lat FROM ({PTS_SQL}) t"
+    )
+    rels = spark.sql(REL_FIXTURE_SPARK)
+    way_locs = spark.createDataFrame(
+        [], "way_id long, rep_lon double, rep_lat double, loc_error boolean"
+    )
+    out = incremental.relation_centroids_fixpoint(nodes, way_locs, rels)
+    return out.select(
+        "rel_id",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _rel_fixpoint_sql() -> str:
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT pt_id AS id, lon, lat FROM ({PTS_SQL}) t),
+rels AS (SELECT DISTINCT event_id % 120 AS r FROM events),
+nm AS (
+  SELECT rels.r, (rels.r * 37 + 11) % 12000 + 1 AS nid FROM rels
+),
+nstat AS (
+  SELECT nm.r, 1 AS n_node_members,
+         CAST(COUNT(n.lon) AS BIGINT) AS n_resolved,
+         SUM(n.lon) AS slon, SUM(n.lat) AS slat
+  FROM nm LEFT JOIN nodes n ON n.id = nm.nid GROUP BY nm.r
+),
+resolved AS (
+  SELECT r, slon / n_node_members AS lon, slat / n_node_members AS lat,
+         n_node_members AS n_members
+  FROM nstat WHERE r % 5 = 0 AND n_resolved = 1
+  UNION ALL
+  SELECT s.r, (s.slon + p.lon) / (s.n_node_members + 1),
+         (s.slat + p.lat) / (s.n_node_members + 1),
+         s.n_node_members + 1
+  FROM nstat s JOIN resolved p ON p.r = s.r - 1 AND s.r % 5 <> 0
+  WHERE s.n_resolved = 1
+)
+SELECT r AS rel_id, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
+       CAST(n_members AS BIGINT) AS n_members
+FROM resolved
+"""
+
+
 def _q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -1160,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
         "q_rel_centroids_fixpoint": _q_rel_centroids,
+        "q_rel_fixpoint": _q_rel_fixpoint,
         "q_incremental_upsert": _q_incremental_upsert,
     }
     return q
@@ -1183,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pageview_agg": _pageview_sql("duckdb"),
         "q_taginfo_usage": _taginfo_usage_sql(),
         "q_way_assembly": _way_assembly_sql(),
+        "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
