@@ -179,6 +179,9 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .select(point_key, lon_col, lat_col, poi_key, "dist_m", "rank")
         )
+        # materialize once: done_keys AND done both read topk — without
+        # this the candidate join + window runs twice per level
+        topk = topk.localCheckpoint(eager=True)
         if last:
             done_keys = topk.select(point_key).distinct()
         else:
