@@ -966,6 +966,72 @@ def _q_taginfo_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# metabot analog: wiki description-template pages -> merged claims.
+# One page per (lang, key); the ENGINE must parse the wikitext (balanced
+# braces, nested {{tag|..}} inside description); the oracle reconstructs
+# the expected output from the same arithmetic without parsing.
+WIKI_PAGES_SPARK = """
+WITH p AS (SELECT lang, doc_id % 7 AS k, MIN(doc_id) AS did
+           FROM documents GROUP BY lang, doc_id % 7)
+SELECT lang,
+       concat('Intro. {{KeyDescription|key=k', CAST(k AS STRING),
+              '|onNode=', CASE WHEN did % 2 = 0 THEN 'yes' ELSE 'no' END,
+              '|onWay=', CASE WHEN did % 3 = 0 THEN 'Yes' ELSE 'no' END,
+              '|onArea=no|onRelation=no',
+              '|status=', CASE WHEN did % 4 = 0 THEN 'Approved' ELSE 'in use' END,
+              '|description=desc ', CAST(did AS STRING),
+              ' uses {{tag|highway|', lang, '}} link',
+              '}} Outro {{key|building}}.') AS wikitext
+FROM p
+"""
+
+
+def _q_wiki_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot core (ItemFromWiki.py): template parse → claims →
+    language-preference merge, as DataFrame transforms."""
+    from sophox_spark.sources import wikipages
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(WIKI_PAGES_SPARK)
+    claims = wikipages.page_claims(pages, text_col="wikitext")
+    merged = wikipages.merge_language_claims(claims)
+    return merged.select(
+        "key", "description", "status", "description_lang",
+        "on_node", "on_way", "on_area", "on_relation",
+        "n_pages", F.col("n_tag_refs").cast("long").alias("n_tag_refs"),
+    )
+
+
+def _wiki_claims_sql() -> str:
+    return """
+WITH p AS (SELECT lang, doc_id % 7 AS k, MIN(doc_id) AS did
+           FROM documents GROUP BY lang, doc_id % 7),
+claims AS (
+  SELECT 'k' || CAST(k AS VARCHAR) AS key, lang,
+         did % 2 = 0 AS on_node, did % 3 = 0 AS on_way,
+         CASE WHEN did % 4 = 0 THEN 'approved' ELSE 'in use' END AS status,
+         'desc ' || CAST(did AS VARCHAR) || ' uses {{tag|highway|' || lang || '}} link' AS description,
+         CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2
+                   WHEN 'es' THEN 3 WHEN 'ja' THEN 4 WHEN 'cs' THEN 5
+                   ELSE 6 END AS lrank
+  FROM p
+),
+ranked AS (SELECT *, lpad(CAST(lrank AS VARCHAR), 3, '0') || ':' || lang AS lr
+           FROM claims)
+SELECT key,
+       arg_min(description, lr) AS description,
+       arg_min(status, lr) AS status,
+       arg_min(lang, lr) AS description_lang,
+       bool_or(on_node) AS on_node,
+       bool_or(on_way) AS on_way,
+       bool_or(FALSE) AS on_area,
+       bool_or(FALSE) AS on_relation,
+       COUNT(*) AS n_pages,
+       CAST(SUM(2) AS BIGINT) AS n_tag_refs
+FROM ranked GROUP BY key
+"""
+
+
 # S4/P8/A3: pageview-line parsing — lines derived portably from documents
 PAGEVIEW_LINES_BODY = """
 SELECT concat(lang, ' Page_', CAST(doc_id % 40 AS STRING), ' ', CAST(n_chars % 97 AS STRING)) AS value
@@ -1197,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_increment_merge": _sql_query(INCREMENT_SQL, ("events",)),
         "q_pageview_agg": _q_pageview_agg,
         "q_taginfo_usage": _q_taginfo_usage,
+        "q_wiki_claims": _q_wiki_claims,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -1256,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "q_taginfo_usage": _taginfo_usage_sql(),
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
+        "q_wiki_claims": _wiki_claims_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),

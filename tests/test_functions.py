@@ -197,3 +197,76 @@ class TestExtractionGoldenFile:
             for u, t in zip(pages["url"], re_extracted)
         }
         assert got2 == golden
+
+
+class TestWikipages:
+    """metabot-analog template parser (sources/wikipages.py) — balanced
+    braces, nested templates/links, positional params, language merge."""
+
+    def test_parse_basic_and_case(self):
+        from sophox_spark.sources import wikipages as wp
+
+        t = "x {{KeyDescription|key=highway|onNode=YES|status= Approved }} y"
+        p = wp.parse_template(t, ("keydescription",))
+        assert p["key"] == "highway"
+        assert p["onnode"] == "YES"
+        assert p["status"] == "Approved"
+
+    def test_parse_nested_template_and_link(self):
+        from sophox_spark.sources import wikipages as wp
+
+        t = (
+            "{{ValueDescription|key=amenity|value=bar|description=See "
+            "{{tag|amenity|pub}} and [[Some|Link]] here|onArea=yes}}"
+        )
+        p = wp.parse_template(t, ("keydescription", "valuedescription"))
+        # the nested {{tag|..}} pipes and [[..|..]] pipe must NOT split params
+        assert p["description"] == "See {{tag|amenity|pub}} and [[Some|Link]] here"
+        assert p["onarea"] == "yes"
+        assert p["value"] == "bar"
+
+    def test_positional_params_and_multiline(self):
+        from sophox_spark.sources import wikipages as wp
+
+        t = "{{tag|building|house}}\n{{KeyDescription\n|key=building\n|onWay=no\n}}"
+        p = wp.parse_template(t, ("keydescription",))
+        assert p["key"] == "building"
+        pos = wp.parse_template(t, ("tag",))
+        assert pos["1"] == "building" and pos["2"] == "house"
+
+    def test_no_template_returns_none(self):
+        from sophox_spark.sources import wikipages as wp
+
+        assert wp.parse_template("no templates here", ("keydescription",)) is None
+        assert wp.parse_template("{{KeyDescription|key=x", ("keydescription",)) is None
+
+    def test_tag_refs(self):
+        from sophox_spark.sources import wikipages as wp
+
+        t = "a {{tag|highway|primary}} b {{Key|building}} c {{tag|amenity}} d"
+        assert wp.extract_tag_refs(t) == [
+            "highway=primary", "building", "amenity",
+        ]
+
+    def test_language_merge_prefers_en(self, spark):
+        from sophox_spark.sources import wikipages as wp
+
+        pdf = pd.DataFrame(
+            {
+                "lang": ["de", "en", "zz"],
+                "wikitext": [
+                    "{{KeyDescription|key=k1|onNode=yes|description=DE desc|status=approved}}",
+                    "{{KeyDescription|key=k1|onNode=no|description=EN desc|status=in use}}",
+                    "{{KeyDescription|key=k1|onWay=yes|description=ZZ desc|status=rejected}}",
+                ],
+            }
+        )
+        pages = spark.createDataFrame(pdf, "lang string, wikitext string")
+        merged = wp.merge_language_claims(wp.page_claims(pages)).collect()
+        assert len(merged) == 1
+        r = merged[0]
+        assert r.description == "EN desc" and r.description_lang == "en"
+        assert r.status == "in use"
+        assert r.on_node is True  # OR across languages (de said yes)
+        assert r.on_way is True   # zz said yes
+        assert r.n_pages == 3
