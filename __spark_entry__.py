@@ -1214,6 +1214,80 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_meta(media)
 
 
+def _extract_pages_body(cast: str, idiv: str = "//") -> str:
+    """Common-Crawl-style pages generated portably from events: HTML with
+    geo.position metas, free-text lat/lon pairs, OSM hrefs, wikidata tags,
+    and a <script> trap that must be stripped before text scanning.
+    Coordinates are built from INTEGER arithmetic (lpad fractions), so
+    both dialects emit byte-identical strings; float(lat_str) and
+    lat4/10000.0 are the same correctly-rounded double."""
+    lat_s = f"concat(CAST(lat4 {idiv} 10000 AS {cast}), '.', lpad(CAST(lat4 % 10000 AS {cast}), 4, '0'))"
+    lon_s = f"concat(CAST(lon4 {idiv} 10000 AS {cast}), '.', lpad(CAST(lon4 % 10000 AS {cast}), 4, '0'))"
+    return f"""
+WITH src AS (
+  SELECT event_id,
+         concat('https://example.org/p/', CAST(event_id AS {cast})) AS url,
+         100000 + (event_id * 69621) % 700000 AS lat4,
+         10000 + (event_id * 48271) % 1700000 AS lon4
+  FROM events
+)
+SELECT event_id, url, lat4, lon4,
+       concat('<html><head>',
+              CASE WHEN event_id % 3 = 0
+                   THEN concat('<meta name="geo.position" content="', {lat_s}, ';', {lon_s}, '">')
+                   ELSE '' END,
+              '<script>var x = "49.9999, 11.1111";</script></head><body>',
+              CASE WHEN event_id % 3 = 1
+                   THEN concat('Visit ', {lat_s}, ', ', {lon_s}, ' today.')
+                   ELSE '' END,
+              CASE WHEN event_id % 5 = 0
+                   THEN concat('<a href="https://www.openstreetmap.org/node/',
+                               CAST(event_id % 1000 AS {cast}), '">n</a>')
+                   ELSE '' END,
+              CASE WHEN event_id % 11 = 0
+                   THEN concat(' wikidata=Q', CAST(event_id % 5000 + 1 AS {cast}))
+                   ELSE '' END,
+              '</body></html>') AS html_str
+FROM src
+"""
+
+
+def _q_geo_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star geo-entity extraction over input_hint-shaped pages,
+    with an exact oracle: the ENGINE runs the byte-pinned extractor
+    (script/style strip → tag strip → entity decode → regex scan); the
+    oracle reconstructs the expected mention rows from the same integer
+    arithmetic without parsing — an extractor bug is a hash mismatch."""
+    from sophox_spark.functions import extract
+
+    _load(spark, sf_dir, "events")
+    pages = spark.sql(_extract_pages_body("STRING", idiv="DIV")).select(
+        "url", F.encode("html_str", "utf-8").alias("html")
+    )
+    return extract.extract_mentions(pages)
+
+
+def _geo_extraction_sql() -> str:
+    body = _extract_pages_body("VARCHAR")
+    return f"""
+WITH pages AS ({body})
+SELECT url, 'meta_geo' AS kind, lat4 / 10000.0e0 AS lat, lon4 / 10000.0e0 AS lon,
+       CAST(NULL AS VARCHAR) AS osm_type, CAST(NULL AS BIGINT) AS osm_id,
+       CAST(NULL AS VARCHAR) AS entity
+FROM pages WHERE event_id % 3 = 0
+UNION ALL
+SELECT url, 'text_latlon', lat4 / 10000.0e0, lon4 / 10000.0e0, NULL, NULL, NULL
+FROM pages WHERE event_id % 3 = 1
+UNION ALL
+SELECT url, 'osm_ref', NULL, NULL, 'node', event_id % 1000, NULL
+FROM pages WHERE event_id % 5 = 0
+UNION ALL
+SELECT url, 'wikidata', NULL, NULL, NULL, NULL,
+       'Q' || CAST(event_id % 5000 + 1 AS VARCHAR)
+FROM pages WHERE event_id % 11 = 0
+"""
+
+
 def _q_page_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.functions import extract
     from sophox_spark.sources import synth
@@ -1294,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_embeddings": _q_ann_embeddings,
         "q_multimodal_meta": _q_multimodal_meta,
         "q_page_mentions": _q_page_mentions,
+        "q_geo_extraction": _q_geo_extraction,
         "q_osm_ttl": _q_osm_ttl,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -1324,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
+        "q_geo_extraction": _geo_extraction_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
