@@ -105,6 +105,34 @@ def multitable_signature_col(
     return _sig(F.col(vec_col))
 
 
+def multiprobe_signature_col(
+    vec_col: str, dim: int, n_planes: int, n_tables: int,
+    n_probes: int = 3, seed: int = 42,
+):
+    """Query-side MULTI-PROBE buckets: per table, the base bucket plus
+    the ``n_probes−1`` buckets reached by flipping the lowest-|margin|
+    hyperplane bits (the classic multi-probe LSH trick: a point close to
+    a hyperplane most likely lost its true neighbors across exactly that
+    bit). Corpus-side indexing stays single-bucket, so the index size is
+    unchanged — only query fan-out grows, by n_probes×."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_tables * n_planes))
+
+    @F.pandas_udf("array<long>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        proj = (m @ planes).reshape(len(m), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        base = (proj >= 0.0) @ weights + (np.arange(n_tables, dtype=np.int64) << 32)
+        order = np.argsort(np.abs(proj), axis=2)
+        cols = [base]
+        for p in range(min(n_probes - 1, n_planes)):
+            flip = order[:, :, p].astype(np.int64)
+            cols.append(base ^ (np.int64(1) << flip))
+        return pd.Series(list(np.concatenate(cols, axis=1)))
+
+    return _sig(F.col(vec_col))
+
+
 def ann_topk(
     df: DataFrame,
     k: int = 3,
@@ -113,18 +141,23 @@ def ann_topk(
     dim: int = 64,
     n_planes: int = 5,
     n_tables: int = 12,
+    n_probes: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate self-join top-k: multi-table hyperplane LSH buckets,
-    exact cosine re-rank over the union of bucket candidates. Recall vs
-    ``cosine_topk`` measured in tests. At scale the only shuffle is the
-    (table, bucket) equi-join; candidate count per query is bounded by
-    bucket sizes × tables, not n. Output: (query_id, neighbor_id,
-    cosine, rank)."""
+    """Approximate self-join top-k: multi-table hyperplane LSH buckets
+    with query-side multi-probe, exact cosine re-rank over the union of
+    bucket candidates. Recall vs ``cosine_topk`` measured in tests. At
+    scale the only shuffle is the (table, bucket) equi-join; candidate
+    count per query is bounded by bucket sizes × tables × probes, not n.
+    Output: (query_id, neighbor_id, cosine, rank)."""
     sig = df.select(key, vec_col).withColumn(
         "__buckets", multitable_signature_col(vec_col, dim, n_planes, n_tables, seed)
     )
-    a = sig.select(
+    probed = df.select(key, vec_col).withColumn(
+        "__buckets",
+        multiprobe_signature_col(vec_col, dim, n_planes, n_tables, n_probes, seed),
+    )
+    a = probed.select(
         F.col(key).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode("__buckets").alias("__bucket"),

@@ -110,8 +110,9 @@ class TestSimilarity:
         a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
         recall = len(e & a) / len(e)
         # random (clusterless) embeddings are LSH's worst case; the
-        # multi-table union still recovers most true neighbors
-        assert recall > 0.5
+        # multi-table union + query-side multi-probe still recovers
+        # nearly all true neighbors (measured 0.95 at the defaults)
+        assert recall > 0.9
         # and the candidate set stays sub-quadratic: per-table buckets
         # are small
         sig = emb.withColumn(
