@@ -68,3 +68,81 @@ def windowed_event_counts(
         .groupBy(w, "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+def sessionize_events(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key SESSION assembly with
+    a gap timeout, via ``applyInPandasWithState`` — the capability class
+    Spark's built-in windows don't cover (variable-length windows that
+    close ``gap`` after the last event). State per key = the open
+    session (start/end/count/sum as epoch-micros + doubles); a batch's
+    events extend the open session or close it (emitting the finished
+    session row) and start a new one. The open session survives query
+    restarts through the state store — pinned by a two-run checkpoint
+    test. Processing-time timeout flushes idle keys' sessions on later
+    triggers; with ``availableNow`` over a finite source, still-open
+    sessions remain in state (documented — they are not lost, they are
+    pending).
+
+    Output rows (closed sessions only): ``key_col, session_start,
+    session_end, n_events, sum_value``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, end long, n long, s double"
+
+    def fn(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            start, end, n, sv = state.get
+            closed.append((key[0], start, end, n, sv))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            if len(rows):
+                order = pd.to_datetime(rows[ts_col]).astype("int64").argsort().to_numpy()
+                ts = (pd.to_datetime(rows[ts_col]).astype("int64") // 1000).to_numpy()[order]
+                vals = rows[value_col].to_numpy()[order]
+                if state.exists:
+                    start, end, n, sv = state.get
+                else:
+                    start, end, n, sv = None, 0, 0, 0.0
+                for t, v in zip(ts.tolist(), vals.tolist()):
+                    if start is None:
+                        start, end, n, sv = t, t, 1, float(v)
+                    elif t - end > gap_us:
+                        closed.append((key[0], start, end, n, sv))
+                        start, end, n, sv = t, t, 1, float(v)
+                    else:
+                        end, n, sv = max(end, t), n + 1, sv + float(v)
+                state.update((start, end, n, sv))
+                state.setTimeoutDuration(gap_minutes * 60_000)
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[key_col, "session_start", "session_end", "n_events", "sum_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
