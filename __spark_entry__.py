@@ -756,6 +756,17 @@ FROM agg a JOIN closed c ON c.way_id = a.way_id
 """
 
 
+def _q_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path (rows-only: k-means centroids aren't
+    SQL-expressible; recall pinned by TestIvf on clustered + uniform
+    fixtures)."""
+    from sophox_spark.operators import similarity
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return similarity.ivf_topk(emb, k=3).select("query_id", "neighbor_id", "rank")
+
+
 OSM_SCHEMAS = {
     "nodes": (
         "id long, version int, user string, ts timestamp, changeset long, "
@@ -1366,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regions_topojson": _q_regions_topojson,
         "q_vector_tiles": _q_vector_tiles,
         "q_ann_embeddings": _q_ann_embeddings,
+        "q_ivf_embeddings": _q_ivf_embeddings,
         "q_multimodal_meta": _q_multimodal_meta,
         "q_page_mentions": _q_page_mentions,
         "q_geo_extraction": _q_geo_extraction,

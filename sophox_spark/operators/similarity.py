@@ -1,15 +1,19 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths per the build spec:
+Three paths per the build spec:
   * brute-force cosine top-k — the exactness baseline. Dot products are
     native ``zip_with``/``aggregate`` exprs (JVM, no Python).
-  * LSH-bucketed ANN — the scale path: random-hyperplane signatures
-    (seeded, deterministic) computed in a vectorized pandas UDF, bucket
-    equi-join, exact re-rank inside buckets. At 10^12 rows the bucket
-    join is the only shuffle and each bucket re-rank is tiny.
-
-IVF would be the third option (k-means coarse quantizer); hyperplane
-LSH chosen because it needs no training pass and stays deterministic.
+  * LSH-bucketed ANN — random-hyperplane signatures (seeded,
+    deterministic) in a vectorized pandas UDF, bucket equi-join with
+    query-side multi-probe, exact re-rank inside buckets. At 10^12 rows
+    the bucket join is the only shuffle. The DEFAULT scale path: needs
+    no training pass, and on clusterless (uniform) data its multi-probe
+    recall (0.95 measured) beats IVF at equal candidate budgets.
+  * IVF — spherical k-means coarse quantizer trained on a bounded
+    sample, nprobe-list search. Wins when embeddings CLUSTER (real text
+    encoders do): recall ≈ coverage of the probed lists, so clustered
+    data reaches >0.9 at nprobe/n_lists ≈ 1/8 while uniform data needs
+    probing ~recall fraction of the corpus (both measured in tests).
 """
 
 from __future__ import annotations
@@ -175,6 +179,99 @@ def ann_topk(
     )
     pairs = pairs.withColumn(
         "cosine", _dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means (Lloyd's, cosine metric)
+    trained on a BOUNDED deterministic sample (orderBy(key).limit —
+    standard IVF practice: at 10^12 rows you train on ~10^6 sampled
+    vectors and broadcast the centroids, never the corpus). Returns a
+    unit-normalized (n_lists, dim) centroid matrix."""
+    rows = df.select(key, vec_col).orderBy(key).limit(sample).collect()
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_lists, replace=False)]
+    for _ in range(iters):
+        sim = X @ C.T
+        assign = np.argmax(sim, axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members) == 0:
+                # reseed an empty list to the worst-served point
+                C[j] = X[np.argmin(np.max(sim, axis=1))]
+            else:
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_lists_col(vec_col: str, centroids: np.ndarray, nprobe: int = 1):
+    """array<int> of the ``nprobe`` nearest centroid list ids (cosine).
+    ``nprobe=1`` is the corpus-side assignment; queries probe more."""
+    C = np.ascontiguousarray(centroids)
+
+    @F.pandas_udf("array<int>")
+    def _lists(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sim = m @ C.T
+        top = np.argsort(-sim, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _lists(F.col(vec_col))
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 3,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 6,
+    sample: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate self-join top-k (the third announced similarity
+    path beside brute-force and LSH): corpus vectors live in ONE
+    centroid list each; queries probe their ``nprobe`` nearest lists;
+    exact cosine re-rank inside the probed lists. At scale the list
+    equi-join is the only shuffle and list sizes are ~n/n_lists.
+    Output: (query_id, neighbor_id, cosine, rank)."""
+    C = train_ivf_centroids(df, n_lists, key, vec_col, sample=sample, seed=seed)
+    corpus = df.select(
+        F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn(
+        "__list", F.element_at(ivf_lists_col("__cv", C, 1), 1)
+    ).withColumn("__cn", _norm_expr("__cv"))
+    queries = df.select(
+        F.col(key).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__list", F.explode(ivf_lists_col("__qv", C, nprobe))
+    ).withColumn("__qn", _norm_expr("__qv"))
+    pairs = (
+        queries.join(corpus, "__list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -221,3 +221,33 @@ class TestTaginfo:
         assert v2 == v1 + 1
         final = table.read()
         assert final.count() == 1 and final.collect()[0].key == "name"
+
+
+class TestIvf:
+    def test_ivf_recall_clustered_vs_uniform(self, spark):
+        """IVF's contract: on CLUSTERED embeddings (the realistic case)
+        probing 2/16 lists recovers >0.9 of true neighbors; on uniform
+        data recall tracks the probed fraction (documented floor)."""
+        rng = np.random.default_rng(13)
+        centers = rng.standard_normal((16, 64)) * 3.0
+        rows = [
+            (i, (centers[i % 16] + rng.standard_normal(64) * 0.3).tolist())
+            for i in range(600)
+        ]
+        emb = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+            "vec_id long, embedding array<double>",
+        ).cache()
+        exact = similarity.cosine_topk(emb, emb, k=3).toPandas()
+        e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        approx = similarity.ivf_topk(emb, k=3, n_lists=16, nprobe=2).toPandas()
+        a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+        assert len(e & a) / len(e) > 0.9
+
+        # uniform worst case: recall still above half at nprobe=6/16
+        uni = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        exact_u = similarity.cosine_topk(uni, uni, k=3).toPandas()
+        eu = {(r.query_id, r.neighbor_id) for r in exact_u.itertuples()}
+        au = similarity.ivf_topk(uni, k=3, n_lists=16, nprobe=6).toPandas()
+        su = {(r.query_id, r.neighbor_id) for r in au.itertuples()}
+        assert len(eu & su) / len(eu) > 0.55
