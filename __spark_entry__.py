@@ -797,6 +797,77 @@ def _osm_dfs(spark: SparkSession):
     )
 
 
+# TTL serialization core with an exact oracle: nodes derived from events
+# via integer arithmetic; coordinates are single-division doubles whose
+# str() is exactly the 4-decimal string the oracle rebuilds (last digit
+# pinned nonzero so shortest-repr keeps all four decimals).
+NODE_TTL_FIXTURE_SPARK = """
+SELECT event_id AS id,
+       CAST(event_id % 9 + 1 AS INT) AS version,
+       concat('u', CAST(event_id % 5 AS STRING)) AS user,
+       ts,
+       CAST(event_id % 777 AS BIGINT) AS changeset,
+       (event_id % 29) = 0 AS deleted,
+       CASE WHEN event_id % 17 = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE ((10 + (event_id * 3) % 160) * 10000
+                  + (1 + (event_id * 7) % 999) * 10 + 1 + event_id % 9) / 10000.0e0
+       END AS lon,
+       ((10 + (event_id * 11) % 70) * 10000
+        + (1 + (event_id * 13) % 999) * 10 + 1 + event_id % 9) / 10000.0e0 AS lat,
+       CASE WHEN event_id % 13 = 0 THEN map()
+            ELSE map('name', concat('node ', CAST(event_id AS STRING))) END AS tags
+FROM events
+"""
+
+
+def _q_node_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion core (RdfHandler node path) with an exact oracle:
+    tag grammar, point/loc-error statements, metadata lanes, untagged
+    skip (P1) and deleted filter (P2) all replayed string-for-string in
+    SQL."""
+    from sophox_spark.operators import osm2ttl
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(NODE_TTL_FIXTURE_SPARK)
+    rows = osm2ttl.node_statements(nodes)
+    return rows.select("subject", F.col("ord").cast("long").alias("ord"), "stmt")
+
+
+def _node_ttl_sql() -> str:
+    lon_s = "CAST(lon4 // 10000 AS VARCHAR) || '.' || lpad(CAST(lon4 % 10000 AS VARCHAR), 4, '0')"
+    lat_s = "CAST(lat4 // 10000 AS VARCHAR) || '.' || lpad(CAST(lat4 % 10000 AS VARCHAR), 4, '0')"
+    return f"""
+WITH nodes AS (
+  SELECT event_id AS id, event_id % 9 + 1 AS version,
+         'u' || CAST(event_id % 5 AS VARCHAR) AS usr, ts,
+         event_id % 777 AS changeset,
+         (10 + (event_id * 3) % 160) * 10000
+           + (1 + (event_id * 7) % 999) * 10 + 1 + event_id % 9 AS lon4,
+         (10 + (event_id * 11) % 70) * 10000
+           + (1 + (event_id * 13) % 999) * 10 + 1 + event_id % 9 AS lat4
+  FROM events WHERE event_id % 29 <> 0 AND event_id % 13 <> 0
+),
+fmt AS (SELECT *, 'osmnode:' || CAST(id AS VARCHAR) AS subject,
+               {lon_s} AS lon_s, {lat_s} AS lat_s
+        FROM nodes)
+SELECT subject, CAST(0 AS BIGINT) AS ord,
+       'osmt:name "node ' || CAST(id AS VARCHAR) || '"' AS stmt FROM fmt
+UNION ALL
+SELECT subject, 2000001,
+       CASE WHEN id % 17 = 0 THEN 'osmm:loc:error "Unable to parse location data"'
+            ELSE 'osmm:loc "Point(' || lon_s || ' ' || lat_s || ')"^^geo:wktLiteral' END
+FROM fmt
+UNION ALL SELECT subject, 3000000, 'osmm:type "n"' FROM fmt
+UNION ALL SELECT subject, 3000001,
+  'osmm:version "' || CAST(version AS VARCHAR) || '"^^xsd:integer' FROM fmt
+UNION ALL SELECT subject, 3000002, 'osmm:user "' || usr || '"' FROM fmt
+UNION ALL SELECT subject, 3000003,
+  'osmm:timestamp "' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z"^^xsd:dateTime' FROM fmt
+UNION ALL SELECT subject, 3000004,
+  'osmm:changeset "' || CAST(changeset AS VARCHAR) || '"^^xsd:integer' FROM fmt
+"""
+
+
 def _q_osm_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import osm2ttl
 
@@ -1447,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_mentions": _q_page_mentions,
         "q_geo_extraction": _q_geo_extraction,
         "q_osm_ttl": _q_osm_ttl,
+        "q_node_ttl": _q_node_ttl,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
         "q_rel_centroids_fixpoint": _q_rel_centroids,
@@ -1478,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wiki_claims": _wiki_claims_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
+        "q_node_ttl": _node_ttl_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
