@@ -606,6 +606,47 @@ def _q_regions_topojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tj.regions_topojson(polys, ids, quantile_p=0.0, spherical=False)
 
 
+def _q_regions_geojson_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /regions GeoJSON pipeline (dissolve → ForceRHR → quantize →
+    feature string) over rect fixtures with an EXACT oracle: a rect's
+    quantized ring relative to its own bbox is the constant
+    [[0,0],[0,9999],[9999,9999],[9999,0],[0,0]] after RHR orientation,
+    so the full JSON (sorted keys, compact separators) is a SQL string
+    template; bbox floats are one-decimal exact doubles that format
+    identically in both engines. quantile_p=0 isolates the
+    quantize/orient/serialize semantics from Visvalingam (which is
+    pytest-pinned separately)."""
+    from sophox_spark.operators import dissolve
+
+    rects = spark.sql(RECTS_SPARK)
+    polys = _rect_polys(rects).select(
+        F.concat(F.lit("Q"), F.col("polygon_id").cast("string")).alias("wikidata"),
+        "geom",
+    )
+    ids = polys.select("wikidata").distinct()
+    return dissolve.regions_geojson(polys, ids, quantile_p=0.0, spherical=False)
+
+
+def _regions_geojson_rects_sql() -> str:
+    ring = '[[[[0,0],[0,9999],[9999,9999],[9999,0],[0,0]]]]'
+    geojson = (
+        "'{\"bbox\":[' || CAST(x0 AS VARCHAR) || ',' || CAST(y0 AS VARCHAR) || ',' "
+        "|| CAST(x1 AS VARCHAR) || ',' || CAST(y1 AS VARCHAR) || '],\"geometry\":"
+        "{\"coordinates\":" + ring + ",\"type\":\"MultiPolygon\"},\"id\":\"Q' "
+        "|| CAST(polygon_id AS VARCHAR) || '\",\"properties\":{\"quantize\":10000},"
+        "\"type\":\"Feature\"}'"
+    )
+    return f"""
+WITH rects AS ({RECTS_DUCK})
+SELECT 'Q' || CAST(polygon_id AS VARCHAR) AS wikidata,
+       {geojson} AS geojson,
+       CAST(1 AS BIGINT) AS n_rings,
+       CAST(5 AS BIGINT) AS n_vertices_in,
+       CAST(5 AS BIGINT) AS n_vertices_out
+FROM rects
+"""
+
+
 def _q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector half of raster↔vector tiling (server.js:198-228 semantics)
     over axis-aligned rect polygons, so the per-(tile, polygon) quantized
@@ -1510,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regions_clipped": _q_regions_clipped,
         "q_s2_cells": _q_s2_cells,
         "q_regions_geojson": _q_regions_geojson,
+        "q_regions_geojson_rects": _q_regions_geojson_rects,
         "q_regions_topojson": _q_regions_topojson,
         "q_vector_tiles": _q_vector_tiles,
         "q_ann_embeddings": _q_ann_embeddings,
@@ -1551,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
+        "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
