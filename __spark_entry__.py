@@ -1003,6 +1003,58 @@ FROM resolved
 """
 
 
+# Change stream derived from events: 5 seqid batches, inserts/updates/
+# deletes over 500 keys, version unique per (id, seqid) so last-writer-
+# wins has no ties in either engine.
+CHANGES_FIXTURE = """
+SELECT 1000 + event_id % 5 AS seqid,
+       CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+       event_id % 500 AS id,
+       CAST(event_id % 1000000 AS INT) AS version,
+       concat('u', CAST(event_id % 4 AS {cast})) AS {user_col},
+       ts,
+       ((10 + (event_id * 3) % 160) * 10000 + event_id % 10000) / 10000.0e0 AS lon
+FROM events
+"""
+
+
+def _q_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle for the delta-commit table: five seqid batches
+    flow through dedup_latest → bucket-delta MERGE commits →
+    manifest-reconstructed snapshot read; the final table state must
+    equal plain SQL last-writer-wins (rank by seqid, version, ts;
+    deletes drop the key)."""
+    import tempfile
+
+    from sophox_spark.manifest import Manifest
+    from sophox_spark.streaming import incremental
+
+    _load(spark, sf_dir, "events")
+    changes = spark.sql(CHANGES_FIXTURE.format(cast="STRING", user_col="user"))
+    tmp = tempfile.mkdtemp(prefix="sophox_delta_")
+    man = Manifest(spark, f"{tmp}/manifest")
+    table = incremental.PartitionedSnapshotTable(
+        spark, f"{tmp}/tbl", man, "delta_nodes", n_buckets=8
+    )
+    incremental.apply_change_batches(spark, table, changes)
+    out = table.read()
+    return out.select("id", "version", "user", F.round("lon", 6).alias("lon"))
+
+
+def _delta_upsert_sql() -> str:
+    ch = CHANGES_FIXTURE.format(cast="VARCHAR", user_col="usr")
+    return f"""
+WITH ch AS ({ch}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY seqid DESC, version DESC, ts DESC) AS rk
+  FROM ch
+)
+SELECT id, version, usr AS user, ROUND(lon, 6) AS lon
+FROM ranked WHERE rk = 1 AND op <> 'delete'
+"""
+
+
 def _q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -1566,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_centroids_fixpoint": _q_rel_centroids,
         "q_rel_fixpoint": _q_rel_fixpoint,
         "q_incremental_upsert": _q_incremental_upsert,
+        "q_delta_upsert": _q_delta_upsert,
     }
     return q
 
@@ -1594,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
+        "q_delta_upsert": _delta_upsert_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
