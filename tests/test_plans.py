@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from sophox_spark.operators import knn, spatial_join
+from sophox_spark.operators import knn, spatial_join, tiles
 from sophox_spark.plans import explain
 from sophox_spark.sources import synth
 
@@ -95,3 +95,29 @@ class TestKnnPlan:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestRound2Plans:
+    def test_vector_tiles_broadcast_no_shuffle_of_fanout(self, spark):
+        """The covering fan-out (big side) must NOT shuffle: the geometry
+        re-attach join broadcasts the polygon dim."""
+        polygons = synth.admin_polygons_df(spark, 30)
+        out = tiles.vector_tile_features(polygons, z=7)
+        assert explain.has_broadcast_join(out)
+        assert not explain.has_sort_merge_join(out)
+        # two python crossings: covering gen + per-tile feature gen
+        assert explain.python_eval_nodes(out) == 2
+
+    def test_clipped_regions_embarrassingly_parallel(self, spark):
+        """Water broadcast + one mapInPandas: zero shuffles — the
+        difference op scales with region partitions alone."""
+        from sophox_spark.operators import dissolve
+
+        polygons = synth.admin_polygons_df(spark, 30)
+        regions = polygons.filter("kind = 'admin'").withColumnRenamed(
+            "wikidata", "w"
+        ).selectExpr("polygon_id", "geom")
+        water = polygons.filter("kind = 'water'").selectExpr("polygon_id", "geom")
+        out = dissolve.clipped_regions(regions, water)
+        assert explain.count_exchanges(out) == 0
+        assert explain.python_eval_nodes(out) == 1
