@@ -1141,6 +1141,133 @@ def _q_taginfo_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PBF codec (S1/S2, now a real binary codec — sources/pbf.py): node/way
+# elements derived from event_ids by integer arithmetic are written through
+# the REAL PBF writer (protobuf wire format, zigzag+delta coding, string
+# tables, zlib blobs), re-read through the parallel blob scan, and projected
+# to scalar columns. The oracle rebuilds the expected decoded rows from the
+# same arithmetic WITHOUT touching the binary path, so any drift anywhere in
+# framing/varint/delta/stringtable encode-decode becomes a hash mismatch.
+# (The reader itself is additionally pinned to hand-encoded spec literals in
+# tests/test_pbf.py, so writer+reader bugs can't cancel.)
+def _pbf_fixture_frames(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .column("event_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    ids = np.sort(ids)
+    nodes = pd.DataFrame(
+        {
+            "id": ids,
+            "version": ids % 9 + 1,
+            "user": np.char.add("u", (ids % 5).astype(str)),
+            "ts": pd.to_datetime(1_500_000_000 + 7 * ids, unit="s"),
+            "changeset": ids % 777,
+            "deleted": (ids % 29) == 0,
+            "lon_nano": ((ids * 9973) % 3_500_000_000 - 1_750_000_000) * 100,
+            "lat_nano": ((ids * 7919) % 1_700_000_000 - 850_000_000) * 100,
+            "tags": [
+                {}
+                if i % 13 == 0
+                else (
+                    {"name": f"node {i}", "amenity": "cafe"}
+                    if i % 3 == 0
+                    else {"name": f"node {i}"}
+                )
+                for i in ids
+            ],
+        }
+    )
+    w = ids[ids % 10 == 0]
+    ways = pd.DataFrame(
+        {
+            "id": 2_000_000_000 + w,
+            "version": w % 4 + 1,
+            "user": np.char.add("w", (w % 3).astype(str)),
+            "ts": pd.to_datetime(1_600_000_000 + 11 * w, unit="s"),
+            "changeset": w % 555,
+            "deleted": np.zeros(len(w), bool),
+            "refs": [
+                [int(x * 37) % 10000 + 1, int(x * 41) % 10000 + 1,
+                 int(x * 43) % 10000 + 1]
+                for x in w
+            ],
+            "tags": [{"highway": "residential"}] * len(w),
+        }
+    )
+    return nodes, ways
+
+
+def _q_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 as a real codec: arithmetic fixture → write_pbf → parallel
+    blob-span scan → vectorized block decode → scalar projection."""
+    import os
+    import tempfile
+
+    from sophox_spark.sources import pbf as pbf_src
+
+    nodes, ways = _pbf_fixture_frames(sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="sophox_pbf_"), "fx.osm.pbf")
+    pbf_src.write_pbf(path, nodes, ways, block_size=4096)
+    el = pbf_src.read_pbf(spark, path)
+    return el.select(
+        "kind",
+        "id",
+        F.col("version").cast("long").alias("version"),
+        F.col("user").alias("usr"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_s"),
+        "changeset",
+        "deleted",
+        "lon_nano",
+        "lat_nano",
+        F.element_at("tags", "name").alias("name_tag"),
+        F.element_at("tags", "amenity").alias("amenity_tag"),
+        F.element_at("tags", "highway").alias("highway_tag"),
+        F.concat_ws(",", F.col("refs").cast("array<string>")).alias("refs_s"),
+    )
+
+
+def _pbf_scan_sql() -> str:
+    return """
+WITH e AS (SELECT event_id AS i FROM events),
+nodes AS (
+  SELECT 'node' AS kind, i AS id, i % 9 + 1 AS version,
+         'u' || CAST(i % 5 AS VARCHAR) AS usr,
+         strftime(make_timestamp((1500000000 + 7 * i) * 1000000),
+                  '%Y-%m-%dT%H:%M:%S') AS ts_s,
+         i % 777 AS changeset,
+         (i % 29) = 0 AS deleted,
+         ((i * 9973) % 3500000000 - 1750000000) * 100 AS lon_nano,
+         ((i * 7919) % 1700000000 - 850000000) * 100 AS lat_nano,
+         CASE WHEN i % 13 = 0 THEN NULL
+              ELSE 'node ' || CAST(i AS VARCHAR) END AS name_tag,
+         CASE WHEN i % 13 <> 0 AND i % 3 = 0 THEN 'cafe' END AS amenity_tag,
+         CAST(NULL AS VARCHAR) AS highway_tag,
+         '' AS refs_s
+  FROM e),
+ways AS (
+  SELECT 'way' AS kind, 2000000000 + i AS id, i % 4 + 1 AS version,
+         'w' || CAST(i % 3 AS VARCHAR) AS usr,
+         strftime(make_timestamp((1600000000 + 11 * i) * 1000000),
+                  '%Y-%m-%dT%H:%M:%S') AS ts_s,
+         i % 555 AS changeset,
+         FALSE AS deleted,
+         CAST(NULL AS BIGINT) AS lon_nano, CAST(NULL AS BIGINT) AS lat_nano,
+         CAST(NULL AS VARCHAR) AS name_tag, CAST(NULL AS VARCHAR) AS amenity_tag,
+         'residential' AS highway_tag,
+         CAST((i * 37) % 10000 + 1 AS VARCHAR) || ',' ||
+         CAST((i * 41) % 10000 + 1 AS VARCHAR) || ',' ||
+         CAST((i * 43) % 10000 + 1 AS VARCHAR) AS refs_s
+  FROM e WHERE i % 10 = 0)
+SELECT * FROM nodes UNION ALL SELECT * FROM ways
+"""
+
+
 # metabot analog: wiki description-template pages -> merged claims.
 # One page per (lang, key); the ENGINE must parse the wikitext (balanced
 # braces, nested {{tag|..}} inside description); the oracle reconstructs
@@ -1577,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_increment_merge": _sql_query(INCREMENT_SQL, ("events",)),
         "q_pageview_agg": _q_pageview_agg,
         "q_taginfo_usage": _q_taginfo_usage,
+        "q_pbf_scan": _q_pbf_scan,
         "q_wiki_claims": _q_wiki_claims,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
@@ -1640,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "q_increment_merge": INCREMENT_SQL,
         "q_pageview_agg": _pageview_sql("duckdb"),
         "q_taginfo_usage": _taginfo_usage_sql(),
+        "q_pbf_scan": _pbf_scan_sql(),
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
