@@ -1268,6 +1268,163 @@ SELECT * FROM nodes UNION ALL SELECT * FROM ways
 """
 
 
+# OSC minute-diff apply (S3 as a real XML parser — sources/osc.py): three
+# replication diffs generated from event_id arithmetic are written as real
+# gzipped osmChange XML, re-parsed by the distributed reader, collapsed to
+# the latest action per id ((seq, pos) order — the osmosis apply order),
+# and merged into an arithmetic base table. The oracle replays the same
+# last-writer-wins outcome with arg_max over (seq*10 + block_rank), never
+# touching XML. Coordinates stay STRINGS end-to-end (the raw attribute
+# bytes), so there is no float round-trip anywhere.
+OSC_BASE_SPARK = """
+SELECT event_id AS id, CAST(1 AS BIGINT) AS version,
+       concat('node ', CAST(event_id AS STRING)) AS name_tag,
+       concat(CAST(10 + (event_id * 11) % 70 AS STRING), '.',
+              lpad(CAST((event_id * 7919) % 9999999 AS STRING), 7, '0')) AS lat_s,
+       concat(CAST((event_id * 13) % 160 AS STRING), '.',
+              lpad(CAST((event_id * 31) % 9999999 AS STRING), 7, '0')) AS lon_s
+FROM events
+"""
+
+
+def _osc_fixture_files(sf_dir: str, out_dir: str) -> None:
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sophox_spark.sources import osc
+
+    ids = np.sort(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .column("event_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    common = {"ts_s": "2023-01-01T00:00:00Z", "changeset": 1, "uid": 1,
+              "user": "sync", "refs": None, "members": None}
+
+    def _rows(action, sel, build):
+        return [dict(common, action=action, kind="node", **build(int(i)))
+                for i in sel]
+
+    for seq in (1, 2, 3):
+        blocks = []
+        m = ids[(ids % 7 == 1) & (ids % 3 + 1 == seq)]
+        blocks += _rows(
+            "modify", m,
+            lambda i: {
+                "id": i, "version": 2,
+                "tags": {"name": f"mod {i}@{i % 3 + 1}"},
+                "lat_s": f"{11 + (i * 11) % 70}.{str((i * 7919 + 111) % 9999999).zfill(7)}",
+                "lon_s": f"{(i * 13 + 1) % 160}.{str((i * 31 + 7) % 9999999).zfill(7)}",
+            },
+        )
+        c = ids[(ids % 13 == 5) & (ids % 3 + 1 == seq)]
+        blocks += _rows(
+            "create", c,
+            lambda i: {
+                "id": 3_000_000_000 + i, "version": 1,
+                "tags": {"name": f"new {i}"},
+                "lat_s": f"{20 + (i * 17) % 60}.{str((i * 23) % 9999999).zfill(7)}",
+                "lon_s": f"{(i * 29) % 160}.{str((i * 37) % 9999999).zfill(7)}",
+            },
+        )
+        d = ids[(ids % 11 == 3) & (ids % 2 + 2 == seq)]
+        blocks += _rows(
+            "delete", d,
+            lambda i: {"id": i, "version": 9, "tags": {},
+                       "lat_s": None, "lon_s": None},
+        )
+        osc.write_osc(
+            os.path.join(out_dir, f"{seq:09d}.osc.gz"),
+            pd.DataFrame(blocks, columns=["action", "kind", "id", "version",
+                                          "ts_s", "changeset", "uid", "user",
+                                          "lat_s", "lon_s", "tags", "refs",
+                                          "members"]),
+        )
+
+
+def _q_osc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end: real .osc.gz XML diffs → distributed parse →
+    simplify-change (latest per id across the backlog) → MERGE into the
+    base table (RdfUpdateHandler apply semantics)."""
+    import tempfile
+
+    from sophox_spark.sources import osc
+    from sophox_spark.streaming import incremental
+
+    _load(spark, sf_dir, "events")
+    base = spark.sql(OSC_BASE_SPARK)
+    tmp = tempfile.mkdtemp(prefix="sophox_osc_")
+    _osc_fixture_files(sf_dir, tmp)
+    changes = osc.read_osc(spark, tmp + "/*.osc.gz").withColumn(
+        "seq", F.regexp_extract("file", "^0*([0-9]+)", 1).cast("long")
+    )
+    latest = incremental.dedup_latest(changes, ["id"], ["seq", "pos"])
+    ups = latest.select(
+        "id",
+        F.col("version").cast("long").alias("version"),
+        F.element_at("tags", "name").alias("name_tag"),
+        "lat_s",
+        "lon_s",
+        (F.col("action") == "delete").alias("is_del"),
+    )
+    return incremental.merge_upsert(base, ups, ["id"], delete_col="is_del")
+
+
+def _osc_apply_sql() -> str:
+    return """
+WITH e AS (SELECT event_id AS i FROM events),
+base AS (
+  SELECT i AS id, CAST(1 AS BIGINT) AS version,
+         'node ' || CAST(i AS VARCHAR) AS name_tag,
+         CAST(10 + (i * 11) % 70 AS VARCHAR) || '.' ||
+           lpad(CAST((i * 7919) % 9999999 AS VARCHAR), 7, '0') AS lat_s,
+         CAST((i * 13) % 160 AS VARCHAR) || '.' ||
+           lpad(CAST((i * 31) % 9999999 AS VARCHAR), 7, '0') AS lon_s
+  FROM e),
+mods AS (
+  SELECT (i % 3) + 1 AS seq, 1 AS rk, i AS id, 2 AS version,
+         'mod ' || CAST(i AS VARCHAR) || '@' || CAST((i % 3) + 1 AS VARCHAR)
+           AS name_tag,
+         CAST(11 + (i * 11) % 70 AS VARCHAR) || '.' ||
+           lpad(CAST((i * 7919 + 111) % 9999999 AS VARCHAR), 7, '0') AS lat_s,
+         CAST((i * 13 + 1) % 160 AS VARCHAR) || '.' ||
+           lpad(CAST((i * 31 + 7) % 9999999 AS VARCHAR), 7, '0') AS lon_s,
+         FALSE AS is_del
+  FROM e WHERE i % 7 = 1),
+crts AS (
+  SELECT (i % 3) + 1, 2, 3000000000 + i, 1,
+         'new ' || CAST(i AS VARCHAR),
+         CAST(20 + (i * 17) % 60 AS VARCHAR) || '.' ||
+           lpad(CAST((i * 23) % 9999999 AS VARCHAR), 7, '0'),
+         CAST((i * 29) % 160 AS VARCHAR) || '.' ||
+           lpad(CAST((i * 37) % 9999999 AS VARCHAR), 7, '0'),
+         FALSE
+  FROM e WHERE i % 13 = 5),
+dels AS (
+  SELECT (i % 2) + 2, 3, i, 9, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE
+  FROM e WHERE i % 11 = 3),
+changes AS (SELECT * FROM mods UNION ALL SELECT * FROM crts
+            UNION ALL SELECT * FROM dels),
+latest AS (
+  SELECT id,
+         arg_max(version, seq * 10 + rk) AS version,
+         arg_max(name_tag, seq * 10 + rk) AS name_tag,
+         arg_max(lat_s, seq * 10 + rk) AS lat_s,
+         arg_max(lon_s, seq * 10 + rk) AS lon_s,
+         arg_max(is_del, seq * 10 + rk) AS is_del
+  FROM changes GROUP BY id)
+SELECT b.id, b.version, b.name_tag, b.lat_s, b.lon_s
+FROM base b LEFT JOIN latest l ON l.id = b.id WHERE l.id IS NULL
+UNION ALL
+SELECT id, CAST(version AS BIGINT), name_tag, lat_s, lon_s
+FROM latest WHERE NOT is_del
+"""
+
+
 # metabot analog: wiki description-template pages -> merged claims.
 # One page per (lang, key); the ENGINE must parse the wikitext (balanced
 # braces, nested {{tag|..}} inside description); the oracle reconstructs
@@ -1705,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pageview_agg": _q_pageview_agg,
         "q_taginfo_usage": _q_taginfo_usage,
         "q_pbf_scan": _q_pbf_scan,
+        "q_osc_apply": _q_osc_apply,
         "q_wiki_claims": _q_wiki_claims,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
@@ -1769,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pageview_agg": _pageview_sql("duckdb"),
         "q_taginfo_usage": _taginfo_usage_sql(),
         "q_pbf_scan": _pbf_scan_sql(),
+        "q_osc_apply": _osc_apply_sql(),
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
