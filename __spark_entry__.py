@@ -1812,6 +1812,56 @@ FROM pages WHERE event_id % 11 = 0
 """
 
 
+# WARC container (the Common-Crawl archive format behind the input_hint
+# pages table): arithmetic HTML pages are written as REAL warc.gz files
+# (one gzip member per record + CDX-analog span index), re-read through
+# the span-distributed scan, and fingerprinted. The oracle rebuilds the
+# same pages arithmetically and md5s them — any corruption in record
+# framing / gzip members / HTTP envelope / byte passthrough mismatches.
+def _q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from sophox_spark.sources import warc as warc_src
+
+    _load(spark, sf_dir, "events")
+    pdf = (
+        spark.sql(_extract_pages_body("STRING", idiv="DIV"))
+        .select("event_id", "url", "html_str")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    pdf["html"] = pdf["html_str"].map(lambda s: s.encode("utf-8"))
+    pdf["ts_s"] = "2024-06-01T00:00:00Z"
+    pdf["status"] = 200 + (pdf["event_id"] % 2) * 104
+    tmp = tempfile.mkdtemp(prefix="sophox_warc_")
+    for k in range(4):
+        part = pdf[pdf["event_id"] % 4 == k]
+        warc_src.write_warc(os.path.join(tmp, f"crawl-{k:03d}.warc.gz"), part)
+    records = warc_src.read_warc(spark, tmp + "/*.warc.gz")
+    return records.select(
+        "url",
+        "ts_s",
+        F.col("http_status").cast("long").alias("http_status"),
+        "mime",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
+def _warc_pages_sql() -> str:
+    body = _extract_pages_body("VARCHAR")
+    return f"""
+WITH pages AS ({body})
+SELECT url, '2024-06-01T00:00:00Z' AS ts_s,
+       200 + (event_id % 2) * 104 AS http_status,
+       'text/html' AS mime,
+       CAST(strlen(html_str) AS BIGINT) AS n_bytes,
+       md5(html_str) AS html_md5
+FROM pages
+"""
+
+
 def _q_page_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.functions import extract
     from sophox_spark.sources import synth
@@ -1863,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_taginfo_usage": _q_taginfo_usage,
         "q_pbf_scan": _q_pbf_scan,
         "q_osc_apply": _q_osc_apply,
+        "q_warc_pages": _q_warc_pages,
         "q_wiki_claims": _q_wiki_claims,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
@@ -1928,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "q_taginfo_usage": _taginfo_usage_sql(),
         "q_pbf_scan": _pbf_scan_sql(),
         "q_osc_apply": _osc_apply_sql(),
+        "q_warc_pages": _warc_pages_sql(),
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
