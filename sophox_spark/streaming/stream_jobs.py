@@ -51,6 +51,73 @@ def stream_changes_ingest(
     )
 
 
+def stream_osc_ingest(
+    spark: SparkSession,
+    osc_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+):
+    """The reference's 60 s replication poll (RdfUpdateHandler.py:104-146)
+    with the REAL wire format: a binaryFile readStream watches the
+    replication directory for ``*.osc.gz`` minute diffs, each micro-batch
+    parses its files with the distributed OSC XML reader, and foreachBatch
+    drives the same seqid-guarded idempotent upsert as the parquet
+    change-stream path — at-least-once file delivery becomes
+    effectively-once table commits.
+
+    The diff sequence number comes from the file name (osmosis state
+    numbering); per-id conflicts within a batch resolve by (version, ts)
+    like OSM element versions do.
+    """
+    from ..sources import osc
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.osc.gz")
+        .load(osc_dir)
+        .select("path", "content")
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+
+        import pandas as pd
+
+        def _parse(batches):
+            for pdf in batches:
+                for p, data in zip(pdf["path"], pdf["content"]):
+                    out = osc.parse_osc_bytes(bytes(data), os.path.basename(p))
+                    if len(out):
+                        yield out
+
+        parsed = batch_df.mapInPandas(_parse, osc.OSC_SCHEMA)
+        changes = parsed.select(
+            F.regexp_extract("file", "^0*([0-9]+)", 1).cast("long").alias("seqid"),
+            F.when(F.col("action") == "delete", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "id",
+            "version",
+            F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+            F.element_at("tags", "name").alias("name"),
+            "lat_s",
+            "lon_s",
+        )
+        apply_change_batches(spark, table, changes)
+
+    return (
+        files.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_stream: DataFrame,

@@ -159,3 +159,74 @@ def test_read_osc_spark(spark, tmp_path):
     assert g0["id"].tolist() == list(range(per_file))
     assert g0.iloc[7]["lat_s"] == f"{10 + 7 % 70}.{7 % 10}00000{1 + 7 % 9}"
     assert dict(g0.iloc[4]["tags"]) == {"name": "n4"}
+
+
+def test_stream_osc_ingest_end_to_end(spark, tmp_path):
+    """Replication-loop analog over real .osc.gz files: initial snapshot,
+    three minute-diffs applied in sequence order by a binaryFile stream,
+    then a fresh-checkpoint replay that must be a seqid-guarded no-op."""
+    from sophox_spark.manifest import Manifest
+    from sophox_spark.streaming import incremental, stream_jobs
+
+    man = Manifest(spark, str(tmp_path / "manifest"))
+    table = incremental.SnapshotTable(spark, str(tmp_path / "tbl"), man, "nodes")
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": range(10),
+                "version": [1] * 10,
+                "ts": pd.to_datetime([1_700_000_000] * 10, unit="s"),
+                "name": [f"node {i}" for i in range(10)],
+                "lat_s": ["10.0000001"] * 10,
+                "lon_s": ["20.0000001"] * 10,
+            }
+        )
+    )
+    table.commit(base, seqid=0)
+
+    osc_dir = tmp_path / "diffs"
+    osc_dir.mkdir()
+
+    def diff(seq, rows):
+        osc.write_osc(str(osc_dir / f"{seq:09d}.osc.gz"), pd.DataFrame(rows))
+
+    common = {"kind": "node", "changeset": 1, "uid": 1, "user": "sync",
+              "refs": None, "members": None}
+    ts = ["2024-01-01T00:00:01Z", "2024-01-01T00:00:02Z", "2024-01-01T00:00:03Z"]
+    # seq1: modify node 2 (v2), create node 100
+    diff(1, [
+        dict(common, action="modify", id=2, version=2, ts_s=ts[0],
+             lat_s="11.0000001", lon_s="21.0000001", tags={"name": "two@1"}),
+        dict(common, action="create", id=100, version=1, ts_s=ts[0],
+             lat_s="12.0000001", lon_s="22.0000001", tags={"name": "hundred"}),
+    ])
+    # seq2: delete node 3, modify node 2 again (v3)
+    diff(2, [
+        dict(common, action="modify", id=2, version=3, ts_s=ts[1],
+             lat_s="11.5000001", lon_s="21.5000001", tags={"name": "two@2"}),
+        dict(common, action="delete", id=3, version=2, ts_s=ts[1],
+             lat_s=None, lon_s=None, tags={}),
+    ])
+    # seq3: delete the created node 100
+    diff(3, [
+        dict(common, action="delete", id=100, version=2, ts_s=ts[2],
+             lat_s=None, lon_s=None, tags={}),
+    ])
+
+    q = stream_jobs.stream_osc_ingest(
+        spark, str(osc_dir), table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r.id: (r.version, r.name) for r in table.read().collect()}
+    want = {i: (1, f"node {i}") for i in range(10) if i not in (2, 3)}
+    want[2] = (3, "two@2")
+    assert got == want
+
+    # fresh checkpoint => all files replay; seqid guard makes it a no-op
+    v_before = table.current_version()
+    q2 = stream_jobs.stream_osc_ingest(
+        spark, str(osc_dir), table, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert table.current_version() == v_before

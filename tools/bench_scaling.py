@@ -30,10 +30,28 @@ N_SMALL = int(os.environ.get("SCALING_N", "2"))
 N_BIG = 4 * N_SMALL
 
 
+SPARK_SUBMIT = os.path.join(
+    os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+)
+
+
 def run(cpus: int, replicate: int) -> dict:
+    """One cluster size = one spark-submit (north_rule's exact launch
+    shape): the engine ships as --py-files dist/sophox_spark.zip, the
+    master is the only thing that changes between the N and 4N runs."""
+    from package_pyfiles import build
+
+    env = dict(os.environ, SPARK_GRAFT_INHERIT_MASTER="1")
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_worker.py"), str(cpus), str(replicate)],
-        capture_output=True, text=True, timeout=3000, check=True,
+        [
+            SPARK_SUBMIT,
+            "--master", f"local[{cpus}]",
+            "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "--py-files", build(),
+            os.path.join(HERE, "scaling_worker.py"),
+            str(cpus), str(replicate),
+        ],
+        capture_output=True, text=True, timeout=3000, check=True, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 

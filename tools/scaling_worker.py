@@ -15,7 +15,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# under spark-submit the engine arrives via --py-files; the repo-root
+# path is only needed for direct `python tools/scaling_worker.py` runs
+if os.environ.get("SPARK_GRAFT_INHERIT_MASTER") != "1":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
