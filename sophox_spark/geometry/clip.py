@@ -235,6 +235,40 @@ def clip_rings(subject: np.ndarray, clipper: np.ndarray, op: str):
     return closed
 
 
+def clip_rings_robust(subject: np.ndarray, clipper: np.ndarray, op: str,
+                      retries: int = 3):
+    """``clip_rings`` with deterministic micro-perturbation retries.
+
+    Shared vertices / collinear edges (ubiquitous when OSM parts share
+    admin boundaries) violate Greiner–Hormann's general-position
+    requirement. Instead of full snap-rounding, degenerate contacts are
+    broken by nudging the CLIPPER by ≤ extent·1e-9 per retry (≈0.1 µm
+    for degree-scaled data — 4 orders of magnitude below the 7-decimal
+    input precision), escalating ×10 per retry. The offsets come from a
+    seeded PCG generator, so results are bit-reproducible across runs
+    and hosts. The subject is never moved: difference results keep the
+    subject's exact boundary except where clipped.
+
+    Raises DegenerateGeometry only if every retry stays degenerate."""
+    try:
+        return clip_rings(subject, clipper, op)
+    except DegenerateGeometry:
+        pass
+    clp = np.asarray(clipper, dtype=np.float64)
+    extent = max(float(np.ptp(clp[:, 0])), float(np.ptp(clp[:, 1])), 1e-6)
+    for retry in range(retries):
+        rng = np.random.default_rng(0xC11B + retry)
+        opened = _open_ring(clp)
+        nudged = opened + rng.uniform(-1.0, 1.0, opened.shape) * (
+            extent * 1e-9 * 10.0**retry
+        )
+        try:
+            return clip_rings(subject, np.vstack([nudged, nudged[:1]]), op)
+        except DegenerateGeometry:
+            continue
+    raise DegenerateGeometry(f"degenerate after {retries} perturbation retries")
+
+
 def difference_with_holes(poly: list[np.ndarray], clipper: np.ndarray):
     """(exterior, *holes) − clipper. The clipper must not touch the
     existing holes (raises DegenerateGeometry via the underlying clip if
@@ -246,7 +280,7 @@ def difference_with_holes(poly: list[np.ndarray], clipper: np.ndarray):
         c0 = _open_ring(clipper)[0]
         if point_in_rings(float(c0[0]), float(c0[1]), h_closed):
             return [poly]  # clipper inside an existing hole: no-op
-    parts = clip_rings(exterior, clipper, "difference")
+    parts = clip_rings_robust(exterior, clipper, "difference")
     out = []
     new_ext = [r for r, is_hole in parts if not is_hole]
     new_holes = [r for r, is_hole in parts if is_hole]
@@ -303,7 +337,7 @@ def union_parts(
                 and len(cur) == 1 and len(merged[i]) == 1
             ):
                 try:
-                    res = clip_rings(merged[i][0], cur[0], "union")
+                    res = clip_rings_robust(merged[i][0], cur[0], "union")
                 except DegenerateGeometry:
                     n_fallbacks += 1
                     i += 1

@@ -98,15 +98,18 @@ def write_warc(path: str, pages: pd.DataFrame, compress: bool | None = None,
             b"software: sophox_spark\r\n",
         )
         f.write(gzip.compress(info, mtime=0) if compress else info)
-        for _, row in pages.iterrows():
-            rec = _response_record(
-                row["url"], row["ts_s"], bytes(row["html"]),
-                int(row.get("status", 200)), row.get("mime", "text/html"),
-            )
+        status = (pages["status"] if "status" in pages
+                  else pd.Series(200, index=pages.index))
+        mime = (pages["mime"] if "mime" in pages
+                else pd.Series("text/html", index=pages.index))
+        for url, ts_s, html, st, mi in zip(
+            pages["url"], pages["ts_s"], pages["html"], status, mime
+        ):
+            rec = _response_record(url, ts_s, bytes(html), int(st), mi)
             if compress:
                 rec = gzip.compress(rec, mtime=0)
             spans.append({"offset": f.tell(), "length": len(rec),
-                          "url": row["url"], "ts_s": row["ts_s"]})
+                          "url": url, "ts_s": ts_s})
             f.write(rec)
     if with_index:
         with open(path + ".idx", "w") as fi:

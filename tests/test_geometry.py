@@ -348,9 +348,12 @@ class TestClip:
         # disjoint parts stay multipart
         merged, fb = clip.union_parts([[self._sq(0, 0, 1)], [self._sq(3, 3, 1)]])
         assert len(merged) == 2 and fb == 0
-        # identical parts: degenerate → multipart fallback, counted
+        # identical parts: degenerate contact, but the perturbation retry
+        # now dissolves them into ONE part (PostGIS ST_Union behavior);
+        # area stays the square's own area to within the 1e-9 nudge
         merged, fb = clip.union_parts([[self._sq(0, 0, 1)], [self._sq(0, 0, 1)]])
-        assert len(merged) == 2 and fb == 1
+        assert len(merged) == 1 and fb == 0
+        assert abs(core.ring_signed_area(merged[0][0])) == pytest.approx(1.0, abs=1e-6)
 
     def test_difference_with_holes(self):
         from sophox_spark.geometry import clip
@@ -368,3 +371,68 @@ class TestClip:
         # clipper strictly inside the hole: no-op
         out2 = clip.difference_with_holes(poly, self._sq(1.1, 1.1, 0.2))
         assert len(out2) == 1 and len(out2[0]) == 2
+
+
+class TestRobustClip:
+    """Degenerate contacts (shared edges/vertices) must clip via the
+    deterministic perturbation retry instead of falling back."""
+
+    def test_shared_edge_union(self):
+        import numpy as np
+
+        from sophox_spark.geometry import clip
+
+        a = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+        b = np.array([[2, 0], [4, 0], [4, 2], [2, 2], [2, 0]], float)  # shares edge x=2
+        import pytest
+
+        with pytest.raises(clip.DegenerateGeometry):
+            clip.clip_rings(a, b, "union")
+        res = clip.clip_rings_robust(a, b, "union")
+        assert len(res) == 1 and not res[0][1]
+        from sophox_spark.geometry.core import ring_signed_area
+
+        # 2x2 + 2x2 squares sharing an edge -> 4x2 rectangle, area 8
+        assert abs(abs(ring_signed_area(res[0][0])) - 8.0) < 1e-6
+
+    def test_shared_vertex_difference(self):
+        import numpy as np
+
+        from sophox_spark.geometry import clip
+        from sophox_spark.geometry.core import ring_signed_area
+
+        a = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        # clipper's corner exactly ON the subject's edge midpoint
+        b = np.array([[2, 0], [3, -1], [1, -1], [2, 0]], float)
+        res = clip.clip_rings_robust(a, b, "difference")
+        area = sum(abs(ring_signed_area(r)) for r, h in res if not h)
+        assert abs(area - 16.0) < 1e-6  # clipper below: subject unchanged
+
+    def test_determinism(self):
+        import numpy as np
+
+        from sophox_spark.geometry import clip
+
+        a = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+        b = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)
+        b[0] = [2, 2]  # vertex-on-vertex contact
+        b[-1] = [2, 2]
+        r1 = clip.clip_rings_robust(a, b, "union")
+        r2 = clip.clip_rings_robust(a, b, "union")
+        assert len(r1) == len(r2)
+        for (x, _), (y, _) in zip(r1, r2):
+            np.testing.assert_array_equal(x, y)
+
+    def test_union_parts_shared_edges_now_merge(self):
+        import numpy as np
+
+        from sophox_spark.geometry import clip
+
+        # a strip of squares, each sharing an edge with the next
+        parts = [
+            [np.array([[i, 0], [i + 1, 0], [i + 1, 1], [i, 1], [i, 0]], float)]
+            for i in range(5)
+        ]
+        merged, n_fb = clip.union_parts(parts)
+        assert n_fb == 0
+        assert len(merged) == 1
