@@ -1268,6 +1268,91 @@ SELECT * FROM nodes UNION ALL SELECT * FROM ways
 """
 
 
+# The reference's ENTIRE bulk parse path (`osm2rdf parse <pbf> <outdir>`,
+# osm2rdf.py:42-48) end-to-end on the real input format: arithmetic nodes
+# → real PBF binary → parallel blob decode → TTL statement conversion
+# (tag grammar, Point serialization, metadata lanes, P1 untagged-skip,
+# P2 deleted-filter). The oracle rebuilds every statement string from the
+# same arithmetic (the q_node_ttl technique), so a bug ANYWHERE in the
+# codec or the converter is a hash mismatch. Coordinate parity holds
+# because nano/10^9 in the decoder and lat4/10000.0 in SQL are the same
+# correctly-rounded double (single division of the same decimal), and the
+# fixture pins the 4th decimal nonzero so str() keeps all digits.
+def _q_pbf_to_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sophox_spark.operators import osm2ttl
+    from sophox_spark.sources import pbf as pbf_src
+
+    ids = np.sort(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .column("event_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    lat4 = (10 + (ids * 11) % 70) * 10000 + (1 + (ids * 13) % 999) * 10 + 1 + ids % 9
+    lon4 = (10 + (ids * 3) % 160) * 10000 + (1 + (ids * 7) % 999) * 10 + 1 + ids % 9
+    nodes = pd.DataFrame(
+        {
+            "id": ids,
+            "version": ids % 9 + 1,
+            "user": np.char.add("u", (ids % 5).astype(str)),
+            "ts": pd.to_datetime(1_500_000_000 + 7 * ids, unit="s"),
+            "changeset": ids % 777,
+            "deleted": (ids % 29) == 0,
+            "lon_nano": lon4 * 100_000,
+            "lat_nano": lat4 * 100_000,
+            "tags": [
+                {} if i % 13 == 0 else {"name": f"node {i}"} for i in ids
+            ],
+        }
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="sophox_pbf_ttl_"), "n.osm.pbf")
+    pbf_src.write_pbf(path, nodes, block_size=4096)
+    el = pbf_src.read_pbf(spark, path)
+    rows = osm2ttl.node_statements(el.filter(F.col("kind") == "node"))
+    return rows.select("subject", F.col("ord").cast("long").alias("ord"), "stmt")
+
+
+def _pbf_to_ttl_sql() -> str:
+    lon_s = "CAST(lon4 // 10000 AS VARCHAR) || '.' || lpad(CAST(lon4 % 10000 AS VARCHAR), 4, '0')"
+    lat_s = "CAST(lat4 // 10000 AS VARCHAR) || '.' || lpad(CAST(lat4 % 10000 AS VARCHAR), 4, '0')"
+    return f"""
+WITH nodes AS (
+  SELECT event_id AS id, event_id % 9 + 1 AS version,
+         'u' || CAST(event_id % 5 AS VARCHAR) AS usr,
+         make_timestamp((1500000000 + 7 * event_id) * 1000000) AS ts,
+         event_id % 777 AS changeset,
+         (10 + (event_id * 11) % 70) * 10000
+           + (1 + (event_id * 13) % 999) * 10 + 1 + event_id % 9 AS lat4,
+         (10 + (event_id * 3) % 160) * 10000
+           + (1 + (event_id * 7) % 999) * 10 + 1 + event_id % 9 AS lon4
+  FROM events WHERE event_id % 29 <> 0 AND event_id % 13 <> 0
+),
+fmt AS (SELECT *, 'osmnode:' || CAST(id AS VARCHAR) AS subject,
+               {lon_s} AS lon_s, {lat_s} AS lat_s
+        FROM nodes)
+SELECT subject, CAST(0 AS BIGINT) AS ord,
+       'osmt:name "node ' || CAST(id AS VARCHAR) || '"' AS stmt FROM fmt
+UNION ALL
+SELECT subject, 2000001,
+       'osmm:loc "Point(' || lon_s || ' ' || lat_s || ')"^^geo:wktLiteral'
+FROM fmt
+UNION ALL SELECT subject, 3000000, 'osmm:type "n"' FROM fmt
+UNION ALL SELECT subject, 3000001,
+  'osmm:version "' || CAST(version AS VARCHAR) || '"^^xsd:integer' FROM fmt
+UNION ALL SELECT subject, 3000002, 'osmm:user "' || usr || '"' FROM fmt
+UNION ALL SELECT subject, 3000003,
+  'osmm:timestamp "' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z"^^xsd:dateTime' FROM fmt
+UNION ALL SELECT subject, 3000004,
+  'osmm:changeset "' || CAST(changeset AS VARCHAR) || '"^^xsd:integer' FROM fmt
+"""
+
+
 # OSC minute-diff apply (S3 as a real XML parser — sources/osc.py): three
 # replication diffs generated from event_id arithmetic are written as real
 # gzipped osmChange XML, re-parsed by the distributed reader, collapsed to
@@ -1912,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pageview_agg": _q_pageview_agg,
         "q_taginfo_usage": _q_taginfo_usage,
         "q_pbf_scan": _q_pbf_scan,
+        "q_pbf_to_ttl": _q_pbf_to_ttl,
         "q_osc_apply": _q_osc_apply,
         "q_warc_pages": _q_warc_pages,
         "q_wiki_claims": _q_wiki_claims,
@@ -1978,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pageview_agg": _pageview_sql("duckdb"),
         "q_taginfo_usage": _taginfo_usage_sql(),
         "q_pbf_scan": _pbf_scan_sql(),
+        "q_pbf_to_ttl": _pbf_to_ttl_sql(),
         "q_osc_apply": _osc_apply_sql(),
         "q_warc_pages": _warc_pages_sql(),
         "q_way_assembly": _way_assembly_sql(),

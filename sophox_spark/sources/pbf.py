@@ -507,8 +507,11 @@ def _decode_dense(data, strings, gran, lat_off, lon_off, date_gran) -> pd.DataFr
             "deleted": ~visible,
             "lon_nano": lon_nano,
             "lat_nano": lat_nano,
-            "lon": 1e-9 * lon_nano,
-            "lat": 1e-9 * lat_nano,
+            # one correctly-rounded DIVISION (not *1e-9): nano/10^9 is then
+            # bit-identical to any other single-division rendering of the
+            # same decimal (e.g. lat4/10000.0 in SQL) — str() round-trips
+            "lon": lon_nano / 1e9,
+            "lat": lat_nano / 1e9,
             "tags": tags,
             "refs": None,
             "members": None,
