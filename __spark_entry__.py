@@ -361,6 +361,49 @@ def _lsh_sql(dialect: str) -> str:
     )
 
 
+# Near-dup CLUSTER assignment: the engine runs the real distributed
+# pipeline (minhash → LSH banding self-join → Pregel-style min-label
+# connected components); the oracle recomputes the same clusters with a
+# recursive transitive-closure CTE over identically-hashed pairs.
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import dedup
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    clusters = dedup.duplicate_clusters(pairs, a_col="a", b_col="b")
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return clusters.join(sizes, "cluster").select(
+        F.col("x").alias("doc_id"), "cluster", "cluster_size"
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS bsig FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE sig AS ({_minhash_sql("duckdb", 8)}),
+banded AS (
+  {bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+edges AS (SELECT a AS x, b AS y FROM pairs
+          UNION SELECT b AS x, a AS y FROM pairs),
+reach(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, reach.r FROM edges e JOIN reach ON reach.x = e.y),
+labels AS (SELECT x AS doc_id, MIN(r) AS cluster FROM reach GROUP BY x),
+sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+SELECT l.doc_id, l.cluster, s.cluster_size
+FROM labels l JOIN sizes s ON s.cluster = l.cluster
+"""
+
+
 def _jaccard_sql(dialect: str) -> str:
     toks = _tokens_sql(dialect)
     return f"""
@@ -2005,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
         "q_lsh_buckets": _sql_query(_lsh_sql("spark"), ("documents",)),
+        "q_dedup_clusters": _q_dedup_clusters,
         "q_ngram_jaccard": _sql_query(_jaccard_sql("spark"), ("documents",)),
         "q_simhash": _sql_query(_simhash_sql("spark"), ("documents",)),
         "q_lang_id": _sql_query(_lang_id_sql(), ("documents",)),
@@ -2078,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
+        "q_dedup_clusters": _dedup_clusters_sql(),
         "q_ngram_jaccard": _jaccard_sql("duckdb"),
         "q_simhash": _simhash_sql("duckdb"),
         "q_lang_id": _lang_id_sql(),

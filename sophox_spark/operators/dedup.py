@@ -175,3 +175,63 @@ def jaccard_pairs(
         .withColumn("jaccard", F.round(F.col("inter") / F.col("union"), 6))
         .select("a", "b", "inter", "union", "jaccard")
     )
+
+
+def duplicate_clusters(
+    pairs_df: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over candidate-duplicate pairs → cluster ids.
+
+    The canonical last step of a near-dup pipeline: LSH/jaccard emits
+    PAIRS, but deduplication needs per-doc CLUSTER assignment (keep one
+    representative per component). Every doc gets its component's MIN doc
+    id as ``cluster`` (the usual representative convention).
+
+    Pregel-style min-label propagation in plain DataFrame ops: each round
+    every node takes the min label among itself and its neighbors.
+    Converges in O(component diameter) rounds — near-dup components are
+    small and dense, so 2-4 rounds in practice; pathological long chains
+    would want the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14),
+    noted but not needed for dedup-shaped graphs. Each round
+    localCheckpoints the labels (bounded lineage) and detects convergence
+    with a changed-count AGGREGATE — no driver collect of data rows.
+
+    Output: ``x`` (doc id), ``cluster`` (min id in component).
+    """
+    pairs = pairs_df.select(
+        F.col(a_col).alias("x"), F.col(b_col).alias("y")
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()
+    labels = edges.select("x").distinct().withColumn("label", F.col("x"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("x").alias("y"), F.col("label").alias("nl")
+                ),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("nl").alias("mn"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("label"), F.coalesce("mn", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("x", F.col("label").alias("cluster"))

@@ -251,3 +251,32 @@ class TestIvf:
         au = similarity.ivf_topk(uni, k=3, n_lists=16, nprobe=6).toPandas()
         su = {(r.query_id, r.neighbor_id) for r in au.itertuples()}
         assert len(eu & su) / len(eu) > 0.55
+
+
+class TestDuplicateClusters:
+    def test_chain_and_islands(self, spark):
+        from sophox_spark.operators import dedup
+
+        # chain 1-2, 2-3, 3-4 -> one component labeled 1;
+        # island 10-11 -> labeled 10; 20-21 + 21-22 -> labeled 20
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "a long, b long",
+        )
+        got = {
+            r.x: r.cluster
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        from sophox_spark.operators import dedup
+
+        n = 40  # diameter 40 chain: worst case for min-propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "a long, b long"
+        )
+        out = dedup.duplicate_clusters(pairs, max_iter=64).collect()
+        assert {r.cluster for r in out} == {0}
+        assert len(out) == n + 1
