@@ -112,3 +112,92 @@ class TestPipProperties:
         inside = prep.contains(px, py, np.zeros(200, np.int64))
         pc = grid.encode(px[inside], py[inside], res)
         assert set(pc.tolist()) <= cellset
+
+
+class TestCodecProperties:
+    """Property-based roundtrips for the binary/XML container codecs."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    min_size=0, max_size=50))
+    @settings(max_examples=300, deadline=None)
+    def test_pbf_packed_varint_roundtrip(self, vals):
+        from sophox_spark.sources import pbf
+
+        payload = b"".join(pbf._varint(v) for v in vals)
+        got = pbf.decode_packed_u64(payload)
+        assert got.tolist() == [v & (2**64 - 1) for v in vals]
+
+    @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                    min_size=1, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_pbf_signed_delta_roundtrip(self, vals):
+        from sophox_spark.sources import pbf
+
+        # encode as delta+zigzag the way the writer does, decode via the
+        # reader's combined path (covers both the tiny and numpy branches)
+        payload = pbf._packed(1, vals, signed=True, delta=True)
+        # strip the field key + length prefix
+        view = memoryview(payload)
+        _, pos = pbf._read_varint(view, 0)
+        n, pos = pbf._read_varint(view, pos)
+        got = pbf._packed_i64(view[pos:pos + n], signed=True, delta=True)
+        assert got.tolist() == vals
+
+    # XML 1.0 cannot represent C0 control chars (except \t\n\r) at all,
+    # escaped or not — the OSM API rejects them too, so the codec's
+    # contract is "XML-legal text", which this strategy generates
+    _xml_text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),
+            blacklist_characters="".join(
+                chr(c) for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)
+            ),
+        ),
+        max_size=40,
+    )
+
+    @given(st.dictionaries(
+        _xml_text.filter(lambda s: 1 <= len(s) <= 20 and s.strip()),
+        _xml_text, max_size=5))
+    @settings(max_examples=150, deadline=None)
+    def test_osc_tag_escaping_roundtrip(self, tags):
+        import pandas as pd
+
+        from sophox_spark.sources import osc
+
+        import os
+        import tempfile
+
+        pdf = pd.DataFrame([{
+            "action": "modify", "kind": "node", "id": 1, "version": 1,
+            "ts_s": "2024-01-01T00:00:00Z", "changeset": 1, "uid": 1,
+            "user": "u", "lat_s": "1.0000001", "lon_s": "2.0000001",
+            "tags": tags, "refs": None, "members": None,
+        }])
+        path = os.path.join(tempfile.mkdtemp(), "t.osc")
+        osc.write_osc(path, pdf, compress=False)
+        out = osc.parse_osc_bytes(open(path, "rb").read())
+        assert out.iloc[0]["tags"] == tags
+
+    @given(st.binary(min_size=0, max_size=500))
+    @settings(max_examples=150, deadline=None)
+    def test_warc_binary_body_roundtrip(self, body):
+        import gzip
+
+        import pandas as pd
+
+        from sophox_spark.sources import warc
+        import tempfile, os
+
+        path = os.path.join(tempfile.mkdtemp(), "w.warc.gz")
+        pages = pd.DataFrame({
+            "url": ["https://x.test/a"],
+            "ts_s": ["2024-01-01T00:00:00Z"],
+            "html": [body],
+        })
+        spans = warc.write_warc(path, pages, with_index=False)
+        data = open(path, "rb").read()
+        s = spans[0]
+        rec = gzip.decompress(data[s["offset"]: s["offset"] + s["length"]])
+        row = warc.parse_warc_record(rec)
+        assert row["html"] == body
