@@ -77,8 +77,15 @@ def _varint(n: int) -> bytes:
             return bytes(out)
 
 
+def _wrap64(n: int) -> int:
+    """Two's-complement wrap to int64 — protobuf sint64 semantics; delta
+    chains whose jumps exceed ±2^63 wrap on encode and unwrap on decode."""
+    return ((n + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+
+
 def _zigzag(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    n = _wrap64(n)
+    return ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
 
 
 def _unzigzag64(v: np.ndarray) -> np.ndarray:
@@ -202,7 +209,7 @@ def _packed_i64(data, signed: bool, delta: bool) -> np.ndarray:
             vals = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
         if delta:
             acc = 0
-            vals = [acc := acc + v for v in vals]
+            vals = [acc := _wrap64(acc + v) for v in vals]
         return np.array(vals, np.int64)
     v = decode_packed_u64(data)
     out = _unzigzag64(v) if signed else v.astype(np.int64)
