@@ -112,7 +112,13 @@ def main() -> None:
         "Same job, identical input and partitioning (128 partitions), two\n"
         "parallelism levels in separate processes (sandbox has no\n"
         "multi-node cluster; per driver instruction this evidences the\n"
-        "north_rule N→4N criterion). Steady-state timing: the identical\n"
+        "north_rule N→4N criterion). Each level launches as a REAL\n"
+        "`spark-submit --master local[N] --py-files dist/sophox_spark.zip\n"
+        "tools/scaling_worker.py` — the north_rule's exact deployment\n"
+        "shape; the engine is imported from the shipped zip, not the\n"
+        "checkout (self-contained-artifact test: tests/test_submit.py).\n"
+        "A submit-launched pair measured efficiency 0.81 (history entry\n"
+        "9 in BENCH/scaling.json). Steady-state timing: the identical\n"
         "plan runs twice un-clocked (JIT/worker forks), then the median\n"
         "of 3 clocked executions; levels alternate across 3 process\n"
         "pairs and the minimum per level is reported (noisy-neighbor\n"
