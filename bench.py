@@ -59,6 +59,20 @@ def main() -> None:
         counts[name] = qs[name](spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # codec side-metric: parallel PBF decode throughput (read path only —
+    # the fixture is written once outside the clock). Not in `queries`
+    # so the headline total stays comparable across rounds.
+    import tempfile
+
+    from sophox_spark.sources import pbf as pbf_src
+
+    nodes, ways = entry_mod._pbf_fixture_frames(SF_DIR)
+    pbf_path = os.path.join(tempfile.mkdtemp(prefix="bench_pbf_"), "b.osm.pbf")
+    pbf_src.write_pbf(pbf_path, nodes, ways, block_size=2000)
+    t0 = time.perf_counter()
+    n_el = pbf_src.read_pbf(spark, pbf_path).count()
+    pbf_sec = time.perf_counter() - t0
+
     joined_rows = counts["q_pip_engine"]
     pip_sec = timings["q_pip_engine"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -70,6 +84,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "joined_rows": joined_rows,
         "spatial_join_rows_per_sec": round(joined_rows / pip_sec, 1) if pip_sec else None,
+        "pbf_decode_elements_per_sec": round(n_el / pbf_sec, 1) if pbf_sec else None,
         "cpus": CPUS,
     }
     # attach the latest N->4N scaling evidence (tools/bench_scaling.py)
