@@ -233,5 +233,9 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("x", F.col("label").alias("cluster"))
+            return labels.select("x", F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds "
+        f"({changed} labels still changing); the component diameter "
+        f"exceeds max_iter — raise it (rounds needed ≈ diameter)"
+    )

@@ -50,10 +50,14 @@ def dissolve(
 
     ``merge_overlaps`` gives true ST_Union semantics: OVERLAPPING parts
     dissolve into one boundary (Greiner–Hormann, geometry/clip.py);
-    disjoint parts stay multipart, degenerate contacts (shared edges)
-    fall back to multipart — union is applied in both phases (it is
-    associative), and skipped entirely past clip.union_parts' part-count
-    guard, where multipart assembly is the documented behavior."""
+    disjoint parts stay multipart. Degenerate contacts (shared edges /
+    vertices) are first retried with clip_rings_robust's deterministic
+    ≤ extent·1e-9 perturbation — most now DISSOLVE like ST_Union; only
+    contacts still degenerate after all retries fall back to multipart
+    (counted by clip.union_parts). Union is applied in both phases (it
+    is associative), and skipped entirely past clip.union_parts'
+    part-count guard, where multipart assembly is the documented
+    behavior."""
     schema = f"{key} string, {geom_col} binary, n_parts long"
 
     def _merge_blobs(blobs) -> tuple[bytes | None, int]:
@@ -160,8 +164,11 @@ def clipped_regions(
     intersecting water per region the same way); it is collected +
     broadcast with bboxes, and each Arrow batch runs the sequential
     Greiner–Hormann difference per region part. Degenerate contacts
-    (shared edges) keep the subject part unclipped and are COUNTED in
-    ``n_fallbacks`` — visible, not silent.
+    (shared edges) first retry through clip_rings_robust's deterministic
+    micro-perturbation (clipper nudged ≤ extent·1e-9; the subject
+    boundary is never moved), so water sharing a region edge now clips;
+    only contacts still degenerate after all retries keep the subject
+    part unclipped, COUNTED in ``n_fallbacks`` — visible, not silent.
 
     Output: ``id_col, geom (multipolygon WKB), area (planar shoelace,
     holes subtracted), n_rings, n_fallbacks``."""

@@ -172,17 +172,19 @@ def parse_osc_bytes(data: bytes, fname: str = "") -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_COLS)
 
 
+def parse_file_batches(batches):
+    """mapInPandas kernel shared by the batch and streaming scans:
+    (path, content) rows → parsed element rows."""
+    for pdf in batches:
+        for p, data in zip(pdf["path"], pdf["content"]):
+            out = parse_osc_bytes(bytes(data), os.path.basename(p))
+            if len(out):
+                yield out
+
+
 def read_osc(spark, path: str):
     """Distributed osmChange scan: one task per diff file (binaryFile
     splits), gunzip + XML parse inside the task, rows tagged with
     (file, pos) so callers can replay apply order across a backlog."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def _parse(batches):
-        for pdf in batches:
-            for p, data in zip(pdf["path"], pdf["content"]):
-                out = parse_osc_bytes(bytes(data), os.path.basename(p))
-                if len(out):
-                    yield out
-
-    return files.mapInPandas(_parse, OSC_SCHEMA)
+    return files.mapInPandas(parse_file_batches, OSC_SCHEMA)

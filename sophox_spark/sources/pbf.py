@@ -46,6 +46,7 @@ loop.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Iterator
@@ -676,7 +677,15 @@ def read_pbf(spark, path: str, blob_partitions: int | None = None):
     """
     import glob as _glob
 
-    paths = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    # glob first, plain-path fallback second: a literal path containing
+    # '[' must not be silently treated as an empty character class, and a
+    # non-matching pattern must fail loudly, not return zero rows
+    paths = sorted(_glob.glob(path))
+    if not paths:
+        if os.path.exists(path):
+            paths = [path]
+        else:
+            raise FileNotFoundError(f"no PBF files match {path!r}")
     spans = [
         (p, off, size)
         for p in paths

@@ -129,12 +129,17 @@ def parse_warc_record(data: bytes, fname: str = "", offset: int = 0) -> dict | N
     do)."""
     sep = data.find(b"\r\n\r\n")
     if sep < 0 or not data.startswith(b"WARC/"):
-        raise ValueError("not a WARC record")
+        return None  # garbage member in a real-world crawl: skip, don't kill the task
     headers = {}
     for line in data[:sep].split(b"\r\n")[1:]:
         k, _, v = line.partition(b":")
         headers[k.strip().lower().decode()] = v.strip().decode()
-    clen = int(headers.get("content-length", 0))
+    if "content-length" in headers:
+        clen = int(headers["content-length"])
+    else:
+        # malformed record without a length: take the remainder minus the
+        # record-terminating CRLFCRLF instead of silently emptying it
+        clen = max(0, len(data) - sep - 4 - 4)
     payload = data[sep + 4 : sep + 4 + clen]
     rtype = headers.get("warc-type", "")
     row = {
@@ -150,6 +155,10 @@ def parse_warc_record(data: bytes, fname: str = "", offset: int = 0) -> dict | N
     if rtype != "response":
         return None
     hsep = payload.find(b"\r\n\r\n")
+    if hsep < 0:
+        # truncated HTTP envelope: surface the row with a NULL body
+        # rather than leaking header bytes into html
+        return row
     http_head = payload[:hsep].split(b"\r\n")
     status_line = http_head[0].split(b" ")
     row["http_status"] = int(status_line[1]) if len(status_line) > 1 else None
@@ -200,7 +209,14 @@ def read_warc(spark, path: str, span_partitions: int | None = None):
     split)."""
     import glob as _glob
 
-    paths = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    # same loud-failure glob handling as pbf.read_pbf: literal '[' paths
+    # and non-matching patterns must not silently yield zero rows
+    paths = sorted(_glob.glob(path))
+    if not paths:
+        if os.path.exists(path):
+            paths = [path]
+        else:
+            raise FileNotFoundError(f"no WARC files match {path!r}")
     indexed = [p for p in paths if os.path.exists(p + ".idx")]
     if len(indexed) == len(paths) and paths:
         spans = []

@@ -84,18 +84,7 @@ def stream_osc_ingest(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        import os
-
-        import pandas as pd
-
-        def _parse(batches):
-            for pdf in batches:
-                for p, data in zip(pdf["path"], pdf["content"]):
-                    out = osc.parse_osc_bytes(bytes(data), os.path.basename(p))
-                    if len(out):
-                        yield out
-
-        parsed = batch_df.mapInPandas(_parse, osc.OSC_SCHEMA)
+        parsed = batch_df.mapInPandas(osc.parse_file_batches, osc.OSC_SCHEMA)
         changes = parsed.select(
             F.regexp_extract("file", "^0*([0-9]+)", 1).cast("long").alias("seqid"),
             F.when(F.col("action") == "delete", "delete")
@@ -108,7 +97,10 @@ def stream_osc_ingest(
             "lat_s",
             "lon_s",
         )
-        apply_change_batches(spark, table, changes)
+        # files without an osmosis sequence number in the name (e.g. a
+        # stray 'latest.osc.gz') carry no apply order — skip them rather
+        # than crash the seqid guard on a NULL
+        apply_change_batches(spark, table, changes.filter(F.col("seqid").isNotNull()))
 
     return (
         files.writeStream.foreachBatch(apply_batch)

@@ -268,3 +268,8 @@ def test_read_pbf_spark(spark, tmp_path):
     pbf.write_pbf(path2, _nodes_pdf(10))
     both = pbf.read_pbf(spark, str(tmp_path / "*.osm.pbf"), blob_partitions=2)
     assert both.count() == 250
+
+
+def test_read_pbf_missing_path_fails_loudly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        pbf.read_pbf(spark, str(tmp_path / "nope-[1].osm.pbf"))

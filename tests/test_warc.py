@@ -134,3 +134,23 @@ def test_warc_to_pages_shape(spark, tmp_path):
     assert out["warc_ts"].notna().all()
     r = out[out["url"] == "https://ex.org/3"].iloc[0]
     assert "page 3 & stuff" in r["text"]
+
+
+def test_malformed_records_are_safe():
+    # garbage member: skipped, not a task-killing exception
+    assert warc.parse_warc_record(b"not a warc record\r\n\r\n") is None
+    # truncated HTTP envelope: NULL body, never header bytes leaked as html
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/a\r\nContent-Length: 15\r\n\r\n"
+        b"HTTP/1.1 200 OK" b"\r\n\r\n"
+    )
+    row = warc.parse_warc_record(rec)
+    assert row["html"] is None and row["url"] == "https://x/a"
+
+
+def test_read_warc_missing_path_fails_loudly(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        warc.read_warc(spark, str(tmp_path / "nope-*.warc.gz"))
