@@ -952,6 +952,56 @@ UNION ALL SELECT subject, 3000004,
 """
 
 
+# SPARQL SELECT over the converted triple store (S6 as a real query
+# language): the engine converts arithmetic nodes to TTL statements,
+# splits them into (s,p,o) triples, and runs the reference's own query
+# shape (updateRelLoc.py:69/112 — BGP + OPTIONAL + FILTER NOT EXISTS +
+# FILTER) through the BGP→DataFrame translator. The oracle rebuilds the
+# expected bindings from the same arithmetic without parsing SPARQL or
+# TTL: a bug in the converter, the triple splitter, or any join
+# translation is a hash mismatch.
+SPARQL_DRIVER_QUERY = """
+# nodes with a name and a parseable location (reference shape)
+SELECT ?s ?name ?loc WHERE {
+  ?s osmm:type 'n' .
+  ?s osmt:name ?name .
+  OPTIONAL { ?s osmm:loc ?loc . }
+  FILTER NOT EXISTS { ?s osmm:loc:error ?e . }
+  FILTER (?name != 'node 1')
+}
+"""
+
+
+def _q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.operators import osm2ttl, sparql
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(NODE_TTL_FIXTURE_SPARK)
+    triples = sparql.triples_from_statements(osm2ttl.node_statements(nodes))
+    return sparql.SparqlEngine(triples).select(SPARQL_DRIVER_QUERY)
+
+
+def _sparql_select_sql() -> str:
+    lon_s = "CAST(lon4 // 10000 AS VARCHAR) || '.' || lpad(CAST(lon4 % 10000 AS VARCHAR), 4, '0')"
+    lat_s = "CAST(lat4 // 10000 AS VARCHAR) || '.' || lpad(CAST(lat4 % 10000 AS VARCHAR), 4, '0')"
+    return f"""
+WITH nodes AS (
+  SELECT event_id AS i,
+         (10 + (event_id * 3) % 160) * 10000
+           + (1 + (event_id * 7) % 999) * 10 + 1 + event_id % 9 AS lon4,
+         (10 + (event_id * 11) % 70) * 10000
+           + (1 + (event_id * 13) % 999) * 10 + 1 + event_id % 9 AS lat4
+  FROM events
+  WHERE event_id % 29 <> 0 AND event_id % 13 <> 0
+    AND event_id % 17 <> 0 AND event_id <> 1
+)
+SELECT 'osmnode:' || CAST(i AS VARCHAR) AS s,
+       '"node ' || CAST(i AS VARCHAR) || '"' AS name,
+       '"Point(' || {lon_s} || ' ' || {lat_s} || ')"^^geo:wktLiteral' AS loc
+FROM nodes
+"""
+
+
 def _q_osm_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import osm2ttl
 
@@ -2080,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_extraction": _q_geo_extraction,
         "q_osm_ttl": _q_osm_ttl,
         "q_node_ttl": _q_node_ttl,
+        "q_sparql_select": _q_sparql_select,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
         "q_rel_centroids_fixpoint": _q_rel_centroids,
@@ -2117,6 +2168,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
+        "q_sparql_select": _sparql_select_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,

@@ -1,0 +1,322 @@
+"""Minimal SPARQL SELECT engine over the converted triple store (S6 as a
+real query language, not just a DataFrame analog).
+
+Sophox's user-facing surface is a SPARQL endpoint; the queries the
+reference itself issues against it are all basic-graph-pattern SELECTs:
+
+* ``SELECT ?rel WHERE { ?rel osmm:type 'r' . FILTER NOT EXISTS { ?rel
+  osmm:loc ?l . } }``                   (updateRelLoc.py:69)
+* ``SELECT ?rel ?member ?loc WHERE { VALUES ?rel { ... } ?rel osmm:has
+  ?member . OPTIONAL { ?member osmm:loc ?loc . } }`` (updateRelLoc.py:112)
+* ``SELECT ?key ?id WHERE { VALUES ?key { ... } ?id osmdt:P16 ?key . }``
+  (updateUsageStats.py:98)
+
+This module parses exactly that subset — triple patterns, VALUES inline
+data, OPTIONAL, FILTER NOT EXISTS, scalar FILTER comparisons, DISTINCT,
+LIMIT — and translates it to DataFrame algebra over a ``(s, p, o)``
+triples table:
+
+* triple pattern → filtered scan of the triples table (constants become
+  pushed-down equality predicates; variables become column aliases)
+* shared variables between patterns → equi-join keys (Catalyst owns the
+  join order; every pattern scan prunes to 3 columns)
+* ``OPTIONAL`` → left outer join on the shared variables
+* ``FILTER NOT EXISTS`` → left anti join
+* ``VALUES`` → a literal DataFrame joined in (the driver-side IN-list of
+  the reference's 2000-id chunks — no chunking needed here)
+
+Terms are kept in TTL surface form (prefixed names as-is, string
+literals double-quoted), matching the statement rows osm2ttl emits, so
+query results are byte-comparable with converter output.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# triple store
+# ---------------------------------------------------------------------------
+
+
+def triples_from_statements(rows: DataFrame, subject_col: str = "subject",
+                            stmt_col: str = "stmt") -> DataFrame:
+    """osm2ttl statement rows (subject, ord, stmt='pred object') →
+    (s, p, o) triples. The object keeps its TTL surface form
+    ('"literal"', '"typed"^^xsd:integer', 'osmnode:5')."""
+    pred = F.substring_index(F.col(stmt_col), " ", 1)
+    obj = F.expr(f"substring({stmt_col}, length(split({stmt_col}, ' ')[0]) + 2)")
+    return rows.select(
+        F.col(subject_col).alias("s"), pred.alias("p"), obj.alias("o")
+    )
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Term:
+    """Constant term in TTL surface form."""
+    text: str
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+    (?P<comment>\#[^\n]*)
+  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<iri><[^>]*>)
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_:.-]*)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
+  | (?P<punct>!=|<=|>=|&&|[{}().=<>*;,])
+)""",
+    re.X,
+)
+
+
+def _tokenize(text: str):
+    pos, out = 0, []
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip():
+                raise ValueError(f"SPARQL tokenizer stuck at: {text[pos:pos+30]!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def eat_word(self, word: str) -> bool:
+        kind, val = self.peek()
+        if kind == "word" and val.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"expected {kind} {val!r}, got {k} {v!r}")
+        return v
+
+    # ---- grammar ----
+
+    def parse_query(self):
+        while self.eat_word("PREFIX"):
+            self.next()  # pname (e.g. 'osmm:')
+            self.next()  # iri
+        if not self.eat_word("SELECT"):
+            raise ValueError("only SELECT queries are supported")
+        distinct = self.eat_word("DISTINCT")
+        proj = []
+        while True:
+            kind, val = self.peek()
+            if kind == "var":
+                proj.append(self.next()[1][1:])
+            elif kind == "punct" and val == "*":
+                self.next()
+                proj = None
+            else:
+                break
+        self.eat_word("WHERE")
+        group = self.parse_group()
+        limit = None
+        if self.eat_word("LIMIT"):
+            limit = int(self.expect("num"))
+        return {"distinct": distinct, "proj": proj, "group": group,
+                "limit": limit}
+
+    def parse_group(self):
+        self.expect("punct", "{")
+        blocks = []
+        while True:
+            kind, val = self.peek()
+            if kind == "punct" and val == "}":
+                self.next()
+                return blocks
+            if kind == "word" and val.upper() == "VALUES":
+                self.next()
+                var = self.expect("var")[1:]
+                self.expect("punct", "{")
+                terms = []
+                while self.peek() != ("punct", "}"):
+                    terms.append(self._term())
+                self.next()
+                blocks.append(("values", var, terms))
+            elif kind == "word" and val.upper() == "OPTIONAL":
+                self.next()
+                blocks.append(("optional", self.parse_group()))
+            elif kind == "word" and val.upper() == "FILTER":
+                self.next()
+                if self.eat_word("NOT"):
+                    if not self.eat_word("EXISTS"):
+                        raise ValueError("FILTER NOT must be followed by EXISTS")
+                    blocks.append(("not_exists", self.parse_group()))
+                elif self.eat_word("EXISTS"):
+                    blocks.append(("exists", self.parse_group()))
+                else:
+                    self.expect("punct", "(")
+                    blocks.append(("filter", self._filter_expr()))
+                    self.expect("punct", ")")
+            else:
+                s, p, o = self._term(), self._term(), self._term()
+                blocks.append(("triple", (s, p, o)))
+                if self.peek() == ("punct", "."):
+                    self.next()
+                if self.peek() == ("punct", ";"):
+                    raise ValueError("predicate lists (';') not supported")
+
+    def _term(self):
+        kind, val = self.next()
+        if kind == "var":
+            return Var(val[1:])
+        if kind == "string":
+            # normalize to the double-quoted TTL surface form
+            return Term('"' + val[1:-1] + '"')
+        if kind in ("pname", "iri", "num"):
+            return Term(val)
+        if kind == "punct" and val == "[":  # pragma: no cover (not emitted)
+            raise ValueError("blank nodes not supported")
+        raise ValueError(f"unexpected term {kind} {val!r}")
+
+    def _filter_expr(self):
+        clauses = [self._comparison()]
+        while self.peek() == ("punct", "&&"):
+            self.next()
+            clauses.append(self._comparison())
+        return clauses
+
+    def _comparison(self):
+        left = self._term()
+        kind, op = self.next()
+        if kind != "punct" or op not in ("=", "!=", "<", ">", "<=", ">="):
+            raise ValueError(f"unsupported filter operator {op!r}")
+        right = self._term()
+        return (op, left, right)
+
+
+def parse_select(query: str) -> dict:
+    return _Parser(_tokenize(query)).parse_query()
+
+
+# ---------------------------------------------------------------------------
+# translator
+# ---------------------------------------------------------------------------
+
+
+class SparqlEngine:
+    """Executes the parsed subset against a (s, p, o) triples DataFrame."""
+
+    def __init__(self, triples: DataFrame):
+        self.triples = triples.select("s", "p", "o")
+
+    def select(self, query: str) -> DataFrame:
+        q = parse_select(query)
+        cur = self._group(q["group"], None)
+        if cur is None:
+            raise ValueError("empty WHERE group")
+        if q["proj"] is not None:
+            cur = cur.select(*q["proj"])
+        if q["distinct"]:
+            cur = cur.distinct()
+        if q["limit"] is not None:
+            cur = cur.limit(q["limit"])
+        return cur
+
+    # ---- blocks ----
+
+    def _group(self, blocks, cur: DataFrame | None) -> DataFrame | None:
+        for block in blocks:
+            kind = block[0]
+            if kind == "triple":
+                cur = self._join(cur, self._scan(block[1]), "inner")
+            elif kind == "values":
+                _, var, terms = block
+                spark = self.triples.sparkSession
+                vals = spark.createDataFrame(
+                    [(t.text,) for t in terms], f"{var} string"
+                )
+                cur = self._join(cur, vals, "inner")
+            elif kind == "optional":
+                sub = self._group(block[1], None)
+                cur = self._join(cur, sub, "left_outer")
+            elif kind in ("not_exists", "exists"):
+                sub = self._group(block[1], None)
+                how = "left_anti" if kind == "not_exists" else "left_semi"
+                shared = [c for c in cur.columns if c in sub.columns]
+                if shared:
+                    cur = cur.join(sub, shared, how)
+                else:  # uncorrelated: keep all or none
+                    nonempty = bool(sub.head(1))
+                    if (kind == "not_exists") == nonempty:
+                        cur = cur.limit(0)
+            elif kind == "filter":
+                for op, left, right in block[1]:
+                    cur = cur.filter(self._cmp(op, left, right))
+        return cur
+
+    def _scan(self, pattern) -> DataFrame:
+        scan = self.triples
+        names: dict[str, str] = {}
+        for pos, term in zip(("s", "p", "o"), pattern):
+            if isinstance(term, Var):
+                if term.name in names.values():
+                    # repeated var inside one pattern (?x ?p ?x)
+                    other = next(k for k, v in names.items() if v == term.name)
+                    scan = scan.filter(F.col(pos) == F.col(other))
+                else:
+                    names[pos] = term.name
+            else:
+                scan = scan.filter(F.col(pos) == F.lit(term.text))
+        return scan.select(*[F.col(p).alias(v) for p, v in names.items()])
+
+    @staticmethod
+    def _join(cur, other, how):
+        if cur is None:
+            if how != "inner":
+                raise ValueError("group cannot start with OPTIONAL")
+            return other
+        shared = [c for c in cur.columns if c in other.columns]
+        if not shared:
+            return cur.crossJoin(other)
+        return cur.join(other, shared, how)
+
+    @staticmethod
+    def _cmp(op, left, right):
+        def col_or_lit(t):
+            return F.col(t.name) if isinstance(t, Var) else F.lit(t.text)
+
+        a, b = col_or_lit(left), col_or_lit(right)
+        return {
+            "=": a == b, "!=": a != b, "<": a < b, ">": a > b,
+            "<=": a <= b, ">=": a >= b,
+        }[op]

@@ -1,0 +1,124 @@
+"""SPARQL SELECT subset engine (operators/sparql.py) — each test runs one
+of the query shapes the reference actually issues against Blazegraph."""
+
+import pytest
+
+from sophox_spark.operators import sparql
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        # relations, one already located (updateRelLoc shape)
+        ("osmrel:1", "osmm:type", '"r"'),
+        ("osmrel:2", "osmm:type", '"r"'),
+        ("osmrel:3", "osmm:type", '"r"'),
+        ("osmrel:1", "osmm:loc", '"Point(1 1)"^^geo:wktLiteral'),
+        # membership + member locations
+        ("osmrel:1", "osmm:has", "osmnode:10"),
+        ("osmrel:2", "osmm:has", "osmnode:11"),
+        ("osmrel:2", "osmm:has", "osmway:12"),
+        ("osmnode:10", "osmm:loc", '"Point(2 2)"^^geo:wktLiteral'),
+        ("osmway:12", "osmm:loc", '"Point(3 3)"^^geo:wktLiteral'),
+        # taginfo key→item resolution (updateUsageStats shape)
+        ("osmd:Q103", "osmdt:P16", '"highway"'),
+        ("osmd:Q104", "osmdt:P16", '"building"'),
+        ("osmd:Q105", "osmdt:P16", '"landuse"'),
+        # nodes for FILTER tests
+        ("osmnode:10", "osmm:type", '"n"'),
+        ("osmnode:11", "osmm:type", '"n"'),
+        ("osmnode:10", "osmt:name", '"alpha"'),
+        ("osmnode:11", "osmt:name", '"beta"'),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def _run(triples, q):
+    return sparql.SparqlEngine(triples).select(q)
+
+
+def test_bgp_filter_not_exists(triples):
+    # updateRelLoc.py:69 — relations without osmm:loc
+    out = _run(triples, """
+# Get relations without osmm:loc
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  FILTER NOT EXISTS { ?rel osmm:loc ?relLoc . }
+}""")
+    assert sorted(r.rel for r in out.collect()) == ["osmrel:2", "osmrel:3"]
+
+
+def test_values_and_optional(triples):
+    # updateRelLoc.py:112 — member locations with OPTIONAL loc
+    out = _run(triples, """
+SELECT ?rel ?member ?loc WHERE {
+  VALUES ?rel { osmrel:1 osmrel:2 }
+  ?rel osmm:has ?member .
+  OPTIONAL { ?member osmm:loc ?loc . }
+}""")
+    got = {(r.rel, r.member): r.loc for r in out.collect()}
+    assert got == {
+        ("osmrel:1", "osmnode:10"): '"Point(2 2)"^^geo:wktLiteral',
+        ("osmrel:2", "osmnode:11"): None,
+        ("osmrel:2", "osmway:12"): '"Point(3 3)"^^geo:wktLiteral',
+    }
+
+
+def test_values_key_resolution(triples):
+    # updateUsageStats.py:98 — VALUES-bound key→item join
+    out = _run(triples, """
+SELECT ?key ?id WHERE {
+  VALUES ?key { 'highway' 'landuse' 'nosuchkey' }
+  ?id osmdt:P16 ?key .
+}""")
+    got = {r.key: r.id for r in out.collect()}
+    assert got == {'"highway"': "osmd:Q103", '"landuse"': "osmd:Q105"}
+
+
+def test_filter_comparison_distinct_limit(triples):
+    out = _run(triples, """
+SELECT DISTINCT ?s ?name WHERE {
+  ?s osmm:type 'n' .
+  ?s osmt:name ?name .
+  FILTER (?name != 'beta')
+}""")
+    assert [(r.s, r.name) for r in out.collect()] == [("osmnode:10", '"alpha"')]
+
+    out2 = _run(triples, "SELECT ?s WHERE { ?s osmm:type 'r' . } LIMIT 2")
+    assert out2.count() == 2
+
+
+def test_exists_and_repeated_var(triples, spark):
+    out = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  FILTER EXISTS { ?rel osmm:has ?m . }
+}""")
+    assert sorted(r.rel for r in out.collect()) == ["osmrel:1", "osmrel:2"]
+
+    # ?x ?p ?x self-reference
+    tr = spark.createDataFrame(
+        [("a", "p:self", "a"), ("a", "p:self", "b")], "s string, p string, o string"
+    )
+    out2 = sparql.SparqlEngine(tr).select("SELECT ?x WHERE { ?x p:self ?x . }")
+    assert [r.x for r in out2.collect()] == ["a"]
+
+
+def test_triples_from_statements(spark):
+    rows = spark.createDataFrame(
+        [("osmnode:5", 0, 'osmt:name "node 5"'),
+         ("osmnode:5", 2000001, 'osmm:loc "Point(1 2)"^^geo:wktLiteral')],
+        "subject string, ord long, stmt string",
+    )
+    got = {(r.s, r.p): r.o for r in sparql.triples_from_statements(rows).collect()}
+    assert got == {
+        ("osmnode:5", "osmt:name"): '"node 5"',
+        ("osmnode:5", "osmm:loc"): '"Point(1 2)"^^geo:wktLiteral',
+    }
+
+
+def test_parse_errors(triples):
+    with pytest.raises(ValueError):
+        _run(triples, "ASK { ?s ?p ?o }")
+    with pytest.raises(ValueError):
+        _run(triples, "SELECT ?s WHERE { OPTIONAL { ?s ?p ?o . } }")
