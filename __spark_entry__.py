@@ -1002,6 +1002,57 @@ FROM nodes
 """
 
 
+# SPARQL UPDATE (S9 as a real update language): the reference's
+# subject-level MERGE (RdfUpdateHandler.py:42-57 — delete everything but
+# osmm:task for the pending subjects, then ground INSERT) replayed
+# verbatim over converter-produced triples. Output keeps the name +
+# version lanes so BOTH the delete (updated subjects lose their version
+# row) and the insert (they gain the new name) are hash-verified.
+def _q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sophox_spark.operators import osm2ttl, sparql
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(NODE_TTL_FIXTURE_SPARK)
+    triples = sparql.triples_from_statements(osm2ttl.node_statements(nodes))
+    ids = np.sort(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .column("event_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    upd = ids[ids % 50 == 2]
+    values = " ".join(f"osmnode:{i}" for i in upd)
+    inserts = " ".join(f"osmnode:{i} osmt:name 'updated {i}' ." for i in upd)
+    q = (
+        "DELETE { ?s ?p ?o . } WHERE { "
+        f"VALUES ?s {{ {values} }} ?s ?p ?o . FILTER (osmm:task != ?p) }};\n"
+        f"INSERT {{ {inserts} }} WHERE {{}};"
+    )
+    new = sparql.SparqlUpdateEngine(triples).update(q)
+    return new.filter(F.col("p").isin("osmt:name", "osmm:version"))
+
+
+def _sparql_update_sql() -> str:
+    return """
+WITH e AS (SELECT event_id AS i FROM events),
+live AS (SELECT i FROM e WHERE i % 29 <> 0 AND i % 13 <> 0)
+SELECT 'osmnode:' || CAST(i AS VARCHAR) AS s, 'osmt:name' AS p,
+       '"node ' || CAST(i AS VARCHAR) || '"' AS o
+FROM live WHERE i % 50 <> 2
+UNION ALL
+SELECT 'osmnode:' || CAST(i AS VARCHAR), 'osmt:name',
+       '"updated ' || CAST(i AS VARCHAR) || '"'
+FROM e WHERE i % 50 = 2
+UNION ALL
+SELECT 'osmnode:' || CAST(i AS VARCHAR), 'osmm:version',
+       '"' || CAST(i % 9 + 1 AS VARCHAR) || '"^^xsd:integer'
+FROM live WHERE i % 50 <> 2
+"""
+
+
 def _q_osm_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import osm2ttl
 
@@ -2131,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_osm_ttl": _q_osm_ttl,
         "q_node_ttl": _q_node_ttl,
         "q_sparql_select": _q_sparql_select,
+        "q_sparql_update": _q_sparql_update,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
         "q_rel_centroids_fixpoint": _q_rel_centroids,
@@ -2169,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
         "q_sparql_select": _sparql_select_sql(),
+        "q_sparql_update": _sparql_update_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,

@@ -320,3 +320,98 @@ class SparqlEngine:
             "=": a == b, "!=": a != b, "<": a < b, ">": a > b,
             "<=": a <= b, ">=": a >= b,
         }[op]
+
+
+# ---------------------------------------------------------------------------
+# SPARQL UPDATE (S9): DELETE/INSERT templates + WHERE bindings
+# ---------------------------------------------------------------------------
+
+
+def parse_update(query: str) -> list:
+    """Parse a ';'-separated sequence of update operations, each
+    ``DELETE { tpl } INSERT { tpl } WHERE { group }`` (either template
+    optional). Covers the reference's update shapes: the subject-level
+    MERGE preserving osmm:task (RdfUpdateHandler.py:42-57), ground
+    INSERT ... WHERE {} (ibid:58), and delete-by-predicate-VALUES
+    (updateUsageStats.py:111)."""
+    p = _Parser(_tokenize(query))
+    while p.eat_word("PREFIX"):
+        p.next()
+        p.next()
+    ops = []
+    while p.peek()[0] is not None:
+        delete_tpl = insert_tpl = None
+        if p.eat_word("DELETE"):
+            delete_tpl = p.parse_group()
+        if p.eat_word("INSERT"):
+            insert_tpl = p.parse_group()
+        if delete_tpl is None and insert_tpl is None:
+            raise ValueError("expected DELETE or INSERT")
+        if not p.eat_word("WHERE"):
+            raise ValueError("update operation needs a WHERE group")
+        where = p.parse_group()
+        for tpl in (delete_tpl, insert_tpl):
+            if tpl and any(kind != "triple" for kind, *_ in tpl):
+                raise ValueError("update templates may contain only triples")
+        ops.append((delete_tpl, insert_tpl, where))
+        while p.peek() == ("punct", ";"):
+            p.next()
+    return ops
+
+
+class SparqlUpdateEngine(SparqlEngine):
+    """SPARQL UPDATE as a pure function: ``update()`` returns the NEW
+    triple set (RDF set semantics — duplicates collapse). The caller
+    commits it through SnapshotTable / PartitionedSnapshotTable, turning
+    the endpoint's in-place mutation into a versioned table commit —
+    the Spark-native S9 sink."""
+
+    def update(self, query: str) -> DataFrame:
+        cur = self.triples
+        for delete_tpl, insert_tpl, where in parse_update(query):
+            bindings = SparqlEngine(cur)._group(where, None) if where else None
+
+            def instantiate(tpl):
+                spark = cur.sparkSession
+                parts = []
+                ground = []  # constant-only triples batch into ONE literal
+                # DataFrame — a 2000-triple ground INSERT (the reference's
+                # chunk size) must not become a 2000-way union of
+                # single-row scans
+                for _kind, pat in [(b[0], b[1]) for b in tpl]:
+                    if not any(isinstance(t, Var) for t in pat):
+                        ground.append(tuple(t.text for t in pat))
+                        continue
+                    exprs = []
+                    for pos, term in zip(("s", "p", "o"), pat):
+                        if isinstance(term, Var):
+                            if bindings is None or term.name not in bindings.columns:
+                                raise ValueError(
+                                    f"unbound variable ?{term.name} in template"
+                                )
+                            exprs.append(F.col(term.name).alias(pos))
+                        else:
+                            exprs.append(F.lit(term.text).alias(pos))
+                    if bindings is None:
+                        raise ValueError("variable template with empty WHERE")
+                    parts.append(bindings.select(*exprs))
+                if ground:
+                    parts.append(
+                        spark.createDataFrame(ground, "s string, p string, o string")
+                    )
+                out = parts[0]
+                for extra in parts[1:]:
+                    out = out.unionByName(extra)
+                return out
+
+            if delete_tpl:
+                cur = cur.join(
+                    instantiate(delete_tpl).dropDuplicates(["s", "p", "o"]),
+                    ["s", "p", "o"],
+                    "left_anti",
+                )
+            if insert_tpl:
+                cur = cur.unionByName(instantiate(insert_tpl)).dropDuplicates(
+                    ["s", "p", "o"]
+                )
+        return cur

@@ -122,3 +122,76 @@ def test_parse_errors(triples):
         _run(triples, "ASK { ?s ?p ?o }")
     with pytest.raises(ValueError):
         _run(triples, "SELECT ?s WHERE { OPTIONAL { ?s ?p ?o . } }")
+
+
+class TestSparqlUpdate:
+    def test_subject_merge_preserving_task(self, spark):
+        # RdfUpdateHandler.py:42-57 — replace all statements of the
+        # pending subjects EXCEPT osmm:task, then insert the new ones
+        tr = spark.createDataFrame(
+            [
+                ("osmnode:1", "osmt:name", '"old"'),
+                ("osmnode:1", "osmm:task", '"keepme"'),
+                ("osmnode:2", "osmt:name", '"other"'),
+            ],
+            "s string, p string, o string",
+        )
+        new = sparql.SparqlUpdateEngine(tr).update("""
+DELETE { ?s ?p ?o . }
+WHERE {
+  VALUES ?s { osmnode:1 }
+  ?s ?p ?o .
+  FILTER (osmm:task != ?p)
+};
+INSERT { osmnode:1 osmt:name 'new' . osmnode:1 osmm:version '2' . } WHERE {};
+""")
+        got = {(r.s, r.p): r.o for r in new.collect()}
+        assert got == {
+            ("osmnode:1", "osmm:task"): '"keepme"',
+            ("osmnode:1", "osmt:name"): '"new"',
+            ("osmnode:1", "osmm:version"): '"2"',
+            ("osmnode:2", "osmt:name"): '"other"',
+        }
+
+    def test_delete_by_predicate_values(self, spark):
+        # updateUsageStats.py:111 — drop all usage counters
+        tr = spark.createDataFrame(
+            [
+                ("osmd:Q1", "osmm:count_all", '"5"'),
+                ("osmd:Q1", "osmm:count_nodes", '"2"'),
+                ("osmd:Q1", "osmdt:P16", '"highway"'),
+            ],
+            "s string, p string, o string",
+        )
+        new = sparql.SparqlUpdateEngine(tr).update("""
+DELETE { ?s ?p ?o } WHERE {
+  VALUES ?p { osmm:count_all osmm:count_nodes }
+         ?s ?p ?o .
+}""")
+        assert [(r.s, r.p) for r in new.collect()] == [("osmd:Q1", "osmdt:P16")]
+
+    def test_insert_template_with_bindings(self, spark):
+        # updateUsageStats.py:119 — INSERT { ?id osmm:k ?v } WHERE {...}
+        tr = spark.createDataFrame(
+            [("osmd:Q1", "osmdt:P16", '"highway"'),
+             ("osmd:Q2", "osmdt:P16", '"building"')],
+            "s string, p string, o string",
+        )
+        new = sparql.SparqlUpdateEngine(tr).update("""
+INSERT { ?id osmm:seen 'yes' . } WHERE { ?id osmdt:P16 ?key . }
+""")
+        got = {(r.s, r.p): r.o for r in new.collect()}
+        assert got[("osmd:Q1", "osmm:seen")] == '"yes"'
+        assert got[("osmd:Q2", "osmm:seen")] == '"yes"'
+        assert len(got) == 4
+
+    def test_idempotent_set_semantics(self, spark):
+        tr = spark.createDataFrame(
+            [("x:a", "p:x", '"1"')], "s string, p string, o string"
+        )
+        eng = sparql.SparqlUpdateEngine(tr)
+        q = "INSERT { x:a p:x '1' . x:b p:y '2' . } WHERE {}"
+        once = eng.update(q)
+        twice = sparql.SparqlUpdateEngine(once).update(q)
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+        assert once.count() == 2
