@@ -195,3 +195,22 @@ INSERT { ?id osmm:seen 'yes' . } WHERE { ?id osmdt:P16 ?key . }
         twice = sparql.SparqlUpdateEngine(once).update(q)
         assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
         assert once.count() == 2
+
+
+def test_sparql_plan_pushes_constants_to_scan(spark, tmp_path):
+    """Scale shape: triple-pattern constants must reach the parquet scan
+    as pushed filters (each pattern reads only its predicate's rows),
+    and BGP joins must be hash joins on the shared variable."""
+    rows = [(f"osmnode:{i}", "osmm:type", '"n"') for i in range(200)]
+    rows += [(f"osmnode:{i}", "osmt:name", f'"n{i}"') for i in range(200)]
+    path = str(tmp_path / "triples.parquet")
+    spark.createDataFrame(rows, "s string, p string, o string").write.parquet(path)
+    triples = spark.read.parquet(path)
+
+    out = sparql.SparqlEngine(triples).select(
+        "SELECT ?s ?name WHERE { ?s osmm:type 'n' . ?s osmt:name ?name . }"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "osmm:type" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert out.count() == 200
