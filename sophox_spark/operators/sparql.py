@@ -165,6 +165,28 @@ class _Parser:
                 return blocks
             if kind == "word" and val.upper() == "VALUES":
                 self.next()
+                if self.peek() == ("punct", "("):
+                    # tuple form: VALUES (?a ?b) { (t1 t2) (t3 t4) ... }
+                    # (updateUsageStats.py:125 — per-id counter rows)
+                    self.next()
+                    vars_ = []
+                    while self.peek()[0] == "var":
+                        vars_.append(self.next()[1][1:])
+                    self.expect("punct", ")")
+                    self.expect("punct", "{")
+                    rows = []
+                    while self.peek() == ("punct", "("):
+                        self.next()
+                        row = []
+                        while self.peek() != ("punct", ")"):
+                            row.append(self._term())
+                        self.next()
+                        if len(row) != len(vars_):
+                            raise ValueError("VALUES row arity mismatch")
+                        rows.append(row)
+                    self.expect("punct", "}")
+                    blocks.append(("values_tuple", vars_, rows))
+                    continue
                 var = self.expect("var")[1:]
                 self.expect("punct", "{")
                 terms = []
@@ -264,6 +286,14 @@ class SparqlEngine:
                 spark = self.triples.sparkSession
                 vals = spark.createDataFrame(
                     [(t.text,) for t in terms], f"{var} string"
+                )
+                cur = self._join(cur, vals, "inner")
+            elif kind == "values_tuple":
+                _, vars_, rows = block
+                spark = self.triples.sparkSession
+                schema = ", ".join(f"{v} string" for v in vars_)
+                vals = spark.createDataFrame(
+                    [tuple(t.text for t in row) for row in rows], schema
                 )
                 cur = self._join(cur, vals, "inner")
             elif kind == "optional":

@@ -214,3 +214,24 @@ def test_sparql_plan_pushes_constants_to_scan(spark, tmp_path):
     assert "PushedFilters" in plan and "osmm:type" in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert out.count() == 200
+
+
+def test_tuple_values_insert(spark):
+    # updateUsageStats.py:119-127 — INSERT counter triples from a
+    # tuple-VALUES binding (the 5000-key chunk shape), verbatim
+    tr = spark.createDataFrame(
+        [("osmd:Q1", "osmdt:P16", '"highway"')], "s string, p string, o string"
+    )
+    new = sparql.SparqlUpdateEngine(tr).update("""
+INSERT {
+?id osmm:count_all ?count_all.
+?id osmm:count_nodes ?count_nodes.
+} WHERE {
+VALUES (?id ?count_all ?count_nodes) {
+(osmd:Q1 900 500)
+(osmd:Q2 80 3)
+} }""")
+    got = {(r.s, r.p): r.o for r in new.collect()}
+    assert got[("osmd:Q1", "osmm:count_all")] == "900"
+    assert got[("osmd:Q2", "osmm:count_nodes")] == "3"
+    assert len(got) == 5
