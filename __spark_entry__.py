@@ -1654,6 +1654,69 @@ FROM latest WHERE NOT is_del
 """
 
 
+# URL canonicalization (webtext pipeline, native expressions only): messy
+# URLs built from event_id arithmetic (mixed-case scheme/host, default +
+# non-default ports, tracking params, fragments) go through the REAL
+# parse_url-based canonicalizer; the oracle rebuilds the expected
+# canonical string and registered domain directly from the arithmetic.
+MESSY_URL_SPARK = """
+SELECT event_id AS id,
+       concat(
+         CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+         'WWW.Ex', CAST(event_id % 50 AS STRING), '.Example.',
+         CASE WHEN event_id % 4 = 0 THEN 'CO.UK' ELSE 'COM' END,
+         CASE WHEN event_id % 3 = 0 THEN
+                CASE WHEN event_id % 2 = 0 THEN ':443' ELSE ':80' END
+              WHEN event_id % 3 = 1 THEN ':8080' ELSE '' END,
+         '/p/', CAST(event_id AS STRING),
+         '?utm_source=feed&b=', CAST(event_id % 7 AS STRING),
+         '&a=', CAST(event_id % 5 AS STRING),
+         CASE WHEN event_id % 5 = 0 THEN '&fbclid=XX' ELSE '' END,
+         '#s', CAST(event_id % 3 AS STRING)) AS url
+FROM events
+"""
+
+
+def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sophox_spark.functions import urls
+
+    _load(spark, sf_dir, "events")
+    pages = spark.sql(MESSY_URL_SPARK)
+    return pages.select(
+        "id",
+        "url",
+        urls.canonicalize_url(F.col("url")).alias("canon"),
+        urls.registered_domain(urls.canonical_host(F.col("url"))).alias("domain"),
+    )
+
+
+def _url_canon_sql() -> str:
+    return """
+WITH e AS (SELECT event_id AS i FROM events)
+SELECT i AS id,
+       (CASE WHEN i % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+         'WWW.Ex' || CAST(i % 50 AS VARCHAR) || '.Example.' ||
+         (CASE WHEN i % 4 = 0 THEN 'CO.UK' ELSE 'COM' END) ||
+         (CASE WHEN i % 3 = 0 THEN
+                 CASE WHEN i % 2 = 0 THEN ':443' ELSE ':80' END
+               WHEN i % 3 = 1 THEN ':8080' ELSE '' END) ||
+         '/p/' || CAST(i AS VARCHAR) ||
+         '?utm_source=feed&b=' || CAST(i % 7 AS VARCHAR) ||
+         '&a=' || CAST(i % 5 AS VARCHAR) ||
+         (CASE WHEN i % 5 = 0 THEN '&fbclid=XX' ELSE '' END) ||
+         '#s' || CAST(i % 3 AS VARCHAR) AS url,
+       (CASE WHEN i % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+         'ex' || CAST(i % 50 AS VARCHAR) || '.example.' ||
+         (CASE WHEN i % 4 = 0 THEN 'co.uk' ELSE 'com' END) ||
+         (CASE WHEN i % 3 = 1 THEN ':8080' ELSE '' END) ||
+         '/p/' || CAST(i AS VARCHAR) ||
+         '?a=' || CAST(i % 5 AS VARCHAR) || '&b=' || CAST(i % 7 AS VARCHAR)
+         AS canon,
+       'example.' || (CASE WHEN i % 4 = 0 THEN 'co.uk' ELSE 'com' END) AS domain
+FROM e
+"""
+
+
 # metabot analog: wiki description-template pages -> merged claims.
 # One page per (lang, key); the ENGINE must parse the wikitext (balanced
 # braces, nested {{tag|..}} inside description); the oracle reconstructs
@@ -2144,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pbf_to_ttl": _q_pbf_to_ttl,
         "q_osc_apply": _q_osc_apply,
         "q_warc_pages": _q_warc_pages,
+        "q_url_canon": _q_url_canon,
         "q_wiki_claims": _q_wiki_claims,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
@@ -2214,6 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pbf_to_ttl": _pbf_to_ttl_sql(),
         "q_osc_apply": _osc_apply_sql(),
         "q_warc_pages": _warc_pages_sql(),
+        "q_url_canon": _url_canon_sql(),
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
