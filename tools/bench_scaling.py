@@ -117,8 +117,8 @@ def main() -> None:
         "tools/scaling_worker.py` — the north_rule's exact deployment\n"
         "shape; the engine is imported from the shipped zip, not the\n"
         "checkout (self-contained-artifact test: tests/test_submit.py).\n"
-        "A submit-launched pair measured efficiency 0.81 (history entry\n"
-        "9 in BENCH/scaling.json). Steady-state timing: the identical\n"
+        "Submit-launched pairs measured efficiency 0.81 and 0.808 (history\n"
+        "entries 9-10 in BENCH/scaling.json). Steady-state timing: the identical\n"
         "plan runs twice un-clocked (JIT/worker forks), then the median\n"
         "of 3 clocked executions; levels alternate across 3 process\n"
         "pairs and the minimum per level is reported (noisy-neighbor\n"
