@@ -206,6 +206,7 @@ def duplicate_clusters(
         pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).localCheckpoint()
     labels = edges.select("x").distinct().withColumn("label", F.col("x"))
+    changed = -1  # diagnosable even when max_iter <= 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(

@@ -76,7 +76,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<iri><[^>]*>)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_:.-]*)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<punct>!=|<=|>=|&&|[{}().=<>*;,])
@@ -149,11 +149,33 @@ class _Parser:
                 break
         self.eat_word("WHERE")
         group = self.parse_group()
+        order = []
+        if self.eat_word("ORDER"):
+            if not self.eat_word("BY"):
+                raise ValueError("ORDER must be followed by BY")
+            while True:
+                kind, val = self.peek()
+                if kind == "var":
+                    order.append((self.next()[1][1:], True))
+                elif kind == "word" and val.upper() in ("ASC", "DESC"):
+                    self.next()
+                    asc = val.upper() == "ASC"
+                    self.expect("punct", "(")
+                    order.append((self.expect("var")[1:], asc))
+                    self.expect("punct", ")")
+                else:
+                    break
+            if not order:
+                raise ValueError("empty ORDER BY")
         limit = None
         if self.eat_word("LIMIT"):
             limit = int(self.expect("num"))
+        if self.peek()[0] is not None:
+            # silent acceptance of unsupported trailing clauses (OFFSET,
+            # GROUP BY, ...) would return wrong results — fail loudly
+            raise ValueError(f"unsupported trailing syntax: {self.peek()!r}")
         return {"distinct": distinct, "proj": proj, "group": group,
-                "limit": limit}
+                "order": order, "limit": limit}
 
     def parse_group(self):
         self.expect("punct", "{")
@@ -270,6 +292,11 @@ class SparqlEngine:
             cur = cur.select(*q["proj"])
         if q["distinct"]:
             cur = cur.distinct()
+        if q["order"]:
+            cur = cur.orderBy(
+                *[F.col(v).asc() if asc else F.col(v).desc()
+                  for v, asc in q["order"]]
+            )
         if q["limit"] is not None:
             cur = cur.limit(q["limit"])
         return cur
@@ -337,15 +364,34 @@ class SparqlEngine:
             return other
         shared = [c for c in cur.columns if c in other.columns]
         if not shared:
+            if how == "left_outer":
+                # SPARQL left join with no shared vars must KEEP every
+                # left row (right columns unbound when the optional group
+                # is empty) — a crossJoin would annihilate them
+                return cur.join(other, F.lit(True), "left_outer")
             return cur.crossJoin(other)
         return cur.join(other, shared, how)
 
-    @staticmethod
-    def _cmp(op, left, right):
+    _NUM_RE = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
+
+    @classmethod
+    def _cmp(cls, op, left, right):
         def col_or_lit(t):
             return F.col(t.name) if isinstance(t, Var) else F.lit(t.text)
 
         a, b = col_or_lit(left), col_or_lit(right)
+        if op in ("<", ">", "<=", ">="):
+            # SPARQL orders numbers numerically; when either side is a
+            # numeric literal, compare as doubles (a TTL string value
+            # like '10' would otherwise sort before '9'). Var-vs-var
+            # ordering stays lexicographic on the TTL surface form —
+            # documented subset behavior.
+            numeric = any(
+                isinstance(t, Term) and cls._NUM_RE.match(t.text)
+                for t in (left, right)
+            )
+            if numeric:
+                a, b = a.cast("double"), b.cast("double")
         return {
             "=": a == b, "!=": a != b, "<": a < b, ">": a > b,
             "<=": a <= b, ">=": a >= b,
@@ -400,6 +446,10 @@ class SparqlUpdateEngine(SparqlEngine):
         cur = self.triples
         for delete_tpl, insert_tpl, where in parse_update(query):
             bindings = SparqlEngine(cur)._group(where, None) if where else None
+            if bindings is not None and not bindings.head(1):
+                # zero WHERE solutions: the whole operation (including
+                # ground template triples) instantiates zero times
+                continue
 
             def instantiate(tpl):
                 spark = cur.sparkSession

@@ -675,17 +675,9 @@ def read_pbf(spark, path: str, blob_partitions: int | None = None):
     input splits: adding executors splits the same blob list further with
     no coordination, and a single planet file still fans out to every core.
     """
-    import glob as _glob
+    from ._paths import resolve_input_paths
 
-    # glob first, plain-path fallback second: a literal path containing
-    # '[' must not be silently treated as an empty character class, and a
-    # non-matching pattern must fail loudly, not return zero rows
-    paths = sorted(_glob.glob(path))
-    if not paths:
-        if os.path.exists(path):
-            paths = [path]
-        else:
-            raise FileNotFoundError(f"no PBF files match {path!r}")
+    paths = resolve_input_paths(path, "PBF")
     spans = [
         (p, off, size)
         for p in paths

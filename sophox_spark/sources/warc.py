@@ -134,11 +134,11 @@ def parse_warc_record(data: bytes, fname: str = "", offset: int = 0) -> dict | N
     for line in data[:sep].split(b"\r\n")[1:]:
         k, _, v = line.partition(b":")
         headers[k.strip().lower().decode()] = v.strip().decode()
-    if "content-length" in headers:
+    try:
         clen = int(headers["content-length"])
-    else:
-        # malformed record without a length: take the remainder minus the
-        # record-terminating CRLFCRLF instead of silently emptying it
+    except (KeyError, ValueError):
+        # missing or non-numeric length: take the remainder minus the
+        # record-terminating CRLFCRLF instead of emptying it or raising
         clen = max(0, len(data) - sep - 4 - 4)
     payload = data[sep + 4 : sep + 4 + clen]
     rtype = headers.get("warc-type", "")
@@ -161,7 +161,10 @@ def parse_warc_record(data: bytes, fname: str = "", offset: int = 0) -> dict | N
         return row
     http_head = payload[:hsep].split(b"\r\n")
     status_line = http_head[0].split(b" ")
-    row["http_status"] = int(status_line[1]) if len(status_line) > 1 else None
+    try:
+        row["http_status"] = int(status_line[1])
+    except (IndexError, ValueError):
+        row["http_status"] = None
     for line in http_head[1:]:
         k, _, v = line.partition(b":")
         if k.strip().lower() == b"content-type":
@@ -207,16 +210,9 @@ def read_warc(spark, path: str, span_partitions: int | None = None):
     Without an index: one task per file via binaryFile, walking gzip
     members sequentially (CC's many-files layout makes that the natural
     split)."""
-    import glob as _glob
+    from ._paths import resolve_input_paths
 
-    # same loud-failure glob handling as pbf.read_pbf: literal '[' paths
-    # and non-matching patterns must not silently yield zero rows
-    paths = sorted(_glob.glob(path))
-    if not paths:
-        if os.path.exists(path):
-            paths = [path]
-        else:
-            raise FileNotFoundError(f"no WARC files match {path!r}")
+    paths = resolve_input_paths(path, "WARC")
     indexed = [p for p in paths if os.path.exists(p + ".idx")]
     if len(indexed) == len(paths) and paths:
         spans = []

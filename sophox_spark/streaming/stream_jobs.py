@@ -98,8 +98,22 @@ def stream_osc_ingest(
             "lon_s",
         )
         # files without an osmosis sequence number in the name (e.g. a
-        # stray 'latest.osc.gz') carry no apply order — skip them rather
-        # than crash the seqid guard on a NULL
+        # stray 'latest.osc.gz') carry no apply order — skip them, but
+        # VISIBLY (a skipped file may duplicate a numbered diff)
+        bad = [
+            r.file
+            for r in parsed.filter(
+                F.regexp_extract("file", "^0*([0-9]+)", 1) == ""
+            ).select("file").distinct().collect()
+        ]
+        if bad:
+            import warnings
+
+            warnings.warn(
+                f"stream_osc_ingest: skipping {len(bad)} diff file(s) without "
+                f"a numeric sequence in the name: {sorted(bad)[:5]}",
+                stacklevel=2,
+            )
         apply_change_batches(spark, table, changes.filter(F.col("seqid").isNotNull()))
 
     return (

@@ -235,3 +235,48 @@ VALUES (?id ?count_all ?count_nodes) {
     assert got[("osmd:Q1", "osmm:count_all")] == "900"
     assert got[("osmd:Q2", "osmm:count_nodes")] == "3"
     assert len(got) == 5
+
+
+class TestSemanticFixes:
+    """Pins for review-found semantic gaps (silent-wrong-result cases)."""
+
+    def test_optional_empty_group_keeps_left_rows(self, triples):
+        out = _run(triples, """
+SELECT ?rel ?z WHERE {
+  ?rel osmm:type 'r' .
+  OPTIONAL { ?q nosuch:pred ?z . }
+}""")
+        rows = out.collect()
+        assert len(rows) == 3 and all(r.z is None for r in rows)
+
+    def test_update_zero_solutions_is_noop(self, spark):
+        tr = spark.createDataFrame(
+            [("osmrel:1", "osmm:type", '"r"'), ("x:a", "p:x", '"1"')],
+            "s string, p string, o string",
+        )
+        new = sparql.SparqlUpdateEngine(tr).update(
+            "DELETE { osmrel:1 osmm:type 'r' . } WHERE { ?s nosuch:pred ?o . }"
+        )
+        assert new.count() == 2  # template never instantiates
+
+    def test_numeric_filter_comparison(self, spark):
+        tr = spark.createDataFrame(
+            [("x:a", "p:v", "10"), ("x:b", "p:v", "9")],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select(
+            "SELECT ?s WHERE { ?s p:v ?v . FILTER (?v > 9) }"
+        )
+        assert [r.s for r in out.collect()] == ["x:a"]
+
+    def test_order_by_and_trailing_syntax(self, triples):
+        out = _run(triples, """
+SELECT ?rel WHERE { ?rel osmm:type 'r' . } ORDER BY DESC(?rel) LIMIT 2""")
+        assert [r.rel for r in out.collect()] == ["osmrel:3", "osmrel:2"]
+        with pytest.raises(ValueError):
+            _run(triples, "SELECT ?s WHERE { ?s osmm:type 'r' . } OFFSET 5")
+
+    def test_pname_flush_against_dot(self, triples):
+        # 'osmnode:10.' must tokenize as pname + triple terminator
+        out = _run(triples, "SELECT ?rel WHERE { ?rel osmm:has osmnode:10. }")
+        assert [r.rel for r in out.collect()] == ["osmrel:1"]

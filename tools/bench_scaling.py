@@ -53,7 +53,9 @@ def run(cpus: int, replicate: int) -> dict:
         ],
         capture_output=True, text=True, timeout=3000, check=True, env=env,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    parsed = json.loads(out.stdout.strip().splitlines()[-1])
+    parsed["launcher"] = "spark-submit"
+    return parsed
 
 
 def main() -> None:
@@ -79,6 +81,7 @@ def main() -> None:
         "rows": big["rows"],
         "rows_per_sec_small": round(small["rows"] / small["elapsed_sec"], 1),
         "rows_per_sec_big": round(big["rows"] / big["elapsed_sec"], 1),
+        "launcher": big.get("launcher", "python"),
         "scaling_efficiency": round(eff, 3),
         "samples_small_sec": [r["elapsed_sec"] for r in smalls],
         "samples_big_sec": [r["elapsed_sec"] for r in bigs],
@@ -107,6 +110,17 @@ def main() -> None:
         json.dump(headline, f, indent=2)
     result = {k: v for k, v in headline.items() if k != "history"}
     eff = result["scaling_efficiency"]
+    submit_effs = [
+        h["scaling_efficiency"] for h in history
+        if h.get("launcher") == "spark-submit"
+    ]
+    submit_note = (
+        "Submit-launched pairs measured efficiency "
+        + ", ".join(str(e) for e in submit_effs)
+        + " (see BENCH/scaling.json history, launcher=spark-submit).\n"
+        if submit_effs
+        else ""
+    )
     md = (
         "# BENCH — scaling evidence (N vs 4N parallelism)\n\n"
         "Same job, identical input and partitioning (128 partitions), two\n"
@@ -117,8 +131,7 @@ def main() -> None:
         "tools/scaling_worker.py` — the north_rule's exact deployment\n"
         "shape; the engine is imported from the shipped zip, not the\n"
         "checkout (self-contained-artifact test: tests/test_submit.py).\n"
-        "Submit-launched pairs measured efficiency 0.81 and 0.808 (history\n"
-        "entries 9-10 in BENCH/scaling.json). Steady-state timing: the identical\n"
+        f"{submit_note}Steady-state timing: the identical\n"
         "plan runs twice un-clocked (JIT/worker forks), then the median\n"
         "of 3 clocked executions; levels alternate across 3 process\n"
         "pairs and the minimum per level is reported (noisy-neighbor\n"
