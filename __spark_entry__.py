@@ -172,6 +172,28 @@ def _textstats_exprs(dialect: str) -> dict[str, str]:
 _OCC = "CAST((length({t}) - length(replace({t}, '{w}', ''))) / {n} AS BIGINT)"
 
 
+# CCNet-style quality bucketing: the FILTERING step of a training-data
+# pipeline (keep head/middle, drop tail), expressed over the same native
+# quality/token expressions as q_text_stats. Thresholds compare identical
+# doubles in both engines (same e0-literal expression over integer
+# lengths), so bucket edges are exact.
+def _quality_buckets_sql(dialect: str) -> str:
+    e = _textstats_exprs(dialect)
+    q = e["quality"]
+    return f"""
+SELECT lang,
+       CASE WHEN ({q}) >= 0.9e0 THEN 'head'
+            WHEN ({q}) >= 0.6e0 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM({e['token_count']}) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, CASE WHEN ({q}) >= 0.9e0 THEN 'head'
+                    WHEN ({q}) >= 0.6e0 THEN 'middle'
+                    ELSE 'tail' END
+"""
+
+
 def _lang_id_expr() -> str:
     """Portable argmax-stopword language id (same text both dialects)."""
     profiles = {
@@ -2218,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _sql_query(_simhash_sql("spark"), ("documents",)),
         "q_lang_id": _sql_query(_lang_id_sql(), ("documents",)),
         "q_text_stats": _sql_query(_textstats_sql("spark"), ("documents",)),
+        "q_quality_buckets": _sql_query(_quality_buckets_sql("spark"), ("documents",)),
         # similarity
         "q_embedding_cosine_topk": _q_embedding_cosine,
         # geo with SQL oracle
@@ -2297,6 +2320,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": _simhash_sql("duckdb"),
         "q_lang_id": _lang_id_sql(),
         "q_text_stats": _textstats_sql("duckdb"),
+        "q_quality_buckets": _quality_buckets_sql("duckdb"),
         "q_embedding_cosine_topk": _cosine_duck(),
         "q_geo_pip_rects": _geo_pip_sql("duckdb"),
         "q_pip_engine_rects": _geo_pip_sql("duckdb"),
