@@ -2176,6 +2176,36 @@ FROM pages
 """
 
 
+# The full crawl→extract composition: the SAME arithmetic pages as
+# q_geo_extraction, but shipped through real warc.gz containers first
+# (write → span-indexed scan → HTTP envelope strip) before the byte-pinned
+# extractor runs. The oracle is the unchanged q_geo_extraction SQL — any
+# corruption introduced by the container round-trip shows up as a
+# mention-level hash mismatch.
+def _q_warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from sophox_spark.functions import extract
+    from sophox_spark.sources import warc as warc_src
+
+    _load(spark, sf_dir, "events")
+    pdf = (
+        spark.sql(_extract_pages_body("STRING", idiv="DIV"))
+        .select("event_id", "url", "html_str")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    pdf["html"] = pdf["html_str"].map(lambda s: s.encode("utf-8"))
+    pdf["ts_s"] = "2024-06-01T00:00:00Z"
+    tmp = tempfile.mkdtemp(prefix="sophox_warc_ext_")
+    for k in range(4):
+        part = pdf[pdf["event_id"] % 4 == k]
+        warc_src.write_warc(os.path.join(tmp, f"c-{k:03d}.warc.gz"), part)
+    records = warc_src.read_warc(spark, tmp + "/*.warc.gz")
+    return extract.extract_mentions(records.select("url", "html"))
+
+
 def _q_page_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.functions import extract
     from sophox_spark.sources import synth
@@ -2230,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_osc_apply": _q_osc_apply,
         "q_warc_pages": _q_warc_pages,
         "q_url_canon": _q_url_canon,
+        "q_warc_extraction": _q_warc_extraction,
         "q_wiki_claims": _q_wiki_claims,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
@@ -2302,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         "q_osc_apply": _osc_apply_sql(),
         "q_warc_pages": _warc_pages_sql(),
         "q_url_canon": _url_canon_sql(),
+        "q_warc_extraction": _geo_extraction_sql(),
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
