@@ -280,3 +280,53 @@ SELECT ?rel WHERE { ?rel osmm:type 'r' . } ORDER BY DESC(?rel) LIMIT 2""")
         # 'osmnode:10.' must tokenize as pname + triple terminator
         out = _run(triples, "SELECT ?rel WHERE { ?rel osmm:has osmnode:10. }")
         assert [r.rel for r in out.collect()] == ["osmrel:1"]
+
+
+def test_sparql_update_commits_as_subject_delta(spark, tmp_path):
+    """S9 end-to-end: a SPARQL UPDATE's outcome lands in the
+    PartitionedSnapshotTable as a SUBJECT-keyed delta commit (the
+    RdfUpdateHandler per-subject MERGE), rewriting only the buckets the
+    touched subjects hash to."""
+    from sophox_spark.manifest import Manifest
+    from sophox_spark.streaming import incremental
+
+    man = Manifest(spark, str(tmp_path / "man"))
+    tbl = incremental.PartitionedSnapshotTable(
+        spark, str(tmp_path / "triples"), man, "triples",
+        keys=("s",), n_buckets=8,
+    )
+    base = spark.createDataFrame(
+        [("osmnode:1", "osmt:name", '"old"'),
+         ("osmnode:1", "osmm:task", '"keepme"'),
+         ("osmnode:2", "osmt:name", '"two"'),
+         ("osmnode:3", "osmt:name", '"three"')],
+        "s string, p string, o string",
+    )
+    tbl.commit_batch(base, seqid=1)
+
+    new = sparql.SparqlUpdateEngine(tbl.read().select("s", "p", "o")).update("""
+DELETE { ?s ?p ?o . }
+WHERE { VALUES ?s { osmnode:1 } ?s ?p ?o . FILTER (osmm:task != ?p) };
+INSERT { osmnode:1 osmt:name 'new' . } WHERE {};
+""")
+    old = tbl.read().select("s", "p", "o")
+    # touched subjects = symmetric difference of the triple sets; at
+    # replication scale the update handler knows them upfront (the
+    # pending-subject list), this is the generic recomputation
+    touched = (
+        old.exceptAll(new).select("s")
+        .union(new.exceptAll(old).select("s"))
+        .distinct()
+    )
+    batch = new.join(touched, "s", "left_semi").withColumn(
+        "__del", sparql.F.lit(False)
+    )
+    tbl.commit_batch(batch, seqid=2, delete_col="__del")
+
+    got = {(r.s, r.p): r.o for r in tbl.read().select("s", "p", "o").collect()}
+    assert got == {
+        ("osmnode:1", "osmm:task"): '"keepme"',
+        ("osmnode:1", "osmt:name"): '"new"',
+        ("osmnode:2", "osmt:name"): '"two"',
+        ("osmnode:3", "osmt:name"): '"three"',
+    }
