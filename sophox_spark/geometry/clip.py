@@ -270,10 +270,15 @@ def clip_rings_robust(subject: np.ndarray, clipper: np.ndarray, op: str,
 
 
 def difference_with_holes(poly: list[np.ndarray], clipper: np.ndarray):
-    """(exterior, *holes) − clipper. The clipper must not touch the
-    existing holes (raises DegenerateGeometry via the underlying clip if
-    it crosses; a clipper strictly inside a hole is a no-op). Returns a
-    list of polygons, each ``[exterior, *holes]``."""
+    """(exterior, *holes) − clipper. A clipper strictly inside a hole is
+    a no-op. Existing holes are CLIPPED to each surviving exterior
+    piece: a hole the clipper cuts through keeps exactly its fragment
+    inside the remainder (rep-point keep-or-drop would silently re-add
+    the cut part of the hole as land — order-dependent wrong areas).
+    Holes never overlap each other when the subtracted clippers are
+    mutually disjoint (the hydrography contract); overlapping clippers
+    keep correct point-membership but can double-count hole area.
+    Returns a list of polygons, each ``[exterior, *holes]``."""
     exterior, holes = poly[0], list(poly[1:])
     for h in holes:
         h_closed = [(h if np.array_equal(h[0], h[-1]) else np.vstack([h, h[:1]]), False)]
@@ -286,16 +291,78 @@ def difference_with_holes(poly: list[np.ndarray], clipper: np.ndarray):
     new_holes = [r for r, is_hole in parts if is_hole]
     for ext in new_ext:
         ext_closed = [(ext, False)]
+        ext_area = abs(_ring_area(ext))
         kept = [
-            h for h in holes
-            if point_in_rings(float(h[0, 0]), float(h[0, 1]), ext_closed)
-        ]
-        kept += [
             h for h in new_holes
             if point_in_rings(float(h[0, 0]), float(h[0, 1]), ext_closed)
         ]
-        out.append([ext] + kept)
+        vanished = False
+        for h in holes:
+            try:
+                frags = clip_rings_robust(h, ext, "intersection")
+            except DegenerateGeometry:
+                # unresolvable contact: previous rep-point behavior
+                frags = (
+                    [(h, False)]
+                    if point_in_rings(float(h[0, 0]), float(h[0, 1]), ext_closed)
+                    else []
+                )
+            for r, _ in frags:
+                if abs(_ring_area(r)) >= ext_area * (1.0 - 1e-12):
+                    vanished = True  # hole swallows this piece entirely
+                    break
+                kept.append(r)
+            if vanished:
+                break
+        if not vanished:
+            out.append([ext] + kept)
     return out
+
+
+def _ring_area(ring: np.ndarray) -> float:
+    r = _open_ring(ring)
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def intersection_parts(poly: list[np.ndarray], clipper: np.ndarray):
+    """``[exterior, *holes] ∩ clipper-ring`` → list of ``[ext, *holes]``
+    parts. The intersection pieces of the exterior keep only the area
+    outside the subject's own holes (holes are subtracted from each
+    piece). Raises DegenerateGeometry on unresolvable contact."""
+    pieces = clip_rings_robust(poly[0], clipper, "intersection")
+    parts = [[r] for r, is_hole in pieces if not is_hole]
+    for h in poly[1:]:
+        nxt = []
+        for p in parts:
+            nxt.extend(difference_with_holes(p, h))
+        parts = nxt
+    return parts
+
+
+def difference_full(poly: list[np.ndarray], water: list[np.ndarray]):
+    """``poly − full water polygon``: the water's exterior is subtracted
+    and each water HOLE re-adds ``poly ∩ hole`` as land — an island in a
+    lake stays land, matching ST_Difference(geom, water) semantics
+    (previously only the exterior was subtracted, silently flooding
+    islands). Exact when water polygons don't overlap EACH OTHER (a
+    water hole overlapping another water's exterior could re-add
+    removed land — hydrography layers are disjoint by construction).
+
+    Never raises: a degenerate exterior contact keeps ``poly``
+    unclipped; a degenerate hole contact skips that island. Returns
+    ``(parts, n_fallbacks)``."""
+    try:
+        base = difference_with_holes(poly, water[0])
+    except DegenerateGeometry:
+        return [poly], 1
+    n_fb = 0
+    for hole in water[1:]:
+        try:
+            base.extend(intersection_parts(poly, hole))
+        except DegenerateGeometry:
+            n_fb += 1
+    return base, n_fb
 
 
 def union_parts(

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..cells import grid
 from ..geometry import clip, core, simplify as simp, wkb
 
 
@@ -160,59 +161,109 @@ def clipped_regions(
     classification — that exact-by-identity path is
     ``point_in_region_minus_water``).
 
-    The water table is the SMALL dim by design (the reference queries
-    intersecting water per region the same way); it is collected +
-    broadcast with bboxes, and each Arrow batch runs the sequential
-    Greiner–Hormann difference per region part. Degenerate contacts
-    (shared edges) first retry through clip_rings_robust's deterministic
+    FULLY DISTRIBUTED — no driver collect (planet hydrography is not
+    small): both sides are bbox-covered with grid cells at one
+    data-adapted resolution, candidate (region, water) pairs come from a
+    cell equi-join (the only shuffle key — co-partitioned hash join,
+    same machinery as spatial_join), each region's candidate waters are
+    grouped to it (sorted by water id for bit-reproducible clip order),
+    and the Greiner–Hormann differences run per-region in Arrow batches.
+    A region only ever sees the waters whose bboxes can touch it, so
+    per-task work is O(local density), not O(|water|).
+
+    Water is subtracted as FULL polygons: a water hole (island in a
+    lake) re-adds ``region ∩ hole`` as land, matching
+    ST_Difference(geom, ST_Union(water)). Degenerate contacts (shared
+    edges) first retry through clip_rings_robust's deterministic
     micro-perturbation (clipper nudged ≤ extent·1e-9; the subject
-    boundary is never moved), so water sharing a region edge now clips;
-    only contacts still degenerate after all retries keep the subject
-    part unclipped, COUNTED in ``n_fallbacks`` — visible, not silent.
+    boundary is never moved); only contacts still degenerate after all
+    retries keep the subject part unclipped, COUNTED in
+    ``n_fallbacks`` — visible, not silent.
 
     Output: ``id_col, geom (multipolygon WKB), area (planar shoelace,
     holes subtracted), n_rings, n_fallbacks``."""
-    water_rows = water_df.select(geom_col).collect()
-    water_blobs = [bytes(r[0]) for r in water_rows if r[0] is not None]
-    w_bc = regions_df.sparkSession.sparkContext.broadcast(water_blobs)
+    spark = regions_df.sparkSession
+    regions = regions_df.select(id_col, geom_col).filter(
+        F.col(geom_col).isNotNull()
+    )
+    water = (
+        water_df.select(geom_col)
+        .filter(F.col(geom_col).isNotNull())
+        .select(F.xxhash64(geom_col).alias("__wid"), F.col(geom_col).alias("__wgeom"))
+        .dropDuplicates(["__wid"])  # identical waters subtract once (= union)
+    )
+
+    def bbox_gen(in_id, geom, out_id, res):
+        def gen(batches):
+            for pdf in batches:
+                ids, x0s, y0s, x1s, y1s = [], [], [], [], []
+                for pid, blob in zip(pdf[in_id], pdf[geom]):
+                    exts = [p[0] for p in wkb.decode_one(bytes(blob))]
+                    if not exts:
+                        continue
+                    ids.append(pid)
+                    x0s.append(min(float(e[:, 0].min()) for e in exts))
+                    y0s.append(min(float(e[:, 1].min()) for e in exts))
+                    x1s.append(max(float(e[:, 0].max()) for e in exts))
+                    y1s.append(max(float(e[:, 1].max()) for e in exts))
+                if not ids:
+                    continue
+                src, cells = grid.cover_bbox(
+                    np.asarray(x0s), np.asarray(y0s),
+                    np.asarray(x1s), np.asarray(y1s), res,
+                )
+                yield pd.DataFrame(
+                    {"cell": cells, out_id: np.asarray(ids, dtype=np.int64)[src]}
+                )
+        return gen
+
+    res = _clip_cover_res(regions, water, id_col, geom_col)
+    r_cells = regions.mapInPandas(
+        bbox_gen(id_col, geom_col, "__rid", res), "cell long, __rid long"
+    ).withColumnRenamed("__rid", id_col)
+    w_cells = water.mapInPandas(
+        bbox_gen("__wid", "__wgeom", "__wid", res), "cell long, __wid long"
+    )
+    pairs = (
+        r_cells.join(w_cells, "cell")
+        .select(id_col, "__wid")
+        .distinct()
+        .join(water, "__wid")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("__wid", "__wgeom"))).alias("__waters"))
+    )
+    joined = regions.join(pairs, id_col, "left_outer")
 
     def gen(batches):
-        waters = None
         for pdf in batches:
-            if waters is None:
-                waters = []
-                for blob in w_bc.value:
-                    for rings in wkb.decode_one(blob):
-                        ext = rings[0]
-                        waters.append(
-                            (
-                                ext,
-                                (
-                                    ext[:, 0].min(), ext[:, 1].min(),
-                                    ext[:, 0].max(), ext[:, 1].max(),
-                                ),
-                            )
-                        )
             out = {id_col: [], geom_col: [], "area": [], "n_rings": [], "n_fallbacks": []}
-            for pid, blob in zip(pdf[id_col], pdf[geom_col]):
-                if blob is None:
-                    continue
+            for pid, blob, waters in zip(
+                pdf[id_col], pdf[geom_col], pdf["__waters"]
+            ):
                 parts = wkb.decode_one(bytes(blob))
                 n_fb = 0
-                for w_ext, wb in waters:
-                    nxt = []
-                    for part in parts:
-                        e = part[0]
-                        pb = (e[:, 0].min(), e[:, 1].min(), e[:, 0].max(), e[:, 1].max())
-                        if wb[2] < pb[0] or pb[2] < wb[0] or wb[3] < pb[1] or pb[3] < wb[1]:
-                            nxt.append(part)
-                            continue
-                        try:
-                            nxt.extend(clip.difference_with_holes(part, w_ext))
-                        except clip.DegenerateGeometry:
-                            n_fb += 1
-                            nxt.append(part)
-                    parts = nxt
+                if waters is not None and len(waters):
+                    for w in waters:
+                        # Arrow hands array<struct> elements to pandas as
+                        # dicts (field-name keyed)
+                        wblob = w["__wgeom"] if isinstance(w, dict) else w[1]
+                        for wp in wkb.decode_one(bytes(wblob)):
+                            we = wp[0]
+                            wb = (we[:, 0].min(), we[:, 1].min(),
+                                  we[:, 0].max(), we[:, 1].max())
+                            nxt = []
+                            for part in parts:
+                                e = part[0]
+                                pb = (e[:, 0].min(), e[:, 1].min(),
+                                      e[:, 0].max(), e[:, 1].max())
+                                if (wb[2] < pb[0] or pb[2] < wb[0]
+                                        or wb[3] < pb[1] or pb[3] < wb[1]):
+                                    nxt.append(part)
+                                    continue
+                                got, fb = clip.difference_full(part, wp)
+                                n_fb += fb
+                                nxt.extend(got)
+                            parts = nxt
                 area = 0.0
                 n_rings = 0
                 for part in parts:
@@ -227,10 +278,44 @@ def clipped_regions(
                 out["n_fallbacks"].append(n_fb)
             yield pd.DataFrame(out)
 
-    return regions_df.select(id_col, geom_col).mapInPandas(
+    return joined.mapInPandas(
         gen,
         f"{id_col} long, {geom_col} binary, area double, n_rings long, n_fallbacks long",
     )
+
+
+def _clip_cover_res(regions: DataFrame, water: DataFrame,
+                    id_col: str, geom_col: str) -> int:
+    """Covering resolution for the clip candidate join, adapted to the
+    data in two bounded scalar aggregations (the q_geo_knn pattern):
+    cells sized to the average water bbox (so a typical water polygon
+    covers O(1) cells), then coarsened so the LARGEST region bbox stays
+    ≤ ~256 cells across (bounded candidate fan-out per region)."""
+    import math
+
+    def spans(df, geom):
+        def gen(batches):
+            for pdf in batches:
+                vals = []
+                for blob in pdf[geom]:
+                    exts = [p[0] for p in wkb.decode_one(bytes(blob))]
+                    if not exts:
+                        continue
+                    dx = max(float(e[:, 0].max()) for e in exts) - min(
+                        float(e[:, 0].min()) for e in exts)
+                    dy = max(float(e[:, 1].max()) for e in exts) - min(
+                        float(e[:, 1].min()) for e in exts)
+                    vals.append(max(dx, 2.0 * dy))  # lat cells are 2× denser
+                yield pd.DataFrame({"span": vals})
+        return df.mapInPandas(gen, "span double")
+
+    w_avg = spans(water, "__wgeom").agg(F.avg("span")).collect()[0][0]
+    r_max = spans(regions, geom_col).agg(F.max("span")).collect()[0][0]
+    if w_avg is None or r_max is None:
+        return 10
+    res = math.floor(math.log2(360.0 / max(w_avg, 1e-9)))
+    cap = math.floor(math.log2(256.0 * 360.0 / max(r_max, 1e-9)))
+    return max(3, min(res, cap, grid.MAX_RES - 4))
 
 
 def regions_geojson(

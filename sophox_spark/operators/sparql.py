@@ -73,7 +73,8 @@ class Term:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
     (?P<comment>\#[^\n]*)
-  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<string>(?:'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+      (?:\^\^(?:<[^>]*>|[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?))?)
   | (?P<iri><[^>]*>)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?)
@@ -244,8 +245,10 @@ class _Parser:
         if kind == "var":
             return Var(val[1:])
         if kind == "string":
-            # normalize to the double-quoted TTL surface form
-            return Term('"' + val[1:-1] + '"')
+            # normalize to the double-quoted TTL surface form, keeping
+            # any ^^datatype suffix ('"10"^^xsd:integer')
+            body, sep, dt = val.partition("^^")
+            return Term('"' + body[1:-1] + '"' + sep + dt)
         if kind in ("pname", "iri", "num"):
             return Term(val)
         if kind == "punct" and val == "[":  # pragma: no cover (not emitted)
@@ -304,6 +307,11 @@ class SparqlEngine:
     # ---- blocks ----
 
     def _group(self, blocks, cur: DataFrame | None) -> DataFrame | None:
+        # SPARQL filters scope over the WHOLE group regardless of where
+        # they appear textually (a FILTER may precede the triple that
+        # binds its variable) — defer them to the end of the group.
+        filters = [b for b in blocks if b[0] == "filter"]
+        blocks = [b for b in blocks if b[0] != "filter"]
         for block in blocks:
             kind = block[0]
             if kind == "triple":
@@ -336,9 +344,9 @@ class SparqlEngine:
                     nonempty = bool(sub.head(1))
                     if (kind == "not_exists") == nonempty:
                         cur = cur.limit(0)
-            elif kind == "filter":
-                for op, left, right in block[1]:
-                    cur = cur.filter(self._cmp(op, left, right))
+        for block in filters:
+            for op, left, right in block[1]:
+                cur = cur.filter(self._cmp(op, left, right))
         return cur
 
     def _scan(self, pattern) -> DataFrame:
@@ -375,23 +383,48 @@ class SparqlEngine:
     _NUM_RE = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
 
     @classmethod
+    def _lexical_numeric(cls, text: str) -> str | None:
+        """Numeric lexical form of a TTL term, or None: bare numbers
+        pass through; typed literals like '"10"^^xsd:integer' and plain
+        quoted numbers strip to their lexical value."""
+        s = re.sub(r"\^\^\S+$", "", text)
+        if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+            s = s[1:-1]
+        return s if cls._NUM_RE.match(s) else None
+
+    @staticmethod
+    def _num_expr(col):
+        """Column in TTL surface form → DOUBLE: strip ^^datatype suffix
+        and surrounding quotes, then cast (non-numeric lexical forms →
+        NULL → comparison never matches, SPARQL type-error semantics)."""
+        s = F.regexp_replace(col, r"\^\^\S+$", "")
+        s = F.regexp_replace(s, r'^"(.*)"$', "$1")
+        return s.try_cast("double")  # ANSI-safe: malformed → NULL, not error
+
+    @classmethod
     def _cmp(cls, op, left, right):
+        # numeric comparison applies when either side is a numeric
+        # literal — bare ('10') or typed ('"10"^^xsd:integer'); the
+        # column side strips its TTL decoration before the double cast,
+        # so typed-literal values in the store compare by VALUE, not
+        # surface form. Var-vs-var ordering stays lexicographic on the
+        # TTL surface form — documented subset behavior.
+        numeric = op in ("<", ">", "<=", ">=") and any(
+            isinstance(t, Term) and cls._lexical_numeric(t.text) is not None
+            for t in (left, right)
+        )
+
         def col_or_lit(t):
-            return F.col(t.name) if isinstance(t, Var) else F.lit(t.text)
+            if isinstance(t, Var):
+                return cls._num_expr(F.col(t.name)) if numeric else F.col(t.name)
+            if numeric:
+                lex = cls._lexical_numeric(t.text)
+                if lex is None:  # non-numeric vs numeric: type error → no match
+                    return F.lit(None).cast("double")
+                return F.lit(float(lex))
+            return F.lit(t.text)
 
         a, b = col_or_lit(left), col_or_lit(right)
-        if op in ("<", ">", "<=", ">="):
-            # SPARQL orders numbers numerically; when either side is a
-            # numeric literal, compare as doubles (a TTL string value
-            # like '10' would otherwise sort before '9'). Var-vs-var
-            # ordering stays lexicographic on the TTL surface form —
-            # documented subset behavior.
-            numeric = any(
-                isinstance(t, Term) and cls._NUM_RE.match(t.text)
-                for t in (left, right)
-            )
-            if numeric:
-                a, b = a.cast("double"), b.cast("double")
         return {
             "=": a == b, "!=": a != b, "<": a < b, ">": a > b,
             "<=": a <= b, ">=": a >= b,

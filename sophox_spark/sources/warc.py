@@ -252,17 +252,31 @@ def read_warc(spark, path: str, span_partitions: int | None = None):
 
 
 def _iter_plain_records(data: bytes):
-    """Uncompressed .warc: records delimited by Content-Length walking."""
+    """Uncompressed .warc: records delimited by Content-Length walking.
+
+    A malformed Content-Length (garbage member in a real-world crawl)
+    must not kill the task — same tolerant policy as parse_warc_record
+    and the gzip-member path: resync by scanning for the next
+    ``WARC/`` version line and skip the broken record."""
     pos = 0
     while pos < len(data):
         sep = data.find(b"\r\n\r\n", pos)
         if sep < 0:
             break
-        clen = 0
+        clen = None
         for line in data[pos:sep].split(b"\r\n"):
             k, _, v = line.partition(b":")
             if k.strip().lower() == b"content-length":
-                clen = int(v.strip())
+                try:
+                    clen = int(v.strip())
+                except ValueError:
+                    clen = None
+        if clen is None or clen < 0:
+            nxt = data.find(b"\r\nWARC/", sep + 4)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
         end = sep + 4 + clen + 4
         yield pos, data[pos:end]
         pos = end

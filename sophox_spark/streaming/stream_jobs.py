@@ -90,6 +90,7 @@ def stream_osc_ingest(
             F.when(F.col("action") == "delete", "delete")
             .otherwise("upsert")
             .alias("op"),
+            "kind",
             "id",
             "version",
             F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
@@ -114,7 +115,16 @@ def stream_osc_ingest(
                 f"a numeric sequence in the name: {sorted(bad)[:5]}",
                 stacklevel=2,
             )
-        apply_change_batches(spark, table, changes.filter(F.col("seqid").isNotNull()))
+        # OSM node/way/relation id spaces OVERLAP — a way with the same
+        # numeric id as a node is a different element, so the upsert key
+        # must be (kind, id), not id alone (osm2rdf keys RDF subjects by
+        # prefixed kind for the same reason).
+        apply_change_batches(
+            spark,
+            table,
+            changes.filter(F.col("seqid").isNotNull()),
+            keys=("kind", "id"),
+        )
 
     return (
         files.writeStream.foreachBatch(apply_batch)

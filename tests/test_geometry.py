@@ -372,6 +372,35 @@ class TestClip:
         out2 = clip.difference_with_holes(poly, self._sq(1.1, 1.1, 0.2))
         assert len(out2) == 1 and len(out2[0]) == 2
 
+    def test_difference_full_water_holes_stay_land(self):
+        """region − holed water: ST_Difference keeps islands inside
+        lakes as LAND — the water hole re-adds region ∩ hole."""
+        from sophox_spark.geometry import clip
+
+        region = [self._sq(0, 0, 4)]
+        lake = [self._sq(1, 1, 2), self._sq(1.5, 1.5, 0.5)]  # island hole
+        parts, n_fb = clip.difference_full(region, lake)
+        assert n_fb == 0
+        area = 0.0
+        for p in parts:
+            area += abs(core.ring_signed_area(p[0]))
+            for h in p[1:]:
+                area -= abs(core.ring_signed_area(h))
+        # 16 − (4 − 0.25): the 0.5×0.5 island stays land
+        assert area == pytest.approx(16 - 4 + 0.25)
+        # point checks: land = inside some part's exterior but none of
+        # its holes
+        def is_land(x, y):
+            return any(
+                point_in_rings(x, y, [(p[0], False)])
+                and not any(point_in_rings(x, y, [(h, False)]) for h in p[1:])
+                for p in parts
+            )
+
+        assert is_land(1.75, 1.75)      # island interior = land
+        assert not is_land(1.2, 1.2)    # lake water = not land
+        assert is_land(0.5, 0.5)        # region outside lake = land
+
 
 class TestRobustClip:
     """Degenerate contacts (shared edges/vertices) must clip via the

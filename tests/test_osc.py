@@ -173,6 +173,7 @@ def test_stream_osc_ingest_end_to_end(spark, tmp_path):
     base = spark.createDataFrame(
         pd.DataFrame(
             {
+                "kind": ["node"] * 10,
                 "id": range(10),
                 "version": [1] * 10,
                 "ts": pd.to_datetime([1_700_000_000] * 10, unit="s"),
@@ -207,10 +208,15 @@ def test_stream_osc_ingest_end_to_end(spark, tmp_path):
         dict(common, action="delete", id=3, version=2, ts_s=ts[1],
              lat_s=None, lon_s=None, tags={}),
     ])
-    # seq3: delete the created node 100
+    # seq3: delete the created node 100, and create a WAY with id=2 —
+    # OSM id spaces overlap per kind, so this must NOT collide with
+    # node 2 (the upsert keys on (kind, id))
     diff(3, [
         dict(common, action="delete", id=100, version=2, ts_s=ts[2],
              lat_s=None, lon_s=None, tags={}),
+        dict(common, action="create", kind="way", id=2, version=1, ts_s=ts[2],
+             lat_s=None, lon_s=None, tags={"name": "way two"},
+             refs=[0, 1]),
     ])
 
     q = stream_jobs.stream_osc_ingest(
@@ -218,9 +224,10 @@ def test_stream_osc_ingest_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = {r.id: (r.version, r.name) for r in table.read().collect()}
-    want = {i: (1, f"node {i}") for i in range(10) if i not in (2, 3)}
-    want[2] = (3, "two@2")
+    got = {(r.kind, r.id): (r.version, r.name) for r in table.read().collect()}
+    want = {("node", i): (1, f"node {i}") for i in range(10) if i not in (2, 3)}
+    want[("node", 2)] = (3, "two@2")
+    want[("way", 2)] = (1, "way two")
     assert got == want
 
     # fresh checkpoint => all files replay; seqid guard makes it a no-op

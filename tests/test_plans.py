@@ -108,9 +108,12 @@ class TestRound2Plans:
         # two python crossings: covering gen + per-tile feature gen
         assert explain.python_eval_nodes(out) == 2
 
-    def test_clipped_regions_embarrassingly_parallel(self, spark):
-        """Water broadcast + one mapInPandas: zero shuffles — the
-        difference op scales with region partitions alone."""
+    def test_clipped_regions_distributed_no_driver_collect(self, spark):
+        """The clip path is a cell-cover candidate EQUI-join: no
+        cartesian/nested-loop product anywhere in the plan, and the
+        water side reaches the clip through the join — the only
+        collects in clipped_regions are the two bounded resolution
+        scalars (one avg, one max), never the water geometry."""
         from sophox_spark.operators import dissolve
 
         polygons = synth.admin_polygons_df(spark, 30)
@@ -119,5 +122,12 @@ class TestRound2Plans:
         ).selectExpr("polygon_id", "geom")
         water = polygons.filter("kind = 'water'").selectExpr("polygon_id", "geom")
         out = dissolve.clipped_regions(regions, water)
-        assert explain.count_exchanges(out) == 0
-        assert explain.python_eval_nodes(out) == 1
+        plan = explain.formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # candidate pairing joins on the covering cell
+        assert "cell" in plan
+        import inspect
+
+        src = inspect.getsource(dissolve.clipped_regions)
+        assert ".collect()" not in src  # water stays distributed

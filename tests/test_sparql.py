@@ -269,6 +269,41 @@ SELECT ?rel ?z WHERE {
         )
         assert [r.s for r in out.collect()] == ["x:a"]
 
+    def test_filter_before_binding_triple(self, spark):
+        """SPARQL filters scope over the whole group — a FILTER textually
+        preceding the triple that binds its variable must still apply
+        (previously raised AnalysisException)."""
+        tr = spark.createDataFrame(
+            [("x:a", "p:v", "10"), ("x:b", "p:v", "9")],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select(
+            "SELECT ?s WHERE { FILTER (?v > 9) ?s p:v ?v . }"
+        )
+        assert [r.s for r in out.collect()] == ["x:a"]
+
+    def test_numeric_filter_typed_literal(self, spark):
+        """Typed literals like '"10"^^xsd:integer' compare by VALUE: the
+        column side strips quotes/^^datatype before the double cast
+        (previously cast to NULL and silently never matched)."""
+        tr = spark.createDataFrame(
+            [
+                ("x:a", "p:v", '"10"^^xsd:integer'),
+                ("x:b", "p:v", '"9"^^xsd:integer'),
+                ("x:c", "p:v", '"junk"'),
+            ],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select(
+            "SELECT ?s WHERE { ?s p:v ?v . FILTER (?v > 9) }"
+        )
+        assert [r.s for r in out.collect()] == ["x:a"]
+        # numeric literal may itself be typed
+        out2 = sparql.SparqlEngine(tr).select(
+            'SELECT ?s WHERE { ?s p:v ?v . FILTER (?v >= "10"^^xsd:integer) }'
+        )
+        assert [r.s for r in out2.collect()] == ["x:a"]
+
     def test_order_by_and_trailing_syntax(self, triples):
         out = _run(triples, """
 SELECT ?rel WHERE { ?rel osmm:type 'r' . } ORDER BY DESC(?rel) LIMIT 2""")

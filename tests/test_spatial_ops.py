@@ -219,6 +219,103 @@ class TestDissolve:
         assert r.n_parts == 100_000
         assert len(wkb.decode_one(bytes(r.geom))) == 100_000
 
+    def test_clipped_regions_matches_sequential_bruteforce(self, spark):
+        """The distributed cell-candidate clip must equal the sequential
+        every-region-×-every-water reference on a fixture with crossing,
+        disjoint, contained, shared-edge, and HOLED water (islands in
+        lakes stay land)."""
+        from sophox_spark.geometry import clip, core
+
+        def sq(x0, y0, s):
+            return np.array(
+                [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float
+            )
+
+        regions = {
+            1: [[sq(0, 0, 4)]],
+            2: [[sq(10, 0, 4)]],                       # no water near
+            3: [[sq(0, 10, 4)], [sq(6, 10, 2)]],       # multipart region
+            4: [[sq(20, 20, 4), sq(21, 21, 1)]],       # region with own hole
+        }
+        waters = [
+            [sq(3, 3, 2)],                              # crosses region 1
+            [sq(1, 1, 1)],                              # strictly inside region 1
+            [sq(-1, 10, 2)],                            # crosses region 3 part 1
+            [sq(0.5, 10.5, 2), sq(1.0, 11.0, 0.5)],     # HOLED lake over region 3
+            [sq(22, 22, 3)],                            # crosses region 4
+            [sq(100, 100, 1)],                          # far away
+        ]
+        rdf = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "polygon_id": list(regions),
+                    "geom": [wkb.multipolygon_wkb(p) for p in regions.values()],
+                }
+            ),
+            "polygon_id long, geom binary",
+        ).repartition(4)
+        wdf = spark.createDataFrame(
+            pd.DataFrame({"geom": [wkb.polygon_wkb(w) for w in waters]}),
+            "geom binary",
+        ).repartition(3)
+
+        res = dissolve.clipped_regions(rdf, wdf).collect()
+        got = {r.polygon_id: (r.area, r.n_rings, r.n_fallbacks) for r in res}
+        got_geom = {r.polygon_id: bytes(r.geom) for r in res}
+
+        # sequential reference: same clip kernel, naive all-pairs
+        want = {}
+        for pid, parts in regions.items():
+            parts = [list(p) for p in parts]
+            n_fb = 0
+            for w in waters:
+                nxt = []
+                for part in parts:
+                    e, we = part[0], w[0]
+                    if (we[:, 0].max() < e[:, 0].min() or e[:, 0].max() < we[:, 0].min()
+                            or we[:, 1].max() < e[:, 1].min() or e[:, 1].max() < we[:, 1].min()):
+                        nxt.append(part)
+                        continue
+                    res, fb = clip.difference_full(part, w)
+                    n_fb += fb
+                    nxt.extend(res)
+                parts = nxt
+            area = sum(
+                abs(core.ring_signed_area(p[0]))
+                - sum(abs(core.ring_signed_area(h)) for h in p[1:])
+                for p in parts
+            )
+            want[pid] = (area, parts, n_fb)
+
+        from sophox_spark.geometry.pip import point_in_rings
+
+        def is_land(parts, x, y):
+            return any(
+                point_in_rings(x, y, [(p[0], False)])
+                and not any(point_in_rings(x, y, [(h, False)]) for h in p[1:])
+                for p in parts
+            )
+
+        assert set(got) == set(want)
+        rng = np.random.default_rng(7)
+        for pid in want:
+            w_area, w_parts, w_fb = want[pid]
+            assert got[pid][0] == pytest.approx(w_area), pid
+            assert got[pid][2] == w_fb, pid
+            # ring COUNT is representation-dependent across subtraction
+            # orders — equivalence is checked by point membership instead
+            g_parts = wkb.decode_one(got_geom[pid])
+            all_x = np.concatenate([p[0][:, 0] for p in w_parts])
+            all_y = np.concatenate([p[0][:, 1] for p in w_parts])
+            xs = rng.uniform(all_x.min() - 1, all_x.max() + 1, 300)
+            ys = rng.uniform(all_y.min() - 1, all_y.max() + 1, 300)
+            for x, y in zip(xs, ys):
+                assert is_land(g_parts, x, y) == is_land(w_parts, x, y), (pid, x, y)
+        # sanity on the holed lake: the island inside the lake over
+        # region 3 stays LAND in the distributed output
+        assert is_land(wkb.decode_one(got_geom[3]), 1.25, 11.25)
+        assert not is_land(wkb.decode_one(got_geom[3]), 2.0, 12.0)  # lake water
+
     def test_centroids_match_avg(self, spark, points):
         pts = points.withColumn("grp", (F.col("pt_id") % 7).cast("string"))
         got = dissolve.centroids(pts, "grp").toPandas().set_index("grp")

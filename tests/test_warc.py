@@ -149,6 +149,25 @@ def test_malformed_records_are_safe():
     assert row["html"] is None and row["url"] == "https://x/a"
 
 
+def test_plain_warc_malformed_content_length_resyncs():
+    """One garbage Content-Length in an uncompressed .warc must not kill
+    the walk — the walker resyncs on the next WARC/ marker and keeps the
+    surrounding good records (same tolerance as the gzip-member path)."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/bad\r\nContent-Length: oops\r\n\r\n"
+        b"junk payload with no reliable end"
+        b"\r\n\r\n"
+    )
+    data = HAND_RECORD + bad + HAND_RECORD
+    recs = list(warc._iter_plain_records(data))
+    urls = [
+        warc.parse_warc_record(r, "f.warc", off)["url"] for off, r in recs
+        if warc.parse_warc_record(r, "f.warc", off)
+    ]
+    assert urls == ["https://example.com/a?b=c", "https://example.com/a?b=c"]
+
+
 def test_read_warc_missing_path_fails_loudly(spark, tmp_path):
     import pytest
 
