@@ -2052,6 +2052,93 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_meta(media)
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the from-scratch PNG codec
+    (functions/png.py): deterministic integer-gradient images are
+    PNG-encoded executor-side, decoded by the chunk/inflate/unfilter
+    pipeline, and reduced to exact pixel statistics. The DuckDB oracle
+    rebuilds mean and 16-bucket histogram from the SAME integer
+    arithmetic WITHOUT any codec — an encode or decode bug becomes a
+    hash mismatch (decoder separately pinned to hand-assembled spec
+    chunk streams in tests/test_png.py, so symmetric bugs can't
+    cancel). Mean = exact int sum / count: one division, bit-identical
+    across engines."""
+    import numpy as np
+
+    from sophox_spark.functions import png as _png
+    from sophox_spark.operators import multimodal
+
+    ids = spark.range(48).withColumnRenamed("id", "media_id").coalesce(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 7
+                ch = 3 if i % 2 == 0 else 1
+                ca, cb = 3 + i % 4, 5 + i % 3
+                v = (
+                    ca * np.arange(w)[None, :, None]
+                    + cb * np.arange(h)[:, None, None]
+                    + 7 * np.arange(ch)[None, None, :]
+                    + i
+                ) % 256
+                payloads.append(_png.encode(v.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    decoded = multimodal.decode_images(media)
+    return decoded.select(
+        "media_id", "width", "height", "channels", "mean_value",
+        F.posexplode("hist16"),
+    ).select(
+        "media_id", "width", "height", "channels", "mean_value",
+        F.col("pos").cast("long").alias("bucket"),
+        F.col("col").alias("n_px"),
+    )
+
+
+def _multimodal_decode_sql() -> str:
+    return """
+WITH imgs AS (
+  SELECT i AS media_id,
+         8 + i % 5 AS w, 6 + i % 7 AS h,
+         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch,
+         3 + i % 4 AS ca, 5 + i % 3 AS cb
+  FROM range(48) t(i)
+),
+px AS (
+  SELECT media_id, w, h, ch,
+         (ca * x + cb * y + 7 * c + media_id) % 256 AS v
+  FROM imgs
+  CROSS JOIN range(16) tx(x)
+  CROSS JOIN range(16) ty(y)
+  CROSS JOIN range(4) tc(c)
+  WHERE x < w AND y < h AND c < ch
+),
+stats AS (
+  SELECT media_id, w, h, ch,
+         CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_value
+  FROM px GROUP BY media_id, w, h, ch
+),
+hist AS (
+  SELECT media_id, v // 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_px
+  FROM px GROUP BY media_id, v // 16
+)
+SELECT s.media_id, s.w AS width, s.h AS height, s.ch AS channels,
+       s.mean_value, b.bucket,
+       CAST(COALESCE(hist.n_px, 0) AS BIGINT) AS n_px
+FROM stats s
+CROSS JOIN range(16) b(bucket)
+LEFT JOIN hist ON hist.media_id = s.media_id AND hist.bucket = b.bucket
+"""
+
+
 def _extract_pages_body(cast: str, idiv: str = "//") -> str:
     """Common-Crawl-style pages generated portably from events: HTML with
     geo.position metas, free-text lat/lon pairs, OSM hrefs, wikidata tags,
@@ -2295,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_embeddings": _q_ann_embeddings,
         "q_ivf_embeddings": _q_ivf_embeddings,
         "q_multimodal_meta": _q_multimodal_meta,
+        "q_multimodal_decode": _q_multimodal_decode,
         "q_page_mentions": _q_page_mentions,
         "q_geo_extraction": _q_geo_extraction,
         "q_osm_ttl": _q_osm_ttl,
@@ -2364,4 +2452,5 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_cells": _geo_cell_sql(),
         "q_vector_tiles": _vector_tiles_sql(),
         "q_regions_clipped": _regions_clipped_sql(),
+        "q_multimodal_decode": _multimodal_decode_sql(),
     }

@@ -339,8 +339,8 @@ def regions_geojson(
 
     def to_feature(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        for _, row in pdf.iterrows():
-            blob = row[geom_col]
+        # column-wise zip, not iterrows: no per-row Series construction
+        for key_val, blob in zip(pdf[key], pdf[geom_col]):
             if blob is None:
                 continue
             polys = wkb.decode_one(bytes(blob))
@@ -372,14 +372,14 @@ def regions_geojson(
                 out_polys.append(q_rings)
             feature = {
                 "type": "Feature",
-                "id": row[key],
+                "id": key_val,
                 "bbox": list(bbox),
                 "geometry": {"type": "MultiPolygon", "coordinates": out_polys},
                 "properties": {"quantize": quantize_q},
             }
             out_rows.append(
                 (
-                    row[key],
+                    key_val,
                     json.dumps(feature, separators=(",", ":"), sort_keys=True),
                     sum(len(p) for p in polys),
                     n_in,

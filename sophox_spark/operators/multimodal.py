@@ -1,14 +1,13 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing + real image decode.
 
 Media payloads are opaque ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched UDFs over ``mapInPandas``. The actual codec libraries
-(PIL/ffmpeg/librosa) are NOT in this container, so the codec call is
-STUBBED: payloads use a deterministic synthetic container format that
-the fake decoder parses, and ``real_decode_image`` raises
-NotImplementedError behind an import-try. Everything Spark-side —
-schema, batch shape, partition behavior, UDF signatures — is real and
-tested.
+Arrow-batched UDFs over ``mapInPandas``. Image decode is REAL:
+``real_decode_image`` parses PNG via the from-scratch zlib+numpy codec
+in functions/png.py (no PIL needed), falling back to the synthetic
+IMG1 container for fixtures. Audio/video codecs (ffmpeg/librosa) are
+still absent from the container, so those payloads stay in the
+deterministic synthetic container formats below.
 
 Synthetic container format (fixture-generation contract):
     b"IMG1" + width:uint32le + height:uint32le + channels:uint8 + pixels
@@ -18,6 +17,7 @@ Synthetic container format (fixture-generation contract):
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -36,16 +36,64 @@ def make_audio_payload(rate: int, n_samples: int, seed: int = 0) -> bytes:
     return b"AUD1" + struct.pack("<II", rate, n_samples) + pcm.tobytes()
 
 
-def real_decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real codec path — requires PIL, not present in this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image codec libraries not available in this environment; "
-            "the synthetic IMG1 container is decoded by decode_media_meta"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when available")
+def real_decode_image(payload: bytes) -> np.ndarray:
+    """Real codec path: PNG via the from-scratch zlib+numpy decoder
+    (functions/png.py — signature/chunk-CRC/IHDR/IDAT inflate/all five
+    scanline filters), falling back to the synthetic IMG1 container.
+    Returns an (h, w, c) uint8 array; raises PngFormatError loudly on
+    malformed or out-of-subset input (palette/16-bit/interlace) —
+    never a silent wrong image."""
+    from ..functions import png
+
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png.decode(b)
+    if b[:4] == b"IMG1":
+        w, h, c = struct.unpack_from("<IIB", b, 4)
+        return np.frombuffer(b, dtype=np.uint8, offset=13).reshape(h, w, c)
+    raise png.PngFormatError(f"unknown image container {b[:4]!r}")
+
+
+DECODE_SCHEMA = (
+    "media_id long, width long, height long, channels long, "
+    "mean_value double, hist16 array<long>"
+)
+
+
+def decode_images(media_df: DataFrame, id_col="media_id", payload_col="payload") -> DataFrame:
+    """Decode image payloads (PNG or IMG1) into per-image pixel
+    statistics: dimensions, exact mean pixel value, and a 16-bucket
+    intensity histogram — one Arrow batch at a time, all decoding
+    executor-side. Undecodable payloads yield a NULL-stats row (the
+    garbage-member-in-a-crawl policy: skip, don't kill the task)."""
+    from ..functions import png
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = real_decode_image(blob)
+                except (ValueError, zlib.error, struct.error):
+                    # PngFormatError is a ValueError; zlib.error = bad
+                    # IDAT; struct.error = truncated header
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                h, w, c = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                hist = np.bincount(flat >> 4, minlength=16)[:16]
+                # exact rational mean: integer sum / count (one division)
+                mean = float(flat.sum()) / flat.size
+                rows.append((mid, w, h, c, mean, hist.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "mean_value", "hist16"],
+            )
+
+    return media_df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col)
+    ).mapInPandas(gen, DECODE_SCHEMA)
 
 
 MEDIA_META_SCHEMA = (

@@ -291,10 +291,14 @@ def relation_centroids_fixpoint(
             agg.filter(F.col("n_missing") == 0)
             .select("rel_id", "lon", "lat", "n_members")
             .withColumn("iteration", F.lit(it))
+            # checkpoint FIRST, count the checkpointed result: one
+            # materialization per iteration, not two (the count used to
+            # recompute the whole join tree a second time)
+            .localCheckpoint(eager=True)
         )
         n_now = new_resolved.count()
         if n_now == n_prev:
-            return new_resolved.localCheckpoint(eager=True)
+            return new_resolved
         n_prev = n_now
-        resolved = new_resolved.localCheckpoint(eager=True)
+        resolved = new_resolved
     return resolved

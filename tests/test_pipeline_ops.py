@@ -139,9 +139,42 @@ class TestMultimodal:
         meta = multimodal.decode_media_meta(resized).toPandas()
         assert (meta["width"] == 16).all() and (meta["height"] == 16).all()
 
-    def test_real_codec_is_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            multimodal.real_decode_image(b"IMG1xxxx")
+    def test_real_decode_image_png(self):
+        from sophox_spark.functions import png
+
+        img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        got = multimodal.real_decode_image(png.encode(img))
+        assert np.array_equal(got, img)
+        with pytest.raises(png.PngFormatError):
+            multimodal.real_decode_image(b"GIF89a not supported")
+
+    def test_decode_images_stats(self, spark):
+        """PNG and IMG1 payloads decode to exact stats; garbage yields a
+        NULL-stats row, never a task kill."""
+        import pandas as pd
+
+        from sophox_spark.functions import png
+
+        grad = np.add.outer(np.arange(8) * 16, np.arange(8) * 2).astype(np.uint8)
+        rows = [
+            (0, png.encode(np.stack([grad] * 3, axis=-1))),   # 8x8 RGB
+            (1, png.encode(grad)),                            # 8x8 gray
+            (2, multimodal.make_image_payload(4, 4, 3, seed=2)),
+            (3, b"\x89PNG\r\n\x1a\ntruncated"),               # garbage
+        ]
+        pdf = pd.DataFrame(rows, columns=["media_id", "payload"])
+        media = spark.createDataFrame(pdf, "media_id long, payload binary")
+        out = multimodal.decode_images(media).toPandas().set_index("media_id")
+        assert out.loc[0, "width"] == 8 and out.loc[0, "channels"] == 3
+        assert out.loc[0, "mean_value"] == pytest.approx(float(grad.mean()))
+        assert out.loc[1, "channels"] == 1
+        # histogram buckets sum to the pixel count
+        assert sum(out.loc[0, "hist16"]) == 8 * 8 * 3
+        assert np.array_equal(
+            np.asarray(out.loc[0, "hist16"]),
+            np.bincount(np.repeat(grad.reshape(-1) >> 4, 3), minlength=16)[:16],
+        )
+        assert out.loc[3, ["width", "mean_value"]].isna().all()
 
 
 class TestResumable:
