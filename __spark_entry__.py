@@ -2139,6 +2139,100 @@ LEFT JOIN hist ON hist.media_id = s.media_id AND hist.bucket = b.bucket
 """
 
 
+_WIKI_UPSERT_FIXTURE = """
+WITH ebase AS (
+  SELECT DISTINCT event_id % 97 AS it, event_id % 7 AS pr, event_id % 13 AS vl
+  FROM events
+),
+existing AS (
+  SELECT 'Q' || CAST(it AS {cast}) AS item,
+         CASE WHEN pr = 6 THEN 'image' ELSE 'p' || CAST(pr AS {cast}) END AS prop,
+         'v' || CAST(vl AS {cast}) AS value,
+         CASE WHEN (it + pr + vl) % 4 = 0 THEN 'preferred' ELSE 'normal' END AS rank,
+         CASE WHEN (it * 2 + vl) % 3 = 0
+              THEN 'q=' || CAST((it + vl) % 5 AS {cast}) ELSE '' END AS quals
+  FROM ebase WHERE (it + pr) % 5 <> 0
+),
+dbase AS (
+  SELECT DISTINCT (event_id + 3) % 103 AS it, event_id % 7 AS pr,
+         (event_id + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) % 13 AS vl
+  FROM events
+),
+desired AS (
+  SELECT 'Q' || CAST(it AS {cast}) AS item,
+         CASE WHEN pr = 6 THEN 'image' ELSE 'p' || CAST(pr AS {cast}) END AS prop,
+         'v' || CAST(vl AS {cast}) AS value,
+         CASE WHEN (it + pr + vl) % 3 = 0 THEN 'preferred' ELSE 'normal' END AS rank,
+         CASE WHEN (it * 2 + vl) % 4 = 0
+              THEN 'q=' || CAST((it + vl + 1) % 5 AS {cast}) ELSE '' END AS quals
+  FROM dbase WHERE (it + vl) % 6 <> 0 AND pr <> 6
+),
+contribs AS (
+  SELECT DISTINCT 'Q' || CAST(it AS {cast}) AS item,
+         CASE WHEN pr = 6 THEN 'image' ELSE 'p' || CAST(pr AS {cast}) END AS prop
+  FROM ebase WHERE (it * 3 + pr) % 11 = 0
+)
+"""
+
+
+def _q_wiki_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot's upload/reconcile half (UploadItem.update_prop_claims):
+    statement-level MERGE of desired wiki claims into existing items —
+    identical sets untouched, user-edited props blocked (never on new
+    items), kept values take desired rank + qualifier set, the
+    never-delete props survive empty desired sets. The oracle replays
+    the same decision table in pure SQL over the identical
+    integer-arithmetic fixture."""
+    from sophox_spark.operators import wiki_upsert
+
+    _load(spark, sf_dir, "events")
+    fixture = _WIKI_UPSERT_FIXTURE.format(cast="STRING")
+    existing = spark.sql(fixture + "SELECT * FROM existing")
+    desired = spark.sql(fixture + "SELECT * FROM desired")
+    contribs = spark.sql(fixture + "SELECT * FROM contribs")
+    return wiki_upsert.reconcile_claims(existing, desired, contribs)
+
+
+def _wiki_upsert_sql() -> str:
+    sep, rsep = "chr(31)", "chr(30)"
+    sig = f"string_agg(value || {sep} || rank || {sep} || quals, {rsep} ORDER BY value || {sep} || rank || {sep} || quals)"
+    return (
+        _WIKI_UPSERT_FIXTURE.format(cast="VARCHAR")
+        + f""",
+ex_sig AS (SELECT item, prop, {sig} AS s FROM existing GROUP BY item, prop),
+de_sig AS (SELECT item, prop, {sig} AS s FROM desired GROUP BY item, prop),
+pairs AS (
+  SELECT COALESCE(e.item, d.item) AS item,
+         COALESCE(e.prop, d.prop) AS prop,
+         e.s AS ex_s, d.s AS de_s
+  FROM ex_sig e FULL OUTER JOIN de_sig d
+    ON e.item = d.item AND e.prop = d.prop
+),
+decided AS (
+  SELECT p.item, p.prop,
+         CASE
+           WHEN p.ex_s IS NOT DISTINCT FROM p.de_s THEN 'unchanged'
+           WHEN c.item IS NOT NULL
+                AND p.item IN (SELECT item FROM existing) THEN 'blocked'
+           WHEN p.de_s IS NOT NULL THEN 'replace'
+           WHEN p.prop IN ('key_type','image','use_on_nodes','use_on_ways',
+                           'use_on_areas','use_on_relations') THEN 'kept_no_del'
+           ELSE 'delete'
+         END AS decision
+  FROM pairs p
+  LEFT JOIN contribs c ON c.item = p.item AND c.prop = p.prop
+)
+SELECT e.item, e.prop, e.value, e.rank, e.quals, d.decision
+FROM existing e JOIN decided d ON d.item = e.item AND d.prop = e.prop
+WHERE d.decision IN ('unchanged', 'blocked', 'kept_no_del')
+UNION ALL
+SELECT x.item, x.prop, x.value, x.rank, x.quals, d.decision
+FROM desired x JOIN decided d ON d.item = x.item AND d.prop = x.prop
+WHERE d.decision = 'replace'
+"""
+    )
+
+
 def _extract_pages_body(cast: str, idiv: str = "//") -> str:
     """Common-Crawl-style pages generated portably from events: HTML with
     geo.position metas, free-text lat/lon pairs, OSM hrefs, wikidata tags,
@@ -2349,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": _q_url_canon,
         "q_warc_extraction": _q_warc_extraction,
         "q_wiki_claims": _q_wiki_claims,
+        "q_wiki_upsert": _q_wiki_upsert,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -2425,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "q_way_assembly": _way_assembly_sql(),
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
+        "q_wiki_upsert": _wiki_upsert_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
