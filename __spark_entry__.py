@@ -1024,6 +1024,64 @@ FROM nodes
 """
 
 
+SPARQL_AGG_QUERY = """
+# per-user contribution stats over converter triples: GROUP BY +
+# COUNT/COUNT DISTINCT/SUM/AVG/MIN/MAX over typed integer literals,
+# with a UNION (named nodes ∪ location-error nodes) feeding the group
+SELECT ?user (COUNT(*) AS ?n_solutions) (COUNT(DISTINCT ?s) AS ?n_nodes)
+       (SUM(?v) AS ?sum_version) (AVG(?v) AS ?avg_version)
+       (MIN(?c) AS ?min_changeset) (MAX(?c) AS ?max_changeset)
+WHERE {
+  ?s osmm:user ?user .
+  ?s osmm:version ?v .
+  ?s osmm:changeset ?c .
+  { ?s osmt:name ?name . } UNION { ?s osmm:loc:error ?e . }
+}
+GROUP BY ?user
+ORDER BY ?user
+"""
+
+
+def _q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates + UNION (beyond the reference-issued subset —
+    the endpoint surface a Sophox user queries daily): GROUP BY with
+    COUNT/SUM/AVG/MIN/MAX over typed literals, a UNION bag feeding the
+    group. The oracle replays the solution multiset arithmetic over the
+    same integer fixture — a node matching both UNION branches counts
+    twice, exactly like the SPARQL bag semantics."""
+    from sophox_spark.operators import osm2ttl, sparql
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(NODE_TTL_FIXTURE_SPARK)
+    triples = sparql.triples_from_statements(osm2ttl.node_statements(nodes))
+    return sparql.SparqlEngine(triples).select(SPARQL_AGG_QUERY)
+
+
+def _sparql_agg_sql() -> str:
+    return """
+WITH nodes AS (
+  -- live (not deleted), tagged (name present): the converter emits
+  -- metadata triples only for these
+  SELECT event_id AS i FROM events
+  WHERE event_id % 29 <> 0 AND event_id % 13 <> 0
+),
+sol AS (  -- UNION solution bag: name branch ∪ loc-error branch
+  SELECT i FROM nodes
+  UNION ALL
+  SELECT i FROM nodes WHERE i % 17 = 0
+)
+SELECT '"u' || CAST(i % 5 AS VARCHAR) || '"' AS user,
+       CAST(COUNT(*) AS BIGINT) AS n_solutions,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_nodes,
+       CAST(CAST(SUM(i % 9 + 1) AS BIGINT) AS DOUBLE) AS sum_version,
+       CAST(CAST(SUM(i % 9 + 1) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_version,
+       CAST(MIN(i % 777) AS DOUBLE) AS min_changeset,
+       CAST(MAX(i % 777) AS DOUBLE) AS max_changeset
+FROM sol
+GROUP BY i % 5
+"""
+
+
 # SPARQL UPDATE (S9 as a real update language): the reference's
 # subject-level MERGE (RdfUpdateHandler.py:42-57 — delete everything but
 # osmm:task for the pending subjects, then ground INSERT) replayed
@@ -1881,8 +1939,11 @@ def _q_regions_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rects = spark.sql(RECTS_SPARK)
     rects.createOrReplaceTempView("rects")
-    regions = _rect_polys(rects.filter("polygon_id % 9 <> 0"))
-    water = _rect_polys(spark.sql(WATER_SHIFT_SQL))
+    # clipped_regions runs multiple actions (path-dispatch stats, water
+    # collect/cover, final clip) — pin the derived fixtures so each
+    # action doesn't re-derive rects from events
+    regions = _rect_polys(rects.filter("polygon_id % 9 <> 0")).localCheckpoint(eager=False)
+    water = _rect_polys(spark.sql(WATER_SHIFT_SQL)).localCheckpoint(eager=False)
     out = dissolve.clipped_regions(regions, water)
     return out.select(
         "polygon_id",
@@ -2483,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_osm_ttl": _q_osm_ttl,
         "q_node_ttl": _q_node_ttl,
         "q_sparql_select": _q_sparql_select,
+        "q_sparql_agg": _q_sparql_agg,
         "q_sparql_update": _q_sparql_update,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -2525,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
         "q_sparql_select": _sparql_select_sql(),
+        "q_sparql_agg": _sparql_agg_sql(),
         "q_sparql_update": _sparql_update_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),

@@ -38,9 +38,10 @@ class Manifest:
         self.path = path
 
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        # Hadoop FS probe: works for file://, hdfs://, s3a:// manifests
+        from . import fs
+
+        return fs.any_file_with_suffix(self.spark, self.path, ".parquet")
 
     def read(self) -> DataFrame:
         if not self._exists():
@@ -72,6 +73,14 @@ class Manifest:
             return set()
         rows = self.read().filter(f"job = '{job}'").select("unit").distinct().collect()
         return {r.unit for r in rows}
+
+    def units_df(self, job: str) -> DataFrame | None:
+        """Unit rows of one job as a DataFrame (None before first
+        commit) — lets callers filter Spark-side and collect only the
+        rows they need instead of the whole history."""
+        if not self._exists():
+            return None
+        return self.read().filter(f"job = '{job}'").select("unit")
 
     def last_seqid(self, job: str) -> int | None:
         """The resume offset (ST1/ST3): max applied sequence id."""

@@ -148,11 +148,53 @@ def point_in_region_minus_water(
     return in_region.join(in_water, on=list(points_df.columns), how="left_anti")
 
 
+def _clip_one_region(parts, water_parts_in_order):
+    """Shared clip kernel for BOTH clipped_regions paths: subtract each
+    water part (full polygon, holes re-add land via difference_full) in
+    the given deterministic order, bbox-prefiltered per region part.
+    Returns (parts, n_fallbacks)."""
+    n_fb = 0
+    for wp in water_parts_in_order:
+        we = wp[0]
+        wb = (we[:, 0].min(), we[:, 1].min(), we[:, 0].max(), we[:, 1].max())
+        nxt = []
+        for part in parts:
+            e = part[0]
+            pb = (e[:, 0].min(), e[:, 1].min(), e[:, 0].max(), e[:, 1].max())
+            if wb[2] < pb[0] or pb[2] < wb[0] or wb[3] < pb[1] or pb[3] < wb[1]:
+                nxt.append(part)
+                continue
+            got, fb = clip.difference_full(part, wp)
+            n_fb += fb
+            nxt.extend(got)
+        parts = nxt
+    return parts, n_fb
+
+
+def _emit_clipped(out, id_col, geom_col, pid, parts, n_fb):
+    area = 0.0
+    n_rings = 0
+    for part in parts:
+        n_rings += len(part)
+        area += abs(core.ring_signed_area(part[0]))
+        for h in part[1:]:
+            area -= abs(core.ring_signed_area(h))
+    out[id_col].append(pid)
+    out[geom_col].append(wkb.multipolygon_wkb(parts) if parts else None)
+    out["area"].append(area)
+    out["n_rings"].append(n_rings)
+    out["n_fallbacks"].append(n_fb)
+
+
+_CLIP_OUT_COLS = ("area", "n_rings", "n_fallbacks")
+
+
 def clipped_regions(
     regions_df: DataFrame,
     water_df: DataFrame,
     id_col: str = "polygon_id",
     geom_col: str = "geom",
+    broadcast_water_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """SO1 with GEOMETRY output — the reference's ``water=1`` regions
     mode, ``ST_Difference(geom, ST_Union(water))``
@@ -161,28 +203,29 @@ def clipped_regions(
     classification — that exact-by-identity path is
     ``point_in_region_minus_water``).
 
-    FULLY DISTRIBUTED — no driver collect (planet hydrography is not
-    small): both sides are bbox-covered with grid cells at one
-    data-adapted resolution, candidate (region, water) pairs come from a
-    cell equi-join (the only shuffle key — co-partitioned hash join,
-    same machinery as spatial_join), each region's candidate waters are
-    grouped to it (sorted by water id for bit-reproducible clip order),
-    and the Greiner–Hormann differences run per-region in Arrow batches.
-    A region only ever sees the waters whose bboxes can touch it, so
-    per-task work is O(local density), not O(|water|).
+    Two physical paths, same semantics (identity-tested), same design as
+    spatial_join's broadcast/shuffle split:
 
-    Water is subtracted as FULL polygons: a water hole (island in a
-    lake) re-adds ``region ∩ hole`` as land, matching
-    ST_Difference(geom, ST_Union(water)). Degenerate contacts (shared
-    edges) first retry through clip_rings_robust's deterministic
-    micro-perturbation (clipper nudged ≤ extent·1e-9; the subject
-    boundary is never moved); only contacts still degenerate after all
-    retries keep the subject part unclipped, COUNTED in
-    ``n_fallbacks`` — visible, not silent.
+    * water WKB ≤ ``broadcast_water_max_bytes`` (one bounded stats job
+      decides): collect + broadcast the water dim, one mapInPandas over
+      regions — zero shuffles, the per-dim fast path.
+    * larger water (planet hydrography is not small): FULLY DISTRIBUTED,
+      no driver collect of geometry — both sides bbox-covered with grid
+      cells at a data-adapted resolution, candidate (region, water)
+      pairs from a cell EQUI-join, each region's candidate waters
+      grouped to it, Greiner–Hormann per region in Arrow batches.
+      Per-task work is O(local density), not O(|water|).
+
+    Both paths subtract water as FULL polygons: a water hole (island in
+    a lake) re-adds ``region ∩ hole`` as land, matching
+    ST_Difference(geom, ST_Union(water)); waters apply in xxhash64(wkb)
+    order (bit-reproducible across paths and cluster layouts).
+    Degenerate contacts retry through clip_rings_robust's deterministic
+    micro-perturbation; still-degenerate contacts keep the subject part
+    unclipped, COUNTED in ``n_fallbacks`` — visible, not silent.
 
     Output: ``id_col, geom (multipolygon WKB), area (planar shoelace,
     holes subtracted), n_rings, n_fallbacks``."""
-    spark = regions_df.sparkSession
     regions = regions_df.select(id_col, geom_col).filter(
         F.col(geom_col).isNotNull()
     )
@@ -192,8 +235,95 @@ def clipped_regions(
         .select(F.xxhash64(geom_col).alias("__wid"), F.col(geom_col).alias("__wgeom"))
         .dropDuplicates(["__wid"])  # identical waters subtract once (= union)
     )
+    # ONE bounded water-stats job decides the path: total water WKB
+    # bytes + avg water bbox span — two scalars, never geometry, to the
+    # driver. (Region spans are only needed on the distributed path and
+    # are measured there.)
+    stats = (
+        water.select(
+            F.length("__wgeom").cast("long").alias("nbytes"),
+            F.col("__wgeom").alias("g"),
+        )
+        .mapInPandas(_span_gen, "nbytes long, span double")
+        .agg(
+            F.sum("nbytes").alias("w_bytes"),
+            F.avg("span").alias("w_avg"),
+        )
+        .collect()[0]
+    )
+    if (stats.w_bytes or 0) <= broadcast_water_max_bytes:
+        return _clipped_regions_broadcast(regions, water, id_col, geom_col)
+    r_max = (
+        regions.select(F.lit(0).cast("long").alias("nbytes"),
+                       F.col(geom_col).alias("g"))
+        .mapInPandas(_span_gen, "nbytes long, span double")
+        .agg(F.max("span")).collect()[0][0]
+    )
+    res = _clip_cover_res(stats.w_avg, r_max)
+    return _clipped_regions_distributed(regions, water, id_col, geom_col, res)
 
-    def bbox_gen(in_id, geom, out_id, res):
+
+def _span_gen(batches):
+    for pdf in batches:
+        nbytes, vals = [], []
+        for nb, blob in zip(pdf["nbytes"], pdf["g"]):
+            exts = [p[0] for p in wkb.decode_one(bytes(blob))]
+            if not exts:
+                continue
+            dx = max(float(e[:, 0].max()) for e in exts) - min(
+                float(e[:, 0].min()) for e in exts)
+            dy = max(float(e[:, 1].max()) for e in exts) - min(
+                float(e[:, 1].min()) for e in exts)
+            nbytes.append(nb)
+            vals.append(max(dx, 2.0 * dy))  # lat cells are 2× denser
+        yield pd.DataFrame({"nbytes": nbytes, "span": vals})
+
+
+def _clip_cover_res(w_avg: float | None, r_max: float | None) -> int:
+    """Covering resolution for the distributed clip candidate join:
+    cells sized to the average water bbox (a typical water polygon
+    covers O(1) cells), coarsened so the LARGEST region bbox stays
+    ≤ ~256 cells across (bounded candidate fan-out per region)."""
+    import math
+
+    if w_avg is None or r_max is None:
+        return 10
+    res = math.floor(math.log2(360.0 / max(w_avg, 1e-9)))
+    cap = math.floor(math.log2(256.0 * 360.0 / max(r_max, 1e-9)))
+    return max(3, min(res, cap, grid.MAX_RES - 4))
+
+
+def _clipped_regions_broadcast(regions, water, id_col, geom_col) -> DataFrame:
+    """Small-water fast path: collected + broadcast dim, zero shuffles.
+    Same kernel and water order as the distributed path."""
+    rows = water.orderBy("__wid").select("__wgeom").collect()
+    blobs = [bytes(r[0]) for r in rows]
+    w_bc = regions.sparkSession.sparkContext.broadcast(blobs)
+
+    def gen(batches):
+        wparts = None
+        for pdf in batches:
+            if wparts is None:
+                wparts = [
+                    wp for blob in w_bc.value for wp in wkb.decode_one(blob)
+                ]
+            out = {id_col: [], geom_col: [], "area": [], "n_rings": [], "n_fallbacks": []}
+            for pid, blob in zip(pdf[id_col], pdf[geom_col]):
+                parts, n_fb = _clip_one_region(wkb.decode_one(bytes(blob)), wparts)
+                _emit_clipped(out, id_col, geom_col, pid, parts, n_fb)
+            yield pd.DataFrame(out)
+
+    return regions.mapInPandas(
+        gen,
+        f"{id_col} long, {geom_col} binary, area double, n_rings long, n_fallbacks long",
+    )
+
+
+def _clipped_regions_distributed(regions, water, id_col, geom_col, res) -> DataFrame:
+    """Large-water path: cell-cover candidate equi-join, no geometry
+    ever collected to the driver."""
+
+    def bbox_gen(in_id, geom, out_id):
         def gen(batches):
             for pdf in batches:
                 ids, x0s, y0s, x1s, y1s = [], [], [], [], []
@@ -217,12 +347,11 @@ def clipped_regions(
                 )
         return gen
 
-    res = _clip_cover_res(regions, water, id_col, geom_col)
     r_cells = regions.mapInPandas(
-        bbox_gen(id_col, geom_col, "__rid", res), "cell long, __rid long"
+        bbox_gen(id_col, geom_col, "__rid"), "cell long, __rid long"
     ).withColumnRenamed("__rid", id_col)
     w_cells = water.mapInPandas(
-        bbox_gen("__wid", "__wgeom", "__wid", res), "cell long, __wid long"
+        bbox_gen("__wid", "__wgeom", "__wid"), "cell long, __wid long"
     )
     pairs = (
         r_cells.join(w_cells, "cell")
@@ -240,82 +369,21 @@ def clipped_regions(
             for pid, blob, waters in zip(
                 pdf[id_col], pdf[geom_col], pdf["__waters"]
             ):
-                parts = wkb.decode_one(bytes(blob))
-                n_fb = 0
+                wparts = []
                 if waters is not None and len(waters):
                     for w in waters:
-                        # Arrow hands array<struct> elements to pandas as
-                        # dicts (field-name keyed)
+                        # Arrow hands array<struct> elements to pandas
+                        # as dicts (field-name keyed)
                         wblob = w["__wgeom"] if isinstance(w, dict) else w[1]
-                        for wp in wkb.decode_one(bytes(wblob)):
-                            we = wp[0]
-                            wb = (we[:, 0].min(), we[:, 1].min(),
-                                  we[:, 0].max(), we[:, 1].max())
-                            nxt = []
-                            for part in parts:
-                                e = part[0]
-                                pb = (e[:, 0].min(), e[:, 1].min(),
-                                      e[:, 0].max(), e[:, 1].max())
-                                if (wb[2] < pb[0] or pb[2] < wb[0]
-                                        or wb[3] < pb[1] or pb[3] < wb[1]):
-                                    nxt.append(part)
-                                    continue
-                                got, fb = clip.difference_full(part, wp)
-                                n_fb += fb
-                                nxt.extend(got)
-                            parts = nxt
-                area = 0.0
-                n_rings = 0
-                for part in parts:
-                    n_rings += len(part)
-                    area += abs(core.ring_signed_area(part[0]))
-                    for h in part[1:]:
-                        area -= abs(core.ring_signed_area(h))
-                out[id_col].append(pid)
-                out[geom_col].append(wkb.multipolygon_wkb(parts) if parts else None)
-                out["area"].append(area)
-                out["n_rings"].append(n_rings)
-                out["n_fallbacks"].append(n_fb)
+                        wparts.extend(wkb.decode_one(bytes(wblob)))
+                parts, n_fb = _clip_one_region(wkb.decode_one(bytes(blob)), wparts)
+                _emit_clipped(out, id_col, geom_col, pid, parts, n_fb)
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(
         gen,
         f"{id_col} long, {geom_col} binary, area double, n_rings long, n_fallbacks long",
     )
-
-
-def _clip_cover_res(regions: DataFrame, water: DataFrame,
-                    id_col: str, geom_col: str) -> int:
-    """Covering resolution for the clip candidate join, adapted to the
-    data in two bounded scalar aggregations (the q_geo_knn pattern):
-    cells sized to the average water bbox (so a typical water polygon
-    covers O(1) cells), then coarsened so the LARGEST region bbox stays
-    ≤ ~256 cells across (bounded candidate fan-out per region)."""
-    import math
-
-    def spans(df, geom):
-        def gen(batches):
-            for pdf in batches:
-                vals = []
-                for blob in pdf[geom]:
-                    exts = [p[0] for p in wkb.decode_one(bytes(blob))]
-                    if not exts:
-                        continue
-                    dx = max(float(e[:, 0].max()) for e in exts) - min(
-                        float(e[:, 0].min()) for e in exts)
-                    dy = max(float(e[:, 1].max()) for e in exts) - min(
-                        float(e[:, 1].min()) for e in exts)
-                    vals.append(max(dx, 2.0 * dy))  # lat cells are 2× denser
-                yield pd.DataFrame({"span": vals})
-        return df.mapInPandas(gen, "span double")
-
-    w_avg = spans(water, "__wgeom").agg(F.avg("span")).collect()[0][0]
-    r_max = spans(regions, geom_col).agg(F.max("span")).collect()[0][0]
-    if w_avg is None or r_max is None:
-        return 10
-    res = math.floor(math.log2(360.0 / max(w_avg, 1e-9)))
-    cap = math.floor(math.log2(256.0 * 360.0 / max(r_max, 1e-9)))
-    return max(3, min(res, cap, grid.MAX_RES - 4))
 
 
 def regions_geojson(

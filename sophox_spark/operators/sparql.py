@@ -142,14 +142,46 @@ class _Parser:
         while True:
             kind, val = self.peek()
             if kind == "var":
-                proj.append(self.next()[1][1:])
+                proj.append(("var", self.next()[1][1:]))
             elif kind == "punct" and val == "*":
                 self.next()
                 proj = None
+            elif kind == "punct" and val == "(":
+                # (COUNT(?x) AS ?cnt) — aggregate projection
+                self.next()
+                func = self.expect("word").upper()
+                if func not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+                    raise ValueError(f"unsupported aggregate {func}")
+                self.expect("punct", "(")
+                agg_distinct = self.eat_word("DISTINCT")
+                k, v = self.peek()
+                if k == "punct" and v == "*":
+                    self.next()
+                    target = "*"
+                    if func != "COUNT":
+                        raise ValueError(f"{func}(*) is not valid SPARQL")
+                elif k == "var":
+                    target = self.next()[1][1:]
+                else:
+                    raise ValueError(f"bad aggregate argument {k} {v!r}")
+                self.expect("punct", ")")
+                if not self.eat_word("AS"):
+                    raise ValueError("aggregate projection requires AS ?alias")
+                alias = self.expect("var")[1:]
+                self.expect("punct", ")")
+                proj.append(("agg", func, target, agg_distinct, alias))
             else:
                 break
         self.eat_word("WHERE")
         group = self.parse_group()
+        group_by = []
+        if self.eat_word("GROUP"):
+            if not self.eat_word("BY"):
+                raise ValueError("GROUP must be followed by BY")
+            while self.peek()[0] == "var":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                raise ValueError("empty GROUP BY")
         order = []
         if self.eat_word("ORDER"):
             if not self.eat_word("BY"):
@@ -176,7 +208,7 @@ class _Parser:
             # GROUP BY, ...) would return wrong results — fail loudly
             raise ValueError(f"unsupported trailing syntax: {self.peek()!r}")
         return {"distinct": distinct, "proj": proj, "group": group,
-                "order": order, "limit": limit}
+                "group_by": group_by, "order": order, "limit": limit}
 
     def parse_group(self):
         self.expect("punct", "{")
@@ -186,7 +218,18 @@ class _Parser:
             if kind == "punct" and val == "}":
                 self.next()
                 return blocks
-            if kind == "word" and val.upper() == "VALUES":
+            if kind == "punct" and val == "{":
+                # group graph pattern: { A } [UNION { B }]...
+                branches = [self.parse_group()]
+                while self.eat_word("UNION"):
+                    branches.append(self.parse_group())
+                blocks.append(
+                    ("union", branches) if len(branches) > 1
+                    else ("subgroup", branches[0])
+                )
+                if self.peek() == ("punct", "."):
+                    self.next()
+            elif kind == "word" and val.upper() == "VALUES":
                 self.next()
                 if self.peek() == ("punct", "("):
                     # tuple form: VALUES (?a ?b) { (t1 t2) (t3 t4) ... }
@@ -292,7 +335,13 @@ class SparqlEngine:
         if cur is None:
             raise ValueError("empty WHERE group")
         if q["proj"] is not None:
-            cur = cur.select(*q["proj"])
+            has_agg = any(p[0] == "agg" for p in q["proj"])
+            if has_agg or q["group_by"]:
+                cur = self._aggregate(cur, q)
+            else:
+                cur = cur.select(*[p[1] for p in q["proj"]])
+        elif q["group_by"]:
+            raise ValueError("GROUP BY requires an explicit projection")
         if q["distinct"]:
             cur = cur.distinct()
         if q["order"]:
@@ -303,6 +352,46 @@ class SparqlEngine:
         if q["limit"] is not None:
             cur = cur.limit(q["limit"])
         return cur
+
+    def _aggregate(self, cur: DataFrame, q: dict) -> DataFrame:
+        """GROUP BY + aggregate projection → groupBy().agg().
+
+        COUNT counts bound (non-null) bindings; COUNT(*) counts
+        solutions; SUM/AVG/MIN/MAX compare by VALUE (TTL decoration
+        stripped, non-numeric → NULL and ignored — SPARQL drops
+        type-errors from aggregates). Output types: COUNT → long,
+        others → double (documented subset surface)."""
+        plain = [p[1] for p in q["proj"] if p[0] == "var"]
+        extra = set(plain) - set(q["group_by"])
+        if extra:
+            raise ValueError(
+                f"projected vars {sorted(extra)} are neither grouped nor aggregated"
+            )
+        exprs = []
+        for p in q["proj"]:
+            if p[0] != "agg":
+                continue
+            _, func, target, distinct, alias = p
+            if func == "COUNT":
+                if target == "*":
+                    col = F.count(F.lit(1))
+                elif distinct:
+                    col = F.countDistinct(target)
+                else:
+                    col = F.count(target)
+            else:
+                if distinct:
+                    raise ValueError(f"DISTINCT with {func} not supported")
+                num = self._num_expr(F.col(target))
+                col = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[
+                    func
+                ](num)
+            exprs.append(col.alias(alias))
+        if not exprs:
+            raise ValueError("GROUP BY without any aggregate projection")
+        gb = cur.groupBy(*q["group_by"]) if q["group_by"] else cur.groupBy()
+        out = gb.agg(*exprs)
+        return out.select(*[p[1] if p[0] == "var" else p[4] for p in q["proj"]])
 
     # ---- blocks ----
 
@@ -334,6 +423,16 @@ class SparqlEngine:
             elif kind == "optional":
                 sub = self._group(block[1], None)
                 cur = self._join(cur, sub, "left_outer")
+            elif kind == "subgroup":
+                cur = self._join(cur, self._group(block[1], None), "inner")
+            elif kind == "union":
+                # SPARQL UNION: bindings of every branch, missing vars
+                # unbound (NULL) — unionByName with missing columns
+                parts = [self._group(b, None) for b in block[1]]
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p, allowMissingColumns=True)
+                cur = self._join(cur, u, "inner")
             elif kind in ("not_exists", "exists"):
                 sub = self._group(block[1], None)
                 how = "left_anti" if kind == "not_exists" else "left_semi"

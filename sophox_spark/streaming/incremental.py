@@ -26,6 +26,8 @@ chains and cycles, updateRelLoc.py:62-88,159-161) lives here too.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..manifest import Manifest
@@ -76,6 +78,15 @@ class PartitionedSnapshotTable:
     snapshot (per-bucket latest version) is reconstructible from the
     manifest alone; a data write without its manifest row is invisible
     (write data → write manifest, same protocol as Manifest docstring).
+
+    SNAPSHOT COMPACTION: every ``compact_every`` delta commits the
+    commit also writes a snapshot unit (``snap5@0:3,1:5,…`` — the full
+    bucket→version map as of that version), so ``bucket_versions()``
+    collects only the latest snapshot row plus the ≤ compact_every
+    delta rows after it — read cost stays O(compact_every), it does
+    NOT grow with commit history. Bucket-directory existence probes go
+    through the Hadoop FileSystem API (sophox_spark/fs.py), so the same
+    code path serves file://, hdfs:// and s3a:// table locations.
     """
 
     def __init__(
@@ -86,6 +97,7 @@ class PartitionedSnapshotTable:
         name: str,
         keys: tuple[str, ...] = ("id",),
         n_buckets: int = 16,
+        compact_every: int = 16,
     ):
         self.spark = spark
         self.path = path
@@ -93,39 +105,89 @@ class PartitionedSnapshotTable:
         self.name = name
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        self.compact_every = compact_every
+        # single-writer cache of (bucket→version, current version):
+        # commits update it in place, so a commit loop reads the
+        # manifest once when cold instead of once per commit. Another
+        # handle on the same path sees new commits after refresh().
+        self._bv_cache: dict[int, int] | None = None
+        self._cv_cache: int | None = None
+
+    def refresh(self) -> None:
+        """Drop the cached snapshot state (re-read manifest on next use)."""
+        self._bv_cache = None
+        self._cv_cache = None
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
 
+    def _read_units(self) -> list[str]:
+        """Manifest units needed to reconstruct the snapshot: the latest
+        ``snap`` row + every delta row past it. Filtering happens in
+        Spark; the driver collects a BOUNDED set (≤ compact_every + 1
+        rows), never the full commit history."""
+        units = self.manifest.units_df(f"table:{self.name}")
+        if units is None:
+            return []
+        ver = F.regexp_extract("unit", r"^(?:snap|v)([0-9]+)@", 1).cast("long")
+        is_snap = F.col("unit").startswith("snap")
+        tagged = units.select("unit", ver.alias("v"), is_snap.alias("s"))
+        last_snap = tagged.filter("s").agg(F.max("v")).collect()[0][0]
+        if last_snap is None:
+            return [r.unit for r in tagged.select("unit").collect()]
+        rows = tagged.filter(
+            (F.col("s") & (F.col("v") == last_snap))
+            | (~F.col("s") & (F.col("v") > last_snap))
+        )
+        return [r.unit for r in rows.select("unit").distinct().collect()]
+
     def bucket_versions(self) -> dict[int, int]:
-        """bucket → latest version that rewrote it (from the manifest)."""
+        """bucket → latest version that rewrote it (from the manifest;
+        cached between commits of this writer handle)."""
+        if self._bv_cache is not None:
+            return dict(self._bv_cache)
         mapping: dict[int, int] = {}
-        for u in self.manifest.completed_units(f"table:{self.name}"):
+        deltas: list[tuple[int, str]] = []
+        for u in self._read_units():
             v_str, _, b_str = u.partition("@")
-            v = int(v_str[1:])
+            if v_str.startswith("snap"):
+                for pair in b_str.split(","):
+                    if pair:
+                        b, _, v = pair.partition(":")
+                        mapping[int(b)] = int(v)
+            else:
+                deltas.append((int(v_str[1:]), b_str))
+        max_v = None
+        for v, b_str in sorted(deltas):
+            max_v = v if max_v is None else max(max_v, v)
             for b in b_str.split(","):
                 if b:
                     bi = int(b)
                     mapping[bi] = max(mapping.get(bi, -1), v)
+        if mapping:
+            max_v = max(max_v or -1, max(mapping.values()))
+        self._bv_cache = dict(mapping)
+        self._cv_cache = max_v
         return mapping
 
     def current_version(self) -> int | None:
-        m = self.bucket_versions()
-        return max(m.values()) if m else None
+        if self._bv_cache is None:
+            self.bucket_versions()  # fills both caches
+        return self._cv_cache
 
     def _read_buckets(self, buckets) -> DataFrame | None:
-        import os
+        from .. import fs
 
         m = self.bucket_versions()
         # a touched bucket whose merged content is empty writes no dir
         # (partitionBy emits only present values) — that's a valid empty
-        # bucket, not a missing file. (At cluster scale this existence
-        # probe would go through the Hadoop FileSystem API instead.)
+        # bucket, not a missing file. Existence probes go through the
+        # Hadoop FS API so cluster schemes (hdfs://, s3a://) work.
         paths = [
             p
             for b, v in m.items()
             if (buckets is None or b in buckets)
-            and os.path.isdir(p := f"{self.path}/v={v}/__bucket={b}")
+            and fs.is_dir(self.spark, p := f"{self.path}/v={v}/__bucket={b}")
         ]
         if not paths:
             return None
@@ -150,6 +212,7 @@ class PartitionedSnapshotTable:
         )
         if not touched:
             self.manifest.record(f"table:{self.name}", f"v{v}@", seqid, watermark, 0)
+            self._cv_cache = v
             return v
         base = self._read_buckets(set(touched))
         if base is None:
@@ -167,6 +230,18 @@ class PartitionedSnapshotTable:
             n = 0  # merged content entirely empty (all rows deleted)
         unit = f"v{v}@{','.join(map(str, touched))}"
         self.manifest.record(f"table:{self.name}", unit, seqid, watermark, n)
+        if self._bv_cache is not None:
+            for b in touched:
+                self._bv_cache[b] = v
+        self._cv_cache = v
+        if self.compact_every and v % self.compact_every == 0:
+            # periodic snapshot row: full bucket→version map, so future
+            # reads never walk further back than this commit
+            m = self.bucket_versions()
+            snap = f"snap{v}@" + ",".join(
+                f"{b}:{ver}" for b, ver in sorted(m.items())
+            )
+            self.manifest.record(f"table:{self.name}", snap, seqid, watermark, n)
         return v
 
 

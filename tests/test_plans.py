@@ -121,7 +121,7 @@ class TestRound2Plans:
             "wikidata", "w"
         ).selectExpr("polygon_id", "geom")
         water = polygons.filter("kind = 'water'").selectExpr("polygon_id", "geom")
-        out = dissolve.clipped_regions(regions, water)
+        out = dissolve.clipped_regions(regions, water, broadcast_water_max_bytes=0)
         plan = explain.formatted_plan(out)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
@@ -129,5 +129,8 @@ class TestRound2Plans:
         assert "cell" in plan
         import inspect
 
-        src = inspect.getsource(dissolve.clipped_regions)
-        assert ".collect()" not in src  # water stays distributed
+        src = inspect.getsource(dissolve._clipped_regions_distributed)
+        assert ".collect()" not in src  # water geometry stays distributed
+        # the small-dim fast path is zero-shuffle
+        fast = dissolve.clipped_regions(regions, water)
+        assert explain.count_exchanges(fast) == 0

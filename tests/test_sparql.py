@@ -311,6 +311,71 @@ SELECT ?rel WHERE { ?rel osmm:type 'r' . } ORDER BY DESC(?rel) LIMIT 2""")
         with pytest.raises(ValueError):
             _run(triples, "SELECT ?s WHERE { ?s osmm:type 'r' . } OFFSET 5")
 
+    def test_group_by_count(self, triples):
+        out = _run(triples, """
+SELECT ?type (COUNT(?x) AS ?n) WHERE { ?x osmm:type ?type . }
+GROUP BY ?type ORDER BY ?type""")
+        assert [(r.type, r.n) for r in out.collect()] == [('"n"', 2), ('"r"', 3)]
+
+    def test_global_aggregates(self, spark):
+        tr = spark.createDataFrame(
+            [
+                ("x:a", "p:v", '"10"^^xsd:integer'),
+                ("x:b", "p:v", '"4"^^xsd:integer'),
+                ("x:c", "p:v", "2"),
+                ("x:c", "p:other", '"zzz"'),
+            ],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select("""
+SELECT (COUNT(*) AS ?rows) (COUNT(DISTINCT ?s) AS ?subs)
+       (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+       (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+WHERE { ?s p:v ?v . }""")
+        r = out.collect()[0]
+        assert (r.rows, r.subs, r.total, r.mean, r.lo, r.hi) == (
+            3, 3, 16.0, 16.0 / 3, 2.0, 10.0)
+
+    def test_union_branches(self, triples):
+        out = _run(triples, """
+SELECT ?x WHERE {
+  { ?x osmm:type 'r' . } UNION { ?x osmm:type 'n' . }
+} ORDER BY ?x""")
+        assert [r.x for r in out.collect()] == [
+            "osmnode:10", "osmnode:11", "osmrel:1", "osmrel:2", "osmrel:3"]
+
+    def test_union_disjoint_vars_null(self, triples):
+        out = _run(triples, """
+SELECT ?a ?b WHERE {
+  { ?a osmm:type 'r' . } UNION { ?b osmt:name 'alpha' . }
+}""")
+        rows = out.collect()
+        assert sum(r.a is None for r in rows) == 1  # the name branch
+        assert sum(r.b is None for r in rows) == 3  # the rel branch
+
+    def test_union_joins_with_rest_of_group(self, triples):
+        # UNION result participates in the surrounding BGP join
+        out = _run(triples, """
+SELECT ?rel ?m WHERE {
+  ?rel osmm:has ?m .
+  { ?m osmm:type 'n' . } UNION { ?m osmm:loc ?l . }
+} ORDER BY ?rel ?m""")
+        got = [(r.rel, r.m) for r in out.collect()]
+        # node 10 matches both branches (type n AND has loc) → DISTINCT
+        # not requested, so duplicate solution survives (SPARQL union
+        # is a bag)
+        assert got == [
+            ("osmrel:1", "osmnode:10"), ("osmrel:1", "osmnode:10"),
+            ("osmrel:2", "osmnode:11"), ("osmrel:2", "osmway:12"),
+        ]
+
+    def test_group_by_errors(self, triples):
+        with pytest.raises(ValueError, match="neither grouped"):
+            _run(triples, """
+SELECT ?x (COUNT(?t) AS ?n) WHERE { ?x osmm:type ?t . } GROUP BY ?t""")
+        with pytest.raises(ValueError, match="not valid SPARQL"):
+            _run(triples, "SELECT (SUM(*) AS ?n) WHERE { ?x osmm:type ?t . }")
+
     def test_pname_flush_against_dot(self, triples):
         # 'osmnode:10.' must tokenize as pname + triple terminator
         out = _run(triples, "SELECT ?rel WHERE { ?rel osmm:has osmnode:10. }")

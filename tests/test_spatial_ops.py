@@ -259,9 +259,22 @@ class TestDissolve:
             "geom binary",
         ).repartition(3)
 
-        res = dissolve.clipped_regions(rdf, wdf).collect()
+        # broadcast_water_max_bytes=0 forces the DISTRIBUTED path; the
+        # default takes the broadcast fast path — both must agree with
+        # the sequential reference AND each other
+        res = dissolve.clipped_regions(
+            rdf, wdf, broadcast_water_max_bytes=0
+        ).collect()
         got = {r.polygon_id: (r.area, r.n_rings, r.n_fallbacks) for r in res}
         got_geom = {r.polygon_id: bytes(r.geom) for r in res}
+        fast = dissolve.clipped_regions(rdf, wdf).collect()
+        assert {
+            (r.polygon_id, r.area, r.n_rings, r.n_fallbacks, bytes(r.geom))
+            for r in fast
+        } == {
+            (r.polygon_id, r.area, r.n_rings, r.n_fallbacks, bytes(r.geom))
+            for r in res
+        }  # paths byte-identical
 
         # sequential reference: same clip kernel, naive all-pairs
         want = {}
