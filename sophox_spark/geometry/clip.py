@@ -237,22 +237,28 @@ def clip_rings(subject: np.ndarray, clipper: np.ndarray, op: str):
 
 def clip_rings_robust(subject: np.ndarray, clipper: np.ndarray, op: str,
                       retries: int = 3):
-    """``clip_rings`` with deterministic micro-perturbation retries.
+    """``clip_rings`` with EXACT degenerate-contact resolution.
 
     Shared vertices / collinear edges (ubiquitous when OSM parts share
     admin boundaries) violate Greiner–Hormann's general-position
-    requirement. Instead of full snap-rounding, degenerate contacts are
-    broken by nudging the CLIPPER by ≤ extent·1e-9 per retry (≈0.1 µm
-    for degree-scaled data — 4 orders of magnitude below the 7-decimal
-    input precision), escalating ×10 per retry. The offsets come from a
-    seeded PCG generator, so results are bit-reproducible across runs
-    and hosts. The subject is never moved: difference results keep the
-    subject's exact boundary except where clipped.
+    requirement. Degenerate contacts now resolve through the
+    edge-fragment-selection clipper (geometry/boolean_exact.py), which
+    never moves a vertex — shared boundaries stay byte-identical and
+    adjacent parts dissolve with zero fallbacks. Only if that stitch
+    fails does the old deterministic micro-perturbation retry run
+    (clipper nudged ≤ extent·1e-9, seeded PCG — bit-reproducible; the
+    subject is never moved).
 
-    Raises DegenerateGeometry only if every retry stays degenerate."""
+    Raises DegenerateGeometry only if every path stays degenerate."""
     try:
         return clip_rings(subject, clipper, op)
     except DegenerateGeometry:
+        pass
+    from . import boolean_exact
+
+    try:
+        return boolean_exact.clip_rings_exact(subject, clipper, op)
+    except boolean_exact.StitchError:
         pass
     clp = np.asarray(clipper, dtype=np.float64)
     extent = max(float(np.ptp(clp[:, 0])), float(np.ptp(clp[:, 1])), 1e-6)
