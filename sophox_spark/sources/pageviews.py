@@ -22,7 +22,9 @@ def parse_pageview_lines(lines_df: DataFrame, value_col: str = "value") -> DataF
     parsed = lines_df.select(
         F.split_part(c, F.lit(" "), F.lit(1)).alias("project"),
         F.split_part(c, F.lit(" "), F.lit(2)).alias("title"),
-        F.split_part(c, F.lit(" "), F.lit(3)).cast("long").alias("views"),
+        # try_cast: a malformed count drops the line (the reference's
+        # per-line except: log-and-skip) — ANSI cast would kill the task
+        F.split_part(c, F.lit(" "), F.lit(3)).try_cast("long").alias("views"),
     )
     return parsed.filter(
         F.col("project").rlike(PROJECT_RE) & F.col("views").isNotNull()
