@@ -1082,6 +1082,47 @@ GROUP BY i % 5
 """
 
 
+def _q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property paths (beyond the reference-issued subset): transitive
+    closure composed with a sequence step — ``?x osmm:has+/osmm:loc ?y``
+    over rel→rel chains derived from events (the q_rel_fixpoint chain
+    arithmetic: r references r−1 unless r%5=0, so chains have depth ≤5
+    and the DuckDB oracle replays the closure as a recursive CTE)."""
+    from sophox_spark.operators import sparql
+
+    _load(spark, sf_dir, "events")
+    triples = spark.sql("""
+SELECT concat('r:', CAST(r AS STRING)) AS s, 'osmm:has' AS p,
+       concat('r:', CAST(r - 1 AS STRING)) AS o
+FROM (SELECT DISTINCT event_id % 120 AS r FROM events)
+WHERE r % 5 <> 0
+UNION ALL
+SELECT concat('r:', CAST(r AS STRING)) AS s, 'osmm:loc' AS p,
+       concat('"P', CAST(r AS STRING), '"') AS o
+FROM (SELECT DISTINCT event_id % 120 AS r FROM events)
+WHERE r % 3 = 0
+""")
+    eng = sparql.SparqlEngine(triples)
+    return eng.select("SELECT ?x ?y WHERE { ?x osmm:has+/osmm:loc ?y . }")
+
+
+def _sparql_path_sql() -> str:
+    return """
+WITH RECURSIVE
+rels AS (SELECT DISTINCT event_id % 120 AS r FROM events),
+edges AS (SELECT r AS s, r - 1 AS o FROM rels WHERE r % 5 <> 0),
+locs AS (SELECT r, '"P' || CAST(r AS VARCHAR) || '"' AS loc
+         FROM rels WHERE r % 3 = 0),
+closure(s, o) AS (
+  SELECT s, o FROM edges
+  UNION
+  SELECT c.s, e.o FROM closure c JOIN edges e ON e.s = c.o
+)
+SELECT 'r:' || CAST(c.s AS VARCHAR) AS x, l.loc AS y
+FROM closure c JOIN locs l ON l.r = c.o
+"""
+
+
 # SPARQL UPDATE (S9 as a real update language): the reference's
 # subject-level MERGE (RdfUpdateHandler.py:42-57 — delete everything but
 # osmm:task for the pending subjects, then ground INSERT) replayed
@@ -2545,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_node_ttl": _q_node_ttl,
         "q_sparql_select": _q_sparql_select,
         "q_sparql_agg": _q_sparql_agg,
+        "q_sparql_path": _q_sparql_path,
         "q_sparql_update": _q_sparql_update,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -2588,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         "q_node_ttl": _node_ttl_sql(),
         "q_sparql_select": _sparql_select_sql(),
         "q_sparql_agg": _sparql_agg_sql(),
+        "q_sparql_path": _sparql_path_sql(),
         "q_sparql_update": _sparql_update_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),

@@ -70,6 +70,16 @@ class Term:
     text: str
 
 
+@dataclass(frozen=True)
+class Path:
+    """Property-path expression at the predicate position.
+
+    kind ∈ {'pred', 'inv', 'seq', 'alt', 'plus', 'star'}; parts holds
+    the predicate text for 'pred' and child Paths otherwise."""
+    kind: str
+    parts: tuple
+
+
 _TOKEN_RE = re.compile(
     r"""\s*(?:
     (?P<comment>\#[^\n]*)
@@ -80,7 +90,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|&&|[{}().=<>*;,])
+  | (?P<punct>!=|<=|>=|&&|[{}().=<>*;,+/^|])
 )""",
     re.X,
 )
@@ -276,12 +286,64 @@ class _Parser:
                     blocks.append(("filter", self._filter_expr()))
                     self.expect("punct", ")")
             else:
-                s, p, o = self._term(), self._term(), self._term()
+                s, p, o = self._term(), self._path(), self._term()
                 blocks.append(("triple", (s, p, o)))
                 if self.peek() == ("punct", "."):
                     self.next()
                 if self.peek() == ("punct", ";"):
                     raise ValueError("predicate lists (';') not supported")
+
+    def _path(self):
+        """Predicate position: plain Var/Term, or a property path —
+        alternatives of sequences of (optionally inverse, optionally
+        +/*-starred) atoms: ``^a/b+|c``."""
+        alts = [self._path_seq()]
+        while self.peek() == ("punct", "|"):
+            self.next()
+            alts.append(self._path_seq())
+        if len(alts) == 1:
+            return alts[0]
+        if any(isinstance(a, Var) for a in alts):
+            raise ValueError("variable inside a property path")
+        return Path("alt", tuple(self._as_path(a) for a in alts))
+
+    def _path_seq(self):
+        atoms = [self._path_atom()]
+        while self.peek() == ("punct", "/"):
+            self.next()
+            atoms.append(self._path_atom())
+        if len(atoms) == 1:
+            return atoms[0]
+        if any(isinstance(a, Var) for a in atoms):
+            raise ValueError("variable inside a property path")
+        return Path("seq", tuple(self._as_path(a) for a in atoms))
+
+    @staticmethod
+    def _as_path(t):
+        if isinstance(t, Path):
+            return t
+        if isinstance(t, Term):
+            return Path("pred", (t.text,))
+        raise ValueError("variable inside a property path")
+
+    def _path_atom(self):
+        inv = self.peek() == ("punct", "^")
+        if inv:
+            self.next()
+        t = self._term()
+        kind, val = self.peek()
+        starred = kind == "punct" and val in ("+", "*")
+        if isinstance(t, Var):
+            if inv or starred:
+                raise ValueError("variable inside a property path")
+            return t
+        out = t
+        if starred:
+            self.next()
+            out = Path("plus" if val == "+" else "star", (self._as_path(out),))
+        if inv:
+            out = Path("inv", (self._as_path(out),))
+        return out
 
     def _term(self):
         kind, val = self.next()
@@ -449,9 +511,19 @@ class SparqlEngine:
         return cur
 
     def _scan(self, pattern) -> DataFrame:
-        scan = self.triples
+        if isinstance(pattern[1], Path):
+            return self._scan_positions(
+                self._path_edges(pattern[1]),
+                (("s", pattern[0]), ("o", pattern[2])),
+            )
+        return self._scan_positions(
+            self.triples, tuple(zip(("s", "p", "o"), pattern))
+        )
+
+    @staticmethod
+    def _scan_positions(scan: DataFrame, pos_terms) -> DataFrame:
         names: dict[str, str] = {}
-        for pos, term in zip(("s", "p", "o"), pattern):
+        for pos, term in pos_terms:
             if isinstance(term, Var):
                 if term.name in names.values():
                     # repeated var inside one pattern (?x ?p ?x)
@@ -462,6 +534,76 @@ class SparqlEngine:
             else:
                 scan = scan.filter(F.col(pos) == F.lit(term.text))
         return scan.select(*[F.col(p).alias(v) for p, v in names.items()])
+
+    PATH_MAX_ITERS = 25
+
+    def _path_edges(self, p: Path) -> DataFrame:
+        """Property path → its (s, o) edge relation.
+
+        ``+``/``*`` closures iterate by SQUARING (reach ∪ reach⋈reach —
+        path length doubles per pass, so 25 passes cover 2^25-step
+        chains) with a localCheckpoint per pass and an aggregate-only
+        convergence check, the duplicate_clusters/fixpoint pattern.
+        ``*``'s zero-length paths bind x→x for every term occurring in
+        the graph (subject or object), the documented subset of the
+        spec's all-RDF-terms rule."""
+        if p.kind == "pred":
+            return self.triples.filter(F.col("p") == p.parts[0]).select("s", "o")
+        if p.kind == "inv":
+            e = self._path_edges(p.parts[0])
+            return e.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        if p.kind == "seq":
+            cur = self._path_edges(p.parts[0])
+            for nxt in p.parts[1:]:
+                e = self._path_edges(nxt).select(
+                    F.col("s").alias("__m"), F.col("o").alias("__o2")
+                )
+                cur = (
+                    cur.join(e, cur["o"] == e["__m"])
+                    .select("s", F.col("__o2").alias("o"))
+                )
+            return cur
+        if p.kind == "alt":
+            parts = [self._path_edges(b) for b in p.parts]
+            out = parts[0]
+            for e in parts[1:]:
+                out = out.unionByName(e)
+            return out
+        if p.kind in ("plus", "star"):
+            edges = self._path_edges(p.parts[0]).distinct().localCheckpoint(
+                eager=True
+            )
+            reach = edges
+            n_prev = reach.count()
+            for _ in range(self.PATH_MAX_ITERS):
+                step = (
+                    reach.alias("a")
+                    .join(reach.alias("b"), F.col("a.o") == F.col("b.s"))
+                    .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+                )
+                reach = reach.unionByName(step).distinct().localCheckpoint(
+                    eager=True
+                )
+                n_now = reach.count()
+                if n_now == n_prev:
+                    break
+                n_prev = n_now
+            else:
+                raise ValueError(
+                    f"property path closure did not converge in "
+                    f"{self.PATH_MAX_ITERS} squaring passes"
+                )
+            if p.kind == "star":
+                nodes = (
+                    self.triples.select(F.col("s").alias("n"))
+                    .unionByName(self.triples.select(F.col("o").alias("n")))
+                    .distinct()
+                )
+                reach = reach.unionByName(
+                    nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
+                ).distinct()
+            return reach
+        raise ValueError(f"unknown path kind {p.kind!r}")  # pragma: no cover
 
     @staticmethod
     def _join(cur, other, how):
@@ -561,6 +703,10 @@ def parse_update(query: str) -> list:
         for tpl in (delete_tpl, insert_tpl):
             if tpl and any(kind != "triple" for kind, *_ in tpl):
                 raise ValueError("update templates may contain only triples")
+            if tpl and any(
+                isinstance(t, Path) for _, triple in tpl for t in triple
+            ):
+                raise ValueError("property paths are not allowed in templates")
         ops.append((delete_tpl, insert_tpl, where))
         while p.peek() == ("punct", ";"):
             p.next()

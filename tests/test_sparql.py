@@ -376,6 +376,49 @@ SELECT ?x (COUNT(?t) AS ?n) WHERE { ?x osmm:type ?t . } GROUP BY ?t""")
         with pytest.raises(ValueError, match="not valid SPARQL"):
             _run(triples, "SELECT (SUM(*) AS ?n) WHERE { ?x osmm:type ?t . }")
 
+    def test_path_sequence_and_inverse(self, triples):
+        out = _run(triples, """
+SELECT ?rel ?loc WHERE { ?rel osmm:has/osmm:loc ?loc . } ORDER BY ?rel""")
+        assert [(r.rel, r.loc) for r in out.collect()] == [
+            ("osmrel:1", '"Point(2 2)"^^geo:wktLiteral'),
+            ("osmrel:2", '"Point(3 3)"^^geo:wktLiteral'),
+        ]
+        inv = _run(triples, """
+SELECT ?m WHERE { ?m ^osmm:has osmrel:2 . } ORDER BY ?m""")
+        assert [r.m for r in inv.collect()] == ["osmnode:11", "osmway:12"]
+
+    def test_path_alternative(self, triples):
+        out = _run(triples, """
+SELECT ?v WHERE { osmnode:10 osmm:type|osmt:name ?v . } ORDER BY ?v""")
+        assert [r.v for r in out.collect()] == ['"alpha"', '"n"']
+
+    def test_path_closure_with_cycle(self, spark):
+        tr = spark.createDataFrame(
+            [("x:a", "p:next", "x:b"), ("x:b", "p:next", "x:c"),
+             ("x:c", "p:next", "x:d"),
+             ("x:e", "p:next", "x:f"), ("x:f", "p:next", "x:e")],
+            "s string, p string, o string",
+        )
+        eng = sparql.SparqlEngine(tr)
+        plus = eng.select("SELECT ?x ?y WHERE { ?x p:next+ ?y . }")
+        got = {(r.x, r.y) for r in plus.collect()}
+        assert got == {
+            ("x:a", "x:b"), ("x:a", "x:c"), ("x:a", "x:d"),
+            ("x:b", "x:c"), ("x:b", "x:d"), ("x:c", "x:d"),
+            # cycle closes onto itself without divergence
+            ("x:e", "x:f"), ("x:f", "x:e"), ("x:e", "x:e"), ("x:f", "x:f"),
+        }
+        star = eng.select("SELECT ?y WHERE { x:a p:next* ?y . }")
+        assert {r.y for r in star.collect()} == {"x:a", "x:b", "x:c", "x:d"}
+
+    def test_path_errors(self, triples):
+        with pytest.raises(ValueError, match="variable inside a property path"):
+            _run(triples, "SELECT ?s WHERE { ?s ?p+ ?o . }")
+        with pytest.raises(ValueError, match="paths are not allowed"):
+            sparql.parse_update(
+                "DELETE { ?s osmm:a/osmm:b ?o . } WHERE { ?s osmm:a ?o . }"
+            )
+
     def test_pname_flush_against_dot(self, triples):
         # 'osmnode:10.' must tokenize as pname + triple terminator
         out = _run(triples, "SELECT ?rel WHERE { ?rel osmm:has osmnode:10. }")
