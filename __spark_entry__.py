@@ -2154,6 +2154,38 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_meta(media)
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS): docs sharing any
+    ≥ k+w−1-char substring surface as candidate pairs via an
+    fp-bucketed equi-join — never all-pairs. Oracle replays the k-gram
+    md5 + window-minimum selection in pure SQL."""
+    from sophox_spark.operators import dedup
+
+    _load(spark, sf_dir, "documents")
+    return dedup.winnow_candidates(spark.table("documents"), k=20, w=8)
+
+
+def _winnow_sql() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id, i, length(text) AS len,
+         md5(substr(text, CAST(i AS INT), 20)) AS h
+  FROM documents CROSS JOIN range(1, 2048) t(i)
+  WHERE i <= length(text) - 19
+),
+wn AS (
+  SELECT doc_id, i, len,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+  FROM g
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wn WHERE i <= len - 19 - 7)
+SELECT fa.doc_id AS a, fb.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps fa JOIN fps fb ON fa.fp = fb.fp AND fa.doc_id < fb.doc_id
+GROUP BY fa.doc_id, fb.doc_id
+"""
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the from-scratch PNG codec
     (functions/png.py): deterministic integer-gradient images are
@@ -2551,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
         "q_lsh_buckets": _sql_query(_lsh_sql("spark"), ("documents",)),
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_winnow_candidates": _q_winnow,
         "q_ngram_jaccard": _sql_query(_jaccard_sql("spark"), ("documents",)),
         "q_simhash": _sql_query(_simhash_sql("spark"), ("documents",)),
         "q_lang_id": _sql_query(_lang_id_sql(), ("documents",)),
@@ -2638,6 +2671,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
         "q_dedup_clusters": _dedup_clusters_sql(),
+        "q_winnow_candidates": _winnow_sql(),
         "q_ngram_jaccard": _jaccard_sql("duckdb"),
         "q_simhash": _simhash_sql("duckdb"),
         "q_lang_id": _lang_id_sql(),

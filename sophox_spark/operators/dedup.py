@@ -240,3 +240,56 @@ def duplicate_clusters(
         f"({changed} labels still changing); the component diameter "
         f"exceeds max_iter — raise it (rounds needed ≈ diameter)"
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    k: int = 20, w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every char k-gram, keep
+    the MINIMUM hash of each window of ``w`` consecutive k-grams —
+    guaranteeing any shared substring of length ≥ k + w − 1 contributes
+    at least one shared fingerprint, while storing only ~1/w of the
+    hashes. All native expressions (explode/substring/md5/window min —
+    md5 so the DuckDB oracle replays it exactly); one shuffle on the
+    doc key for the window, map-side pruning before it.
+
+    Output: ``(key, fp)`` distinct. Docs shorter than k + w − 1 chars
+    yield no fingerprints (nothing long enough to guarantee)."""
+    from pyspark.sql import Window
+
+    n = F.length(text_col)
+    grams = df.select(
+        key, text_col, n.alias("__len"),
+        F.explode(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))).alias("i"),
+    )
+    hashed = grams.select(
+        key, "i", "__len",
+        F.md5(F.expr(f"substring({text_col}, i, {k})")).alias("h"),
+    )
+    wspec = Window.partitionBy(key).orderBy("i").rowsBetween(0, w - 1)
+    winnowed = hashed.select(
+        key, "i", "__len", F.min("h").over(wspec).alias("fp")
+    ).filter(F.col("i") <= F.col("__len") - (k - 1) - (w - 1))
+    return winnowed.select(key, "fp").distinct()
+
+
+def winnow_candidates(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    k: int = 20, w: int = 8, min_shared: int = 1,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing winnowed fingerprints —
+    a (fp)-bucketed equi-join, never all-pairs (same shuffle shape as
+    LSH banding; a pathologically hot fingerprint would salt the same
+    way). Output: (a, b, n_shared) with a < b."""
+    fps = winnow_fingerprints(df, key, text_col, k, w)
+    fa = fps.select("fp", F.col(key).alias("a"))
+    fb = fps.select("fp", F.col(key).alias("b"))
+    return (
+        fa.join(fb, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -84,6 +84,37 @@ class TestDedup:
         got = set(grams[grams["doc_id"] == 0]["gram"])
         assert got == want
 
+    def test_winnowing_guarantee(self, spark):
+        """The winnowing theorem: any shared substring of length
+        ≥ k + w − 1 guarantees ≥ 1 shared fingerprint; disjoint texts
+        share none."""
+        k, w = 8, 4
+        shared = "zqxjvkwp eiou mnbv"  # len 18 > k + w - 1 = 11
+        rng_junk = [
+            "the quick brown fox jumps over it all day long",
+            "pack my box with five dozen liquor jugs again",
+            "completely different content with no overlap here",
+        ]
+        rows = [
+            (0, rng_junk[0] + " " + shared),
+            (1, shared + " " + rng_junk[1]),
+            (2, rng_junk[2]),
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r.a, r.b): r.n_shared
+            for r in dedup.winnow_candidates(docs, k=k, w=w).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+        assert not any(2 in p for p in pairs)
+        # selection really is sparse: far fewer fps than k-grams
+        fps = dedup.winnow_fingerprints(docs, k=k, w=w).toPandas()
+        n_grams = sum(len(t) - k + 1 for _, t in rows)
+        assert len(fps) < n_grams / 2
+
 
 class TestSimilarity:
     def test_bruteforce_topk_oracle(self, spark):
