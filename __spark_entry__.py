@@ -2186,6 +2186,67 @@ GROUP BY fa.doc_id, fb.doc_id
 """
 
 
+def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the from-scratch WAV codec
+    (functions/wav.py): integer waveforms are RIFF-PCM16-encoded
+    executor-side, decoded by the chunk walker, and reduced to exact
+    sample statistics (mean |amplitude| = one int division; energy =
+    exact int64 sum of squares). The oracle rebuilds both from the
+    same arithmetic with no codec; the decoder is separately pinned to
+    hand-assembled RIFF byte layouts in tests/test_wav.py."""
+    import numpy as np
+
+    from sophox_spark.functions import wav as _wav
+    from sophox_spark.operators import multimodal
+
+    ids = spark.range(40).withColumnRenamed("id", "media_id").coalesce(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                rate = 8000 + 100 * (i % 5)
+                ch = 1 + i % 2
+                nf = 50 + i % 20
+                f = np.arange(nf)[:, None]
+                c = np.arange(ch)[None, :]
+                v = ((3 + i % 4) * f + 7 * c + 11 * i) % 65536 - 32768
+                payloads.append(_wav.encode(v.astype(np.int16), rate))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    return multimodal.decode_audio(media)
+
+
+def _audio_decode_sql() -> str:
+    return """
+WITH clips AS (
+  SELECT i AS media_id, 8000 + 100 * (i % 5) AS rate,
+         1 + i % 2 AS ch, 50 + i % 20 AS nf,
+         3 + i % 4 AS ca
+  FROM range(40) t(i)
+),
+px AS (
+  SELECT media_id, rate, ch, nf,
+         (ca * f + 7 * c + 11 * media_id) % 65536 - 32768 AS v
+  FROM clips
+  CROSS JOIN range(70) tf(f)
+  CROSS JOIN range(2) tc(c)
+  WHERE f < nf AND c < ch
+)
+SELECT media_id, rate AS sample_rate, ch AS channels, nf AS n_frames,
+       CAST(CAST(SUM(ABS(v)) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_abs,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM px
+GROUP BY media_id, rate, ch, nf
+"""
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the from-scratch PNG codec
     (functions/png.py): deterministic integer-gradient images are
@@ -2613,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_embeddings": _q_ivf_embeddings,
         "q_multimodal_meta": _q_multimodal_meta,
         "q_multimodal_decode": _q_multimodal_decode,
+        "q_audio_decode": _q_audio_decode,
         "q_page_mentions": _q_page_mentions,
         "q_geo_extraction": _q_geo_extraction,
         "q_osm_ttl": _q_osm_ttl,
@@ -2689,4 +2751,5 @@ def oracle_sql() -> dict[str, str]:
         "q_vector_tiles": _vector_tiles_sql(),
         "q_regions_clipped": _regions_clipped_sql(),
         "q_multimodal_decode": _multimodal_decode_sql(),
+        "q_audio_decode": _audio_decode_sql(),
     }

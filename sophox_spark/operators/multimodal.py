@@ -96,6 +96,64 @@ def decode_images(media_df: DataFrame, id_col="media_id", payload_col="payload")
     ).mapInPandas(gen, DECODE_SCHEMA)
 
 
+def real_decode_audio(payload: bytes):
+    """Real audio codec path: WAV (RIFF PCM16) via the from-scratch
+    parser in functions/wav.py, falling back to the synthetic AUD1
+    container. Returns (sample_rate, channels, int16 [n, ch]);
+    raises WavFormatError loudly outside the PCM16 subset."""
+    from ..functions import wav
+
+    b = bytes(payload)
+    if b[:4] == b"RIFF":
+        return wav.decode(b)
+    if b[:4] == b"AUD1":
+        rate, n = struct.unpack_from("<II", b, 4)
+        pcm = np.frombuffer(b, dtype="<i2", offset=12)
+        return rate, 1, pcm.reshape(-1, 1)
+    raise wav.WavFormatError(f"unknown audio container {b[:4]!r}")
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate long, channels long, n_frames long, "
+    "mean_abs double, sum_sq long"
+)
+
+
+def decode_audio(media_df: DataFrame, id_col="media_id", payload_col="payload") -> DataFrame:
+    """Decode audio payloads (WAV or AUD1) into exact per-clip sample
+    statistics (mean |amplitude| as one exact int division; energy as
+    the exact int64 sum of squares — no float accumulation, so a SQL
+    oracle reproduces both bit-for-bit). Undecodable payloads yield a
+    NULL-stats row, never a task kill."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, ch, samples = real_decode_audio(blob)
+                except (ValueError, struct.error):
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                flat = samples.reshape(-1).astype(np.int64)
+                mean_abs = (
+                    float(np.abs(flat).sum()) / flat.size if flat.size else None
+                )
+                rows.append(
+                    (mid, rate, ch, samples.shape[0], mean_abs,
+                     int((flat * flat).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels", "n_frames",
+                         "mean_abs", "sum_sq"],
+            )
+
+    return media_df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col)
+    ).mapInPandas(gen, AUDIO_SCHEMA)
+
+
 MEDIA_META_SCHEMA = (
     "media_id long, kind string, byte_len long, width long, height long, "
     "channels long, sample_rate long, n_samples long, mean_value double"
