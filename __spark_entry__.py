@@ -1082,6 +1082,34 @@ GROUP BY i % 5
 """
 
 
+def _q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIND + string filter functions over converter triples:
+    STRSTARTS prefilters by lexical value, BIND(CONCAT(STR(...)))
+    derives a label column — the label-building shape real endpoint
+    queries use. Oracle rebuilds the same strings arithmetically."""
+    from sophox_spark.operators import osm2ttl, sparql
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(NODE_TTL_FIXTURE_SPARK)
+    triples = sparql.triples_from_statements(osm2ttl.node_statements(nodes))
+    return sparql.SparqlEngine(triples).select("""
+SELECT ?s ?label WHERE {
+  ?s osmt:name ?n .
+  FILTER STRSTARTS(?n, 'node 1')
+  BIND(CONCAT('L:', STR(?n)) AS ?label)
+}""")
+
+
+def _sparql_bind_sql() -> str:
+    return """
+SELECT 'osmnode:' || CAST(i AS VARCHAR) AS s,
+       'L:node ' || CAST(i AS VARCHAR) AS label
+FROM (SELECT event_id AS i FROM events
+      WHERE event_id % 29 <> 0 AND event_id % 13 <> 0)
+WHERE CAST(i AS VARCHAR) LIKE '1%'
+"""
+
+
 def _q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property paths (beyond the reference-issued subset): transitive
     closure composed with a sequence step — ``?x osmm:has+/osmm:loc ?y``
@@ -2682,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_select": _q_sparql_select,
         "q_sparql_agg": _q_sparql_agg,
         "q_sparql_path": _q_sparql_path,
+        "q_sparql_bind": _q_sparql_bind,
         "q_sparql_update": _q_sparql_update,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -2726,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_select": _sparql_select_sql(),
         "q_sparql_agg": _sparql_agg_sql(),
         "q_sparql_path": _sparql_path_sql(),
+        "q_sparql_bind": _sparql_bind_sql(),
         "q_sparql_update": _sparql_update_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),

@@ -270,6 +270,15 @@ class _Parser:
                     terms.append(self._term())
                 self.next()
                 blocks.append(("values", var, terms))
+            elif kind == "word" and val.upper() == "BIND":
+                self.next()
+                self.expect("punct", "(")
+                expr = self._expr()
+                if not self.eat_word("AS"):
+                    raise ValueError("BIND requires AS ?var")
+                var = self.expect("var")[1:]
+                self.expect("punct", ")")
+                blocks.append(("bind", var, expr))
             elif kind == "word" and val.upper() == "OPTIONAL":
                 self.next()
                 blocks.append(("optional", self.parse_group()))
@@ -281,6 +290,12 @@ class _Parser:
                     blocks.append(("not_exists", self.parse_group()))
                 elif self.eat_word("EXISTS"):
                     blocks.append(("exists", self.parse_group()))
+                elif (
+                    self.peek()[0] == "word"
+                    and self.peek()[1].upper() in self._STR_FNS
+                ):
+                    # FILTER fn(args) — no extra parens around the call
+                    blocks.append(("filter", [self._comparison()]))
                 else:
                     self.expect("punct", "(")
                     blocks.append(("filter", self._filter_expr()))
@@ -360,6 +375,28 @@ class _Parser:
             raise ValueError("blank nodes not supported")
         raise ValueError(f"unexpected term {kind} {val!r}")
 
+    _STR_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "REGEX")
+
+    def _expr(self):
+        """BIND expression subset: term | STR(expr) | CONCAT(expr, …).
+        Covers the shapes real Sophox endpoint queries use (building
+        URLs/labels from bound values)."""
+        kind, val = self.peek()
+        if kind == "word" and val.upper() in ("STR", "CONCAT"):
+            fn = self.next()[1].upper()
+            self.expect("punct", "(")
+            args = [self._expr()]
+            while self.peek() == ("punct", ","):
+                self.next()
+                args.append(self._expr())
+            self.expect("punct", ")")
+            if fn == "STR":
+                if len(args) != 1:
+                    raise ValueError("STR takes one argument")
+                return ("str", args[0])
+            return ("concat", args)
+        return ("term", self._term())
+
     def _filter_expr(self):
         clauses = [self._comparison()]
         while self.peek() == ("punct", "&&"):
@@ -368,6 +405,15 @@ class _Parser:
         return clauses
 
     def _comparison(self):
+        kind, val = self.peek()
+        if kind == "word" and val.upper() in self._STR_FNS:
+            fn = self.next()[1].upper()
+            self.expect("punct", "(")
+            left = self._term()
+            self.expect("punct", ",")
+            right = self._term()
+            self.expect("punct", ")")
+            return ("fn:" + fn, left, right)
         left = self._term()
         kind, op = self.next()
         if kind != "punct" or op not in ("=", "!=", "<", ">", "<=", ">="):
@@ -485,6 +531,17 @@ class SparqlEngine:
             elif kind == "optional":
                 sub = self._group(block[1], None)
                 cur = self._join(cur, sub, "left_outer")
+            elif kind == "bind":
+                _, var, expr = block
+                if cur is None:
+                    # BIND over the empty group: one empty solution
+                    cur = self.triples.sparkSession.range(1).select(
+                        self._expr_col(expr).alias(var)
+                    )
+                else:
+                    if var in cur.columns:
+                        raise ValueError(f"BIND re-binds ?{var}")
+                    cur = cur.withColumn(var, self._expr_col(expr))
             elif kind == "subgroup":
                 cur = self._join(cur, self._group(block[1], None), "inner")
             elif kind == "union":
@@ -634,6 +691,39 @@ class SparqlEngine:
         return s if cls._NUM_RE.match(s) else None
 
     @staticmethod
+    def _lex_expr(col):
+        """TTL surface form → lexical string value: strip ^^datatype
+        and surrounding quotes (SPARQL STR() and the string functions
+        operate on the lexical form)."""
+        s = F.regexp_replace(col, r"\^\^\S+$", "")
+        return F.regexp_replace(s, r'^"(.*)"$', "$1")
+
+    @classmethod
+    def _expr_col(cls, e):
+        """BIND expression AST → Column. CONCAT/STR produce SIMPLE
+        literals (plain strings, no TTL decoration) per the spec."""
+        kind = e[0]
+        if kind == "term":
+            # a bare term keeps its surface form (Var copy / literal
+            # verbatim); CONCAT/STR below strip to lexical values
+            t = e[1]
+            if isinstance(t, Var):
+                return F.col(t.name)
+            return F.lit(t.text)
+        if kind == "str":
+            return cls._lex_expr(cls._expr_col(e[1]))
+        if kind == "concat":
+            return F.concat(*[cls._lex_expr(cls._expr_col(a)) for a in e[1]])
+        raise ValueError(f"unknown expression {kind!r}")  # pragma: no cover
+
+    @staticmethod
+    def _lexical_of(text: str) -> str:
+        s = re.sub(r"\^\^\S+$", "", text)
+        if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+            s = s[1:-1]
+        return s
+
+    @staticmethod
     def _num_expr(col):
         """Column in TTL surface form → DOUBLE: strip ^^datatype suffix
         and surrounding quotes, then cast (non-numeric lexical forms →
@@ -644,6 +734,24 @@ class SparqlEngine:
 
     @classmethod
     def _cmp(cls, op, left, right):
+        if op.startswith("fn:"):
+            # string functions operate on LEXICAL values (decoration
+            # stripped both sides)
+            def lex(t):
+                if isinstance(t, Var):
+                    return cls._lex_expr(F.col(t.name))
+                return F.lit(cls._lexical_of(t.text))
+
+            if op == "fn:REGEX":
+                if not isinstance(right, Term):
+                    raise ValueError("REGEX pattern must be a literal")
+                return lex(left).rlike(cls._lexical_of(right.text))
+            a, b = lex(left), lex(right)
+            return {
+                "fn:CONTAINS": a.contains(b),
+                "fn:STRSTARTS": a.startswith(b),
+                "fn:STRENDS": a.endswith(b),
+            }[op]
         # numeric comparison applies when either side is a numeric
         # literal — bare ('10') or typed ('"10"^^xsd:integer'); the
         # column side strips its TTL decoration before the double cast,

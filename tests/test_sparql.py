@@ -419,6 +419,38 @@ SELECT ?v WHERE { osmnode:10 osmm:type|osmt:name ?v . } ORDER BY ?v""")
                 "DELETE { ?s osmm:a/osmm:b ?o . } WHERE { ?s osmm:a ?o . }"
             )
 
+    def test_bind_concat_str(self, triples):
+        out = _run(triples, """
+SELECT ?rel ?label WHERE {
+  ?rel osmm:has ?m .
+  ?m osmt:name ?n .
+  BIND(CONCAT('member: ', STR(?n)) AS ?label)
+}""")
+        rows = {(r.rel, r.label) for r in out.collect()}
+        assert rows == {
+            ("osmrel:1", "member: alpha"),  # node10 is rel1's member
+            ("osmrel:2", "member: beta"),   # node11 is rel2's member
+        }
+
+    def test_bind_rebind_raises(self, triples):
+        with pytest.raises(ValueError, match="re-binds"):
+            _run(triples, """
+SELECT ?x WHERE { ?x osmm:type 'r' . BIND('y' AS ?x) }""")
+
+    def test_string_filter_functions(self, triples):
+        out = _run(triples, """
+SELECT ?s WHERE { ?s osmt:name ?n . FILTER STRSTARTS(?n, 'al') }""")
+        assert [r.s for r in out.collect()] == ["osmnode:10"]
+        out2 = _run(triples, """
+SELECT ?s WHERE { ?s osmm:loc ?l . FILTER CONTAINS(?l, 'Point(3') }""")
+        assert [r.s for r in out2.collect()] == ["osmway:12"]
+        out3 = _run(triples, """
+SELECT ?s WHERE { ?s osmt:name ?n . FILTER REGEX(?n, '^b.t.$') }""")
+        assert [r.s for r in out3.collect()] == ["osmnode:11"]
+        out4 = _run(triples, """
+SELECT ?s WHERE { ?s osmt:name ?n . FILTER STRENDS(?n, 'ta') }""")
+        assert [r.s for r in out4.collect()] == ["osmnode:11"]
+
     def test_pname_flush_against_dot(self, triples):
         # 'osmnode:10.' must tokenize as pname + triple terminator
         out = _run(triples, "SELECT ?rel WHERE { ?rel osmm:has osmnode:10. }")
