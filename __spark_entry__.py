@@ -2275,6 +2275,72 @@ GROUP BY media_id, rate, ch, nf
 """
 
 
+def _q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container parse through the from-scratch AVI codec
+    (functions/avi.py, RIFF + uncompressed DIB frames): integer
+    gradient frames are encoded executor-side, frame-sampled
+    (every 2nd frame), and reduced to exact per-channel means. Oracle
+    rebuilds the means from the same arithmetic with no container."""
+    import numpy as np
+
+    from sophox_spark.functions import avi as _avi
+    from sophox_spark.operators import multimodal
+
+    ids = spark.range(24).withColumnRenamed("id", "media_id").coalesce(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = 4 + i % 3, 3 + i % 4
+                nf = 2 + i % 3
+                frames = []
+                for f in range(nf):
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    c = np.arange(3)[None, None, :]
+                    frames.append(
+                        ((2 * x + 3 * y + 5 * c + 7 * f + i) % 256).astype(np.uint8)
+                    )
+                payloads.append(_avi.encode(frames, fps=5 + i % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    return multimodal.sample_video_frames(media, every_n=2)
+
+
+def _video_decode_sql() -> str:
+    return """
+WITH clips AS (
+  SELECT i AS media_id, 4 + i % 3 AS w, 3 + i % 4 AS h,
+         2 + i % 3 AS nf, CAST(5 + i % 5 AS DOUBLE) AS fps
+  FROM range(24) t(i)
+),
+px AS (
+  SELECT media_id, w, h, nf, fps, f,
+         (2 * x + 3 * y + 0 + 7 * f + media_id) % 256 AS vr,
+         (2 * x + 3 * y + 5 + 7 * f + media_id) % 256 AS vg,
+         (2 * x + 3 * y + 10 + 7 * f + media_id) % 256 AS vb
+  FROM clips
+  CROSS JOIN range(8) tx(x)
+  CROSS JOIN range(8) ty(y)
+  CROSS JOIN range(4) tf(f)
+  WHERE x < w AND y < h AND f < nf AND f % 2 = 0
+)
+SELECT media_id, f AS frame_idx, w AS width, h AS height, fps,
+       CAST(CAST(SUM(vr) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_r,
+       CAST(CAST(SUM(vg) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_g,
+       CAST(CAST(SUM(vb) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_b
+FROM px
+GROUP BY media_id, f, w, h, fps
+"""
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the from-scratch PNG codec
     (functions/png.py): deterministic integer-gradient images are
@@ -2703,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": _q_multimodal_meta,
         "q_multimodal_decode": _q_multimodal_decode,
         "q_audio_decode": _q_audio_decode,
+        "q_video_decode": _q_video_decode,
         "q_page_mentions": _q_page_mentions,
         "q_geo_extraction": _q_geo_extraction,
         "q_osm_ttl": _q_osm_ttl,
@@ -2782,4 +2849,5 @@ def oracle_sql() -> dict[str, str]:
         "q_regions_clipped": _regions_clipped_sql(),
         "q_multimodal_decode": _multimodal_decode_sql(),
         "q_audio_decode": _audio_decode_sql(),
+        "q_video_decode": _video_decode_sql(),
     }

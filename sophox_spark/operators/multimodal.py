@@ -154,6 +154,52 @@ def decode_audio(media_df: DataFrame, id_col="media_id", payload_col="payload") 
     ).mapInPandas(gen, AUDIO_SCHEMA)
 
 
+VIDEO_SCHEMA = (
+    "media_id long, frame_idx long, width long, height long, fps double, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def sample_video_frames(
+    media_df: DataFrame, every_n: int = 1,
+    id_col="media_id", payload_col="payload",
+) -> DataFrame:
+    """Frame-sample AVI payloads (real RIFF container parse,
+    functions/avi.py): keep every ``every_n``-th frame and reduce it to
+    exact per-channel means (int sum / count — one division each).
+    Undecodable payloads yield one NULL-stats row; all decoding
+    executor-side in Arrow batches."""
+    from ..functions import avi
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fps, frames = avi.decode(bytes(blob))
+                except (ValueError, struct.error):
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    f = frames[idx].astype(np.int64)
+                    npx = f.shape[0] * f.shape[1]
+                    rows.append(
+                        (mid, idx, f.shape[1], f.shape[0], fps,
+                         float(f[:, :, 0].sum()) / npx,
+                         float(f[:, :, 1].sum()) / npx,
+                         float(f[:, :, 2].sum()) / npx)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "fps",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media_df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col)
+    ).mapInPandas(gen, VIDEO_SCHEMA)
+
+
 MEDIA_META_SCHEMA = (
     "media_id long, kind string, byte_len long, width long, height long, "
     "channels long, sample_rate long, n_samples long, mean_value double"
