@@ -1202,6 +1202,88 @@ FROM live WHERE i % 50 <> 2
 """
 
 
+# The reference's ONE shipped SPARQL artifact, verbatim
+# (/root/reference/osm2rdf/maintenance/add_osmt_to_meta.sparql:1-18, run
+# every 600 s by runMaintenanceScripts.py:44-68): VALUES + ';' predicate
+# list + MINUS + FILTER REGEX + BIND(iri(concat(...))). Embedded so the
+# parity row doesn't depend on the reference checkout at runtime; the
+# pytest end-to-end test reads the actual file.
+_MAINTENANCE_SPARQL = """
+INSERT {
+    ?key
+    ?property
+    ?value
+} WHERE {
+  VALUES ?property { osmm:key }
+
+  ?key osmdt:P2 osmd:Q7;
+       osmdt:P16 ?keyid.
+
+  MINUS { ?key osmm:key ?existing_keyid }
+
+  FILTER (REGEX(?keyid, "^[0-9a-zA-Z_]([-:0-9a-zA-Z_]*[0-9a-zA-Z_])?$"))
+
+  BIND (iri(concat("https://wiki.openstreetmap.org/wiki/Key:", ?keyid)) as ?value)
+}
+"""
+
+# OSM-wiki metadata fixture the artifact operates on, derived from
+# events by pure int arithmetic: 200 candidate items; k%7=0 → not a key
+# item (no P2=Q7), k%11=0 → regex-invalid key id, k%5=0 (valid keys
+# only) → already linked via osmm:key.
+_KEY_ITEMS_FIXTURE_SPARK = """
+WITH ks AS (SELECT DISTINCT event_id % 200 AS k FROM events)
+SELECT concat('osmd:Q', CAST(k AS STRING)) AS s, 'osmdt:P2' AS p,
+       'osmd:Q7' AS o
+FROM ks WHERE k % 7 <> 0
+UNION ALL
+SELECT concat('osmd:Q', CAST(k AS STRING)), 'osmdt:P16',
+       CASE WHEN k % 11 = 0 THEN concat('"bad key ', CAST(k AS STRING), '!"')
+            ELSE concat('"key', CAST(k AS STRING), '"') END
+FROM ks
+UNION ALL
+SELECT concat('osmd:Q', CAST(k AS STRING)), 'osmm:key',
+       concat('<https://wiki.openstreetmap.org/wiki/Key:key',
+              CAST(k AS STRING), '>')
+FROM ks WHERE k % 5 = 0 AND k % 7 <> 0 AND k % 11 <> 0
+"""
+
+
+def _q_sparql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's real maintenance artifact executed end-to-end
+    through the guarded runner semantics (runMaintenanceScripts.py:
+    44-68 → plans/maintenance.run_maintenance_sparql): after the pass,
+    EVERY valid key item carries osmm:key — the pre-linked ones
+    untouched, the unlinked valid ones added by the INSERT, the
+    regex-invalid / already-linked / non-key items excluded by
+    FILTER REGEX / MINUS / the ';'-expanded BGP respectively."""
+    import os
+
+    from sophox_spark.operators import sparql
+    from sophox_spark.plans.maintenance import run_maintenance_sparql
+
+    _load(spark, sf_dir, "events")
+    triples = spark.sql(_KEY_ITEMS_FIXTURE_SPARK)
+    ref_dir = "/root/reference/osm2rdf/maintenance"
+    if os.path.isdir(ref_dir):
+        _outcome, final = run_maintenance_sparql(triples, ref_dir)
+    else:  # reference checkout absent: same artifact text, embedded
+        final = sparql.SparqlUpdateEngine(triples).update(_MAINTENANCE_SPARQL)
+    return final.filter(F.col("p") == "osmm:key").select("s", "o")
+
+
+def _sparql_maintenance_sql() -> str:
+    # final state: all valid key items linked (pre-linked k%5=0 rows and
+    # freshly inserted k%5<>0 rows produce the same surface form)
+    return """
+WITH ks AS (SELECT DISTINCT event_id % 200 AS k FROM events)
+SELECT 'osmd:Q' || CAST(k AS VARCHAR) AS s,
+       '<https://wiki.openstreetmap.org/wiki/Key:key' || CAST(k AS VARCHAR)
+         || '>' AS o
+FROM ks WHERE k % 7 <> 0 AND k % 11 <> 0
+"""
+
+
 def _q_osm_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import osm2ttl
 
@@ -2779,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_path": _q_sparql_path,
         "q_sparql_bind": _q_sparql_bind,
         "q_sparql_update": _q_sparql_update,
+        "q_sparql_maintenance": _q_sparql_maintenance,
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
         "q_rel_centroids_fixpoint": _q_rel_centroids,
@@ -2824,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_path": _sparql_path_sql(),
         "q_sparql_bind": _sparql_bind_sql(),
         "q_sparql_update": _sparql_update_sql(),
+        "q_sparql_maintenance": _sparql_maintenance_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,

@@ -300,13 +300,36 @@ class _Parser:
                     self.expect("punct", "(")
                     blocks.append(("filter", self._filter_expr()))
                     self.expect("punct", ")")
+            elif kind == "word" and val.upper() == "MINUS":
+                self.next()
+                blocks.append(("minus", self.parse_group()))
             else:
-                s, p, o = self._term(), self._path(), self._term()
-                blocks.append(("triple", (s, p, o)))
+                # triples-same-subject: ``?s p1 o1, o2; p2 o3 .`` — ';'
+                # repeats the subject for another predicate-object pair,
+                # ',' repeats subject+predicate for another object
+                # (SPARQL 1.1 §4.2.1/§4.2.2; the reference's own
+                # maintenance artifact add_osmt_to_meta.sparql:10-11
+                # uses both). Expansion to flat triples here keeps the
+                # translator unchanged.
+                s = self._term()
+                while True:
+                    p = self._path()
+                    while True:
+                        o = self._term()
+                        blocks.append(("triple", (s, p, o)))
+                        if self.peek() == ("punct", ","):
+                            self.next()
+                            continue
+                        break
+                    if self.peek() == ("punct", ";"):
+                        self.next()
+                        # trailing ';' before '.' or '}' is legal
+                        if self.peek() in (("punct", "."), ("punct", "}")):
+                            break
+                        continue
+                    break
                 if self.peek() == ("punct", "."):
                     self.next()
-                if self.peek() == ("punct", ";"):
-                    raise ValueError("predicate lists (';') not supported")
 
     def _path(self):
         """Predicate position: plain Var/Term, or a property path —
@@ -378,11 +401,14 @@ class _Parser:
     _STR_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "REGEX")
 
     def _expr(self):
-        """BIND expression subset: term | STR(expr) | CONCAT(expr, …).
-        Covers the shapes real Sophox endpoint queries use (building
-        URLs/labels from bound values)."""
+        """BIND expression subset: term | STR(expr) | CONCAT(expr, …)
+        | IRI(expr) / URI(expr). Covers the shapes real Sophox endpoint
+        queries use (building URLs/labels from bound values) including
+        the reference's maintenance artifact
+        (add_osmt_to_meta.sparql:17 — ``BIND (iri(concat(...)) as
+        ?value)``)."""
         kind, val = self.peek()
-        if kind == "word" and val.upper() in ("STR", "CONCAT"):
+        if kind == "word" and val.upper() in ("STR", "CONCAT", "IRI", "URI"):
             fn = self.next()[1].upper()
             self.expect("punct", "(")
             args = [self._expr()]
@@ -394,6 +420,10 @@ class _Parser:
                 if len(args) != 1:
                     raise ValueError("STR takes one argument")
                 return ("str", args[0])
+            if fn in ("IRI", "URI"):  # URI() is the spec alias
+                if len(args) != 1:
+                    raise ValueError(f"{fn} takes one argument")
+                return ("iri", args[0])
             return ("concat", args)
         return ("term", self._term())
 
@@ -562,6 +592,17 @@ class SparqlEngine:
                     nonempty = bool(sub.head(1))
                     if (kind == "not_exists") == nonempty:
                         cur = cur.limit(0)
+            elif kind == "minus":
+                # SPARQL MINUS (spec §8.3.3): drop left solutions
+                # compatible with some right solution SHARING at least
+                # one variable; with disjoint domains MINUS removes
+                # NOTHING (the defining difference from NOT EXISTS,
+                # which would wipe the left side when the right matched
+                # anything). The shared-var case is a left anti join.
+                sub = self._group(block[1], None)
+                shared = [c for c in cur.columns if c in sub.columns]
+                if shared:
+                    cur = cur.join(sub, shared, "left_anti")
         for block in filters:
             for op, left, right in block[1]:
                 cur = cur.filter(self._cmp(op, left, right))
@@ -694,9 +735,11 @@ class SparqlEngine:
     def _lex_expr(col):
         """TTL surface form → lexical string value: strip ^^datatype
         and surrounding quotes (SPARQL STR() and the string functions
-        operate on the lexical form)."""
+        operate on the lexical form); STR(<iri>) is the IRI string
+        without the angle brackets (spec §17.4.2.5)."""
         s = F.regexp_replace(col, r"\^\^\S+$", "")
-        return F.regexp_replace(s, r'^"(.*)"$', "$1")
+        s = F.regexp_replace(s, r'^"(.*)"$', "$1")
+        return F.regexp_replace(s, r"^<(.*)>$", "$1")
 
     @classmethod
     def _expr_col(cls, e):
@@ -712,6 +755,13 @@ class SparqlEngine:
             return F.lit(t.text)
         if kind == "str":
             return cls._lex_expr(cls._expr_col(e[1]))
+        if kind == "iri":
+            # IRI(str) → full-IRI surface form '<...>' — the form the
+            # triple store keeps for non-prefixed IRIs, so the bound
+            # value joins/compares against stored terms correctly
+            return F.concat(
+                F.lit("<"), cls._lex_expr(cls._expr_col(e[1])), F.lit(">")
+            )
         if kind == "concat":
             return F.concat(*[cls._lex_expr(cls._expr_col(a)) for a in e[1]])
         raise ValueError(f"unknown expression {kind!r}")  # pragma: no cover
@@ -720,6 +770,8 @@ class SparqlEngine:
     def _lexical_of(text: str) -> str:
         s = re.sub(r"\^\^\S+$", "", text)
         if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+            s = s[1:-1]
+        elif len(s) >= 2 and s[0] == "<" and s[-1] == ">":
             s = s[1:-1]
         return s
 

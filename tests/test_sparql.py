@@ -505,3 +505,171 @@ INSERT { osmnode:1 osmt:name 'new' . } WHERE {};
         ("osmnode:2", "osmt:name"): '"two"',
         ("osmnode:3", "osmt:name"): '"three"',
     }
+
+
+class TestSparqlSurfaceSyntax:
+    """Round-4 surface extensions: predicate lists (';'), object lists
+    (','), MINUS, IRI()/URI() — the syntax the reference's own shipped
+    maintenance artifact (osm2rdf/maintenance/add_osmt_to_meta.sparql)
+    uses, and which virtually every hand-written SPARQL query uses."""
+
+    def test_predicate_and_object_lists_expand(self, triples):
+        # ';' shares the subject, ',' shares subject+predicate
+        out = _run(triples, """
+SELECT ?rel ?m WHERE {
+  ?rel osmm:type 'r' ;
+       osmm:has ?m .
+}""")
+        got = sorted((r.rel, r.m) for r in out.collect())
+        assert got == [("osmrel:1", "osmnode:10"), ("osmrel:2", "osmnode:11"),
+                       ("osmrel:2", "osmway:12")]
+
+        out2 = _run(triples, """
+SELECT ?rel WHERE { ?rel osmm:has osmnode:11, osmway:12 . }""")
+        assert [r.rel for r in out2.collect()] == ["osmrel:2"]
+
+    def test_trailing_semicolon(self, triples):
+        out = _run(triples, "SELECT ?s WHERE { ?s osmm:type 'n' ; . }")
+        assert sorted(r.s for r in out.collect()) == ["osmnode:10", "osmnode:11"]
+
+    def test_minus_shared_var(self, triples):
+        # MINUS with a shared var behaves like the anti-join: relations
+        # minus the located ones
+        out = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  MINUS { ?rel osmm:loc ?l }
+}""")
+        assert sorted(r.rel for r in out.collect()) == ["osmrel:2", "osmrel:3"]
+
+    def test_minus_disjoint_domain_removes_nothing(self, triples):
+        # spec §8.3.3: MINUS over disjoint variable domains is a no-op
+        # (the defining difference from FILTER NOT EXISTS, which wipes
+        # the left side whenever the inner pattern matches anything)
+        out = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  MINUS { ?x osmm:loc ?l }
+}""")
+        assert out.count() == 3
+        out2 = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  FILTER NOT EXISTS { ?x osmm:loc ?l }
+}""")
+        assert out2.count() == 0
+
+    def test_bind_iri_and_str_of_iri(self, triples):
+        out = _run(triples, """
+SELECT ?id ?u WHERE {
+  ?id osmdt:P16 'highway' .
+  BIND (iri(concat("https://wiki.openstreetmap.org/wiki/Key:", 'highway')) as ?u)
+}""")
+        rows = out.collect()
+        assert [(r.id, r.u) for r in rows] == [
+            ("osmd:Q103", "<https://wiki.openstreetmap.org/wiki/Key:highway>")
+        ]
+        # STR(<iri>) strips the angle brackets
+        out2 = _run(triples, """
+SELECT ?s2 WHERE {
+  ?id osmdt:P16 'highway' .
+  BIND (URI('http://x/y') AS ?u)
+  BIND (STR(?u) AS ?s2)
+}""")
+        assert [r.s2 for r in out2.collect()] == ["http://x/y"]
+
+
+REFERENCE_MAINTENANCE = "/root/reference/osm2rdf/maintenance"
+
+
+def _key_fixture(spark):
+    """OSM-wiki metadata shape the maintenance artifact operates on:
+    key items (osmdt:P2 osmd:Q7) with their key id (osmdt:P16), one
+    already linked (osmm:key), one with a regex-invalid key id, one
+    non-key item."""
+    rows = [
+        ("osmd:Q103", "osmdt:P2", "osmd:Q7"),
+        ("osmd:Q103", "osmdt:P16", '"highway"'),
+        ("osmd:Q104", "osmdt:P2", "osmd:Q7"),
+        ("osmd:Q104", "osmdt:P16", '"building"'),
+        ("osmd:Q104", "osmm:key",
+         "<https://wiki.openstreetmap.org/wiki/Key:building>"),
+        ("osmd:Q105", "osmdt:P2", "osmd:Q7"),
+        ("osmd:Q105", "osmdt:P16", '"bad key!"'),
+        ("osmd:Q200", "osmdt:P16", '"landuse"'),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_MAINTENANCE),
+    reason="reference checkout not present",
+)
+def test_reference_maintenance_artifact_end_to_end(spark):
+    """The reference's one shipped SPARQL artifact
+    (add_osmt_to_meta.sparql:1-18 — VALUES + ';' predicate list + MINUS
+    + FILTER REGEX + BIND(iri(concat(...)))) parses and executes
+    through SparqlUpdateEngine: exactly the unlinked, valid-key items
+    gain osmm:key."""
+    import os
+
+    with open(os.path.join(REFERENCE_MAINTENANCE,
+                           "add_osmt_to_meta.sparql")) as f:
+        q = f.read()
+    triples = _key_fixture(spark)
+    new = sparql.SparqlUpdateEngine(triples).update(q)
+    added = sorted(
+        (r.s, r.p, r.o) for r in new.subtract(triples).collect()
+    )
+    assert added == [
+        ("osmd:Q103", "osmm:key",
+         "<https://wiki.openstreetmap.org/wiki/Key:highway>")
+    ]
+    # idempotent: a second pass (the 600 s loop) adds nothing
+    again = sparql.SparqlUpdateEngine(new).update(q)
+    assert again.subtract(new).count() == 0
+
+
+def test_run_maintenance_sparql_guarded(spark, tmp_path):
+    """runMaintenanceScripts.py:44-68 semantics on .sparql files:
+    guard empty → skip; guard non-empty → mutate; scripts chain in
+    sorted order; orphan guards reported."""
+    from sophox_spark.plans.maintenance import run_maintenance_sparql
+
+    d = tmp_path / "scripts"
+    d.mkdir()
+    # a_add: no guard — always runs
+    (d / "a_add.sparql").write_text(
+        "INSERT { osmd:Q1 osmm:flag 'a' . } WHERE {}"
+    )
+    # b_guarded: guard matches only after a_add ran (chaining)
+    (d / "b_guarded.sparql").write_text(
+        "INSERT { osmd:Q1 osmm:flag 'b' . } WHERE {}"
+    )
+    (d / "b_guarded-test.sparql").write_text(
+        "SELECT ?s WHERE { ?s osmm:flag 'a' . }"
+    )
+    # c_skipped: guard never matches
+    (d / "c_skipped.sparql").write_text(
+        "INSERT { osmd:Q1 osmm:flag 'c' . } WHERE {}"
+    )
+    (d / "c_skipped-test.sparql").write_text(
+        "SELECT ?s WHERE { ?s osmm:flag 'nope' . }"
+    )
+    (d / "zz_orphan-test.sparql").write_text(
+        "SELECT ?s WHERE { ?s ?p ?o . }"
+    )
+    base = spark.createDataFrame(
+        [("osmd:Q0", "osmm:type", '"seed"')], "s string, p string, o string"
+    )
+    out, final = run_maintenance_sparql(base, str(d))
+    assert out == {
+        "a_add": "no-guard-ran",
+        "b_guarded": "ran",
+        "c_skipped": "skipped(guard-empty)",
+        "zz_orphan-test": "orphan-test",
+    }
+    flags = sorted(
+        r.o for r in final.filter(sparql.F.col("p") == "osmm:flag").collect()
+    )
+    assert flags == ['"a"', '"b"']
