@@ -235,31 +235,30 @@ def clipped_regions(
         .select(F.xxhash64(geom_col).alias("__wid"), F.col(geom_col).alias("__wgeom"))
         .dropDuplicates(["__wid"])  # identical waters subtract once (= union)
     )
-    # ONE bounded water-stats job decides the path: total water WKB
-    # bytes + avg water bbox span — two scalars, never geometry, to the
-    # driver. (Region spans are only needed on the distributed path and
-    # are measured there.)
-    stats = (
-        water.select(
-            F.length("__wgeom").cast("long").alias("nbytes"),
-            F.col("__wgeom").alias("g"),
-        )
-        .mapInPandas(_span_gen, "nbytes long, span double")
-        .agg(
-            F.sum("nbytes").alias("w_bytes"),
-            F.avg("span").alias("w_avg"),
-        )
-        .collect()[0]
+    # Path decision from ONE native scalar agg — sum(length(wkb)) is
+    # whole-stage-codegen'd JVM work, no WKB decode, no Python crossing;
+    # the common small-water case pays nothing else. Bbox-span stats
+    # (which DO decode geometry in Arrow batches) are computed only when
+    # actually going distributed, where they size the covering grid.
+    w_bytes = (
+        water.select(F.sum(F.length("__wgeom")).alias("b")).collect()[0][0]
+        or 0
     )
-    if (stats.w_bytes or 0) <= broadcast_water_max_bytes:
+    if w_bytes <= broadcast_water_max_bytes:
         return _clipped_regions_broadcast(regions, water, id_col, geom_col)
+    w_avg = (
+        water.select(F.lit(0).cast("long").alias("nbytes"),
+                     F.col("__wgeom").alias("g"))
+        .mapInPandas(_span_gen, "nbytes long, span double")
+        .agg(F.avg("span")).collect()[0][0]
+    )
     r_max = (
         regions.select(F.lit(0).cast("long").alias("nbytes"),
                        F.col(geom_col).alias("g"))
         .mapInPandas(_span_gen, "nbytes long, span double")
         .agg(F.max("span")).collect()[0][0]
     )
-    res = _clip_cover_res(stats.w_avg, r_max)
+    res = _clip_cover_res(w_avg, r_max)
     return _clipped_regions_distributed(regions, water, id_col, geom_col, res)
 
 

@@ -176,9 +176,10 @@ def point_in_polygon_join(
     geom_col: str = "geom",
     id_col: str = "polygon_id",
     covers: bool = False,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | None = None,
     salt: int = 0,
     polygon_cells_df: DataFrame | None = None,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """points ⋈ polygons on containment. Returns ``points_df`` columns +
     ``id_col`` (one output row per (point, containing polygon) pair).
@@ -189,6 +190,14 @@ def point_in_polygon_join(
     polygon's covering cells are disjoint regions, so each point still
     matches each polygon at most once).
 
+    ``broadcast_dim=None`` (default) AUTO-ROUTES like
+    ``dissolve.clipped_regions``: one native ``sum(length(geom))`` agg
+    sizes the polygon dim (a JVM-only scalar job — no Python, no
+    geometry to the driver) and picks broadcast iff it fits
+    ``broadcast_max_bytes``. A planet-scale dim therefore can NEVER
+    OOM-collect to the driver through the default path; pass
+    ``broadcast_dim=True/False`` to force a path explicitly.
+
     ``salt > 1`` replicates dim-side cell rows across ``salt`` lanes and
     routes each point to one lane — bounding the per-reducer pair
     fan-out for pathologically hot cells (dense-urban skew, north_rule).
@@ -198,6 +207,14 @@ def point_in_polygon_join(
     only inflate the broadcast ``salt``-fold. With ``broadcast_dim``
     the salt argument is therefore ignored.
     """
+    if broadcast_dim is None:
+        dim_bytes = (
+            polygons_df.select(
+                F.sum(F.length(geom_col)).alias("b")
+            ).collect()[0][0]
+            or 0
+        )
+        broadcast_dim = dim_bytes <= broadcast_max_bytes
     if isinstance(res, tuple):
         res_min, res_max = res
         pcells = (

@@ -82,6 +82,18 @@ class TestSpatialJoinPlan:
         out = spatial_join.point_in_polygon_join(points, polygons, broadcast_dim=False)
         assert explain.count_exchanges(out) >= 1
 
+    def test_auto_dispatch_engages_shuffle_above_budget(self, spark, points):
+        """Default broadcast_dim=None sizes the dim natively; a dim over
+        ``broadcast_max_bytes`` takes the shuffle/partitioned-refine
+        path — the defaults can never OOM-collect a planet-scale dim."""
+        polygons = synth.admin_polygons_df(spark, 40)
+        out = spatial_join.point_in_polygon_join(
+            points, polygons, broadcast_max_bytes=1
+        )
+        assert explain.count_exchanges(out) >= 1
+        small = spatial_join.point_in_polygon_join(points, polygons)
+        assert explain.has_broadcast_join(small)
+
 
 class TestKnnPlan:
     def test_candidate_path_native(self, spark, points):

@@ -66,6 +66,16 @@ class TestPipJoin:
         got = {(r.pt_id, r.polygon_id) for r in out.collect()}
         assert got == oracle_pip(points.toPandas(), polygons.toPandas())
 
+    def test_auto_dispatch_over_budget_same_result(self, spark, points, polygons):
+        """broadcast_dim=None + a 1-byte budget: the sizing agg must
+        route to the partitioned-refine path (no driver collect of the
+        dim) and still match the brute-force oracle."""
+        out = spatial_join.point_in_polygon_join(
+            points, polygons, broadcast_max_bytes=1
+        )
+        got = {(r.pt_id, r.polygon_id) for r in out.collect()}
+        assert got == oracle_pip(points.toPandas(), polygons.toPandas())
+
     def test_large_dim_partitioned_refine(self, spark):
         """10^5-polygon dim — too large to collect comfortably: the
         shuffle path must carry WKB through the boundary-pair join (no
