@@ -166,3 +166,24 @@ class TestRoundtrip:
         img = np.arange(12, dtype=np.uint8).reshape(3, 4)
         out = png.decode(png.encode(img))
         assert np.array_equal(out.reshape(3, 4), img)
+
+
+def test_wavefront_unfilter_equals_rowwise_oracle():
+    """The skewed-wavefront unfilter (vectorized Average/Paeth path)
+    must be cell-identical to the scalar row-at-a-time reference across
+    mixed filters, color types, and degenerate shapes."""
+    import numpy as np
+
+    from sophox_spark.functions.png import (
+        _unfilter_rowwise,
+        _unfilter_wavefront,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, c in ((16, 16, 3), (1, 9, 1), (9, 1, 4), (5, 37, 2), (64, 8, 3)):
+        stride = w * c
+        raw = rng.integers(0, 256, (h, stride + 1), dtype=np.uint8)
+        raw[:, 0] = rng.integers(0, 5, h)  # mixed filters incl. 3/4
+        a = _unfilter_rowwise(raw, h, w, c)
+        b = _unfilter_wavefront(raw, h, w, c)
+        assert np.array_equal(a, b), (h, w, c, raw[:, 0])
