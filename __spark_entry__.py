@@ -2604,6 +2604,100 @@ WHERE d.decision = 'replace'
     )
 
 
+# OSM-wiki description pages, generated deterministically from events:
+# 70 items × up to 4 language pages (en missing for k%3=0 — exercising
+# the language fallback), with template variants the reference parser
+# normalizes: 'descrizione' synonym, '* ' prefix strip, Tag vs Key
+# pages, mixed-case status, '?' use-on values, invalid wikidata ids.
+_WIKI_PAGES_FIXTURE_SPARK = """
+WITH pids AS (SELECT DISTINCT event_id % 280 AS pid FROM events),
+p AS (SELECT pid % 70 AS k, CAST(pid / 70 AS INT) AS l FROM pids),
+pl AS (SELECT k, l,
+              CASE l WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                     WHEN 2 THEN 'fr' ELSE 'es' END AS lang
+       FROM p)
+SELECT
+  CASE l WHEN 0 THEN 0 WHEN 1 THEN 200 WHEN 2 THEN 202 ELSE 204 END AS ns,
+  concat(CASE l WHEN 0 THEN '' WHEN 1 THEN 'DE:'
+              WHEN 2 THEN 'FR:' ELSE 'ES:' END,
+         CASE WHEN k % 7 = 0
+              THEN concat('Tag:key', CAST(k AS STRING), '=v', CAST(k AS STRING))
+              ELSE concat('Key:key', CAST(k AS STRING)) END) AS title,
+  concat('{{',
+         CASE WHEN k % 7 = 0 THEN 'ValueDescription' ELSE 'KeyDescription' END,
+         '|key=key', CAST(k AS STRING),
+         CASE WHEN k % 7 = 0 THEN concat('|value=v', CAST(k AS STRING)) ELSE '' END,
+         '|', CASE WHEN k % 10 = 0 THEN 'descrizione' ELSE 'description' END,
+         '=', CASE WHEN k % 13 = 0 THEN '* ' ELSE '' END,
+         'desc ', lang, ' ', CAST(k AS STRING),
+         '|status=', CASE WHEN k % 11 = 0 THEN 'Approved' ELSE 'draft' END,
+         CASE WHEN l = 1
+              THEN concat('|onNode=', CASE WHEN k % 2 = 0 THEN 'yes' ELSE 'no' END)
+              ELSE '|onNode=?' END,
+         CASE WHEN l = 0
+              THEN concat('|onWay=', CASE WHEN k % 5 = 0 THEN 'yes' ELSE 'no' END)
+              ELSE '' END,
+         '|onArea=no',
+         CASE WHEN l = 1
+              THEN concat('|wikidata=',
+                          CASE WHEN k % 4 <> 0
+                               THEN concat('Q', CAST(100 + k AS STRING))
+                               ELSE 'Q0' END)
+              WHEN l = 2 THEN concat('|wikidata=X', CAST(k AS STRING))
+              ELSE '' END,
+         '}}') AS wikitext
+FROM pl
+WHERE NOT (l = 0 AND k % 3 = 0)
+"""
+
+
+def _q_wiki_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot's description-parsing stage end-to-end
+    (DescriptionParser → ItemParser → lang_pick merge): real wikitext
+    pages parsed through the template grammar, params normalized
+    (synonyms, '*' strip, wikidata validation, status folding, use-on
+    gating), ids extracted (Key vs Tag composition), then the
+    cross-language claim merge. The oracle computes the expected merged
+    row per item arithmetically — if any normalization or fallback rule
+    drifts, the hash breaks."""
+    from sophox_spark.sources import wiki_descriptions as wd
+
+    _load(spark, sf_dir, "events")
+    pages = spark.sql(_WIKI_PAGES_FIXTURE_SPARK)
+    merged = wd.merged_descriptions(wd.description_items(pages))
+    # booleans → int lanes (stable cross-engine hashing)
+    return merged.select(
+        "type", "str_id", "description", "description_lang", "status",
+        "wikidata",
+        F.col("on_node").cast("int").alias("on_node"),
+        F.col("on_way").cast("int").alias("on_way"),
+        F.col("on_area").cast("int").alias("on_area"),
+        F.col("on_relation").cast("int").alias("on_relation"),
+        "n_pages",
+    )
+
+
+def _wiki_descriptions_sql() -> str:
+    return """
+WITH ks AS (SELECT DISTINCT (event_id % 280) % 70 AS k FROM events)
+SELECT CASE WHEN k % 7 = 0 THEN 'Tag' ELSE 'Key' END AS type,
+       'key' || CAST(k AS VARCHAR)
+         || CASE WHEN k % 7 = 0 THEN '=v' || CAST(k AS VARCHAR) ELSE '' END
+         AS str_id,
+       'desc ' || CASE WHEN k % 3 <> 0 THEN 'en' ELSE 'de' END || ' '
+         || CAST(k AS VARCHAR) AS description,
+       CASE WHEN k % 3 <> 0 THEN 'en' ELSE 'de' END AS description_lang,
+       CASE WHEN k % 11 = 0 THEN 'approved' ELSE 'draft' END AS status,
+       CASE WHEN k % 4 <> 0 THEN 'Q' || CAST(100 + k AS VARCHAR) END AS wikidata,
+       CAST(k % 2 = 0 AS INT) AS on_node,
+       CASE WHEN k % 3 <> 0 THEN CAST(k % 5 = 0 AS INT) END AS on_way,
+       0 AS on_area,
+       CAST(NULL AS INT) AS on_relation,
+       CAST(CASE WHEN k % 3 = 0 THEN 3 ELSE 4 END AS BIGINT) AS n_pages
+FROM ks
+"""
+
+
 def _extract_pages_body(cast: str, idiv: str = "//") -> str:
     """Common-Crawl-style pages generated portably from events: HTML with
     geo.position metas, free-text lat/lon pairs, OSM hrefs, wikidata tags,
@@ -2815,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_extraction": _q_warc_extraction,
         "q_wiki_claims": _q_wiki_claims,
         "q_wiki_upsert": _q_wiki_upsert,
+        "q_wiki_descriptions": _q_wiki_descriptions,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -2899,6 +2994,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rel_fixpoint": _rel_fixpoint_sql(),
         "q_wiki_claims": _wiki_claims_sql(),
         "q_wiki_upsert": _wiki_upsert_sql(),
+        "q_wiki_descriptions": _wiki_descriptions_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),

@@ -3,6 +3,12 @@ queries() entry through Spark and its oracle_sql() through DuckDB at
 sf0.01, compare row count + column names + order-insensitive values.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       python tools/check_parity.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes the results in the driver's
+CORRECTNESS_rN.json shape (rows_match/schema_match/hash_match/
+spark_rows/oracle_rows/err per query) so a full-registry parity run can
+be committed as an artifact directly diffable against the official one.
 """
 
 from __future__ import annotations
@@ -38,8 +44,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if not sf_dir:
+        sf_dir = "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("parity", cpus=16, shuffle_partitions=16)
     con = duckdb.connect()
     for t in entry_mod.TABLES:
@@ -54,9 +68,20 @@ def main():
             try:
                 n = fn(spark, sf_dir).count()
                 print(f"{name:28s} rows-only  n={n}")
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": n,
+                    "oracle_rows": None, "err": "no_oracle",
+                }
             except Exception as e:
                 failures.append(name)
                 print(f"{name:28s} ERROR (rows-only): {type(e).__name__}: {e}")
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(e).__name__}: {str(e)[:200]}",
+                }
             continue
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
@@ -64,6 +89,11 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"{name:28s} ERROR: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(e).__name__}: {str(e)[:200]}",
+            }
             continue
         status = []
         if list(got.columns) != list(want.columns):
@@ -82,8 +112,22 @@ def main():
                     status.append(f"  {c}[{i}]: got={got[c].iloc[i]!r} want={want[c].iloc[i]!r}")
         line = f"{name:28s} n={len(got)} {' | '.join(status)}"
         print(line)
+        results[name] = {
+            "rows_match": len(got) == len(want),
+            "schema_match": list(got.columns) == list(want.columns),
+            "hash_match": status == ["OK"],
+            "spark_rows": len(got),
+            "oracle_rows": len(want),
+            "err": None,
+        }
         if status != ["OK"]:
             failures.append(name)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"\nwrote {json_out} ({len(results)} queries)")
     print()
     if failures:
         print("FAILED:", ", ".join(failures))
