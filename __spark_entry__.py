@@ -1082,6 +1082,49 @@ GROUP BY i % 5
 """
 
 
+SPARQL_AGG2_QUERY = """
+# round-4 endpoint surface: GROUP_CONCAT + SAMPLE fed by a SUBQUERY
+# (nodes restricted to version >= 5 by the inner SELECT, then grouped
+# per user with their name list)
+SELECT ?user (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names)
+       (SAMPLE(?s) AS ?sample_s)
+WHERE {
+  ?s osmm:user ?user .
+  ?s osmt:name ?name .
+  { SELECT ?s WHERE { ?s osmm:version ?v . FILTER (?v >= 5) } }
+}
+GROUP BY ?user
+ORDER BY ?user
+"""
+
+
+def _q_sparql_agg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT/SAMPLE + subquery over converter triples. The
+    engine's GROUP_CONCAT sorts elements lexically (deterministic
+    across partitionings — documented subset of the spec's undefined
+    order) and SAMPLE picks min, so the DuckDB oracle reproduces both
+    exactly with ORDER BY string_agg and MIN."""
+    from sophox_spark.operators import osm2ttl, sparql
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(NODE_TTL_FIXTURE_SPARK)
+    triples = sparql.triples_from_statements(osm2ttl.node_statements(nodes))
+    return sparql.SparqlEngine(triples).select(SPARQL_AGG2_QUERY)
+
+
+def _sparql_agg2_sql() -> str:
+    return """
+WITH nodes AS (SELECT event_id AS i FROM events
+               WHERE event_id % 29 <> 0 AND event_id % 13 <> 0),
+q AS (SELECT i FROM nodes WHERE i % 9 + 1 >= 5)
+SELECT '"u' || CAST(i % 5 AS VARCHAR) || '"' AS user,
+       string_agg('"node ' || CAST(i AS VARCHAR) || '"', '|'
+                  ORDER BY '"node ' || CAST(i AS VARCHAR) || '"') AS names,
+       MIN('osmnode:' || CAST(i AS VARCHAR)) AS sample_s
+FROM q GROUP BY i % 5
+"""
+
+
 def _q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIND + string filter functions over converter triples:
     STRSTARTS prefilters by lexical value, BIND(CONCAT(STR(...)))
@@ -2953,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_node_ttl": _q_node_ttl,
         "q_sparql_select": _q_sparql_select,
         "q_sparql_agg": _q_sparql_agg,
+        "q_sparql_agg2": _q_sparql_agg2,
         "q_sparql_path": _q_sparql_path,
         "q_sparql_bind": _q_sparql_bind,
         "q_sparql_update": _q_sparql_update,
@@ -3000,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
         "q_node_ttl": _node_ttl_sql(),
         "q_sparql_select": _sparql_select_sql(),
         "q_sparql_agg": _sparql_agg_sql(),
+        "q_sparql_agg2": _sparql_agg2_sql(),
         "q_sparql_path": _sparql_path_sql(),
         "q_sparql_bind": _sparql_bind_sql(),
         "q_sparql_update": _sparql_update_sql(),

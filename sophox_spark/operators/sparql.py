@@ -145,6 +145,17 @@ class _Parser:
         while self.eat_word("PREFIX"):
             self.next()  # pname (e.g. 'osmm:')
             self.next()  # iri
+        q = self.parse_select_core()
+        if self.peek()[0] is not None:
+            # silent acceptance of unsupported trailing clauses would
+            # return wrong results — fail loudly
+            raise ValueError(f"unsupported trailing syntax: {self.peek()!r}")
+        return q
+
+    def parse_select_core(self):
+        """SELECT … WHERE { … } + solution modifiers; stops at the
+        first token it doesn't own (top level: end of input; subquery:
+        the enclosing group's '}')."""
         if not self.eat_word("SELECT"):
             raise ValueError("only SELECT queries are supported")
         distinct = self.eat_word("DISTINCT")
@@ -160,7 +171,8 @@ class _Parser:
                 # (COUNT(?x) AS ?cnt) — aggregate projection
                 self.next()
                 func = self.expect("word").upper()
-                if func not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+                if func not in ("COUNT", "SUM", "AVG", "MIN", "MAX",
+                                "GROUP_CONCAT", "SAMPLE"):
                     raise ValueError(f"unsupported aggregate {func}")
                 self.expect("punct", "(")
                 agg_distinct = self.eat_word("DISTINCT")
@@ -174,12 +186,22 @@ class _Parser:
                     target = self.next()[1][1:]
                 else:
                     raise ValueError(f"bad aggregate argument {k} {v!r}")
+                sep = " "  # GROUP_CONCAT's spec default separator
+                if self.peek() == ("punct", ";"):
+                    if func != "GROUP_CONCAT":
+                        raise ValueError(f"{func} takes no SEPARATOR")
+                    self.next()
+                    if not self.eat_word("SEPARATOR"):
+                        raise ValueError("expected SEPARATOR after ';'")
+                    self.expect("punct", "=")
+                    raw = self.expect("string")
+                    sep = raw[1:-1]
                 self.expect("punct", ")")
                 if not self.eat_word("AS"):
                     raise ValueError("aggregate projection requires AS ?alias")
                 alias = self.expect("var")[1:]
                 self.expect("punct", ")")
-                proj.append(("agg", func, target, agg_distinct, alias))
+                proj.append(("agg", func, target, agg_distinct, alias, sep))
             else:
                 break
         self.eat_word("WHERE")
@@ -213,10 +235,6 @@ class _Parser:
         limit = None
         if self.eat_word("LIMIT"):
             limit = int(self.expect("num"))
-        if self.peek()[0] is not None:
-            # silent acceptance of unsupported trailing clauses (OFFSET,
-            # GROUP BY, ...) would return wrong results — fail loudly
-            raise ValueError(f"unsupported trailing syntax: {self.peek()!r}")
         return {"distinct": distinct, "proj": proj, "group": group,
                 "group_by": group_by, "order": order, "limit": limit}
 
@@ -229,6 +247,17 @@ class _Parser:
                 self.next()
                 return blocks
             if kind == "punct" and val == "{":
+                nk, nv = self.peek(1)
+                if nk == "word" and nv.upper() == "SELECT":
+                    # subquery: evaluated bottom-up, only its projected
+                    # vars join the outer group (spec §12)
+                    self.next()
+                    sub = self.parse_select_core()
+                    self.expect("punct", "}")
+                    blocks.append(("subquery", sub))
+                    if self.peek() == ("punct", "."):
+                        self.next()
+                    continue
                 # group graph pattern: { A } [UNION { B }]...
                 branches = [self.parse_group()]
                 while self.eat_word("UNION"):
@@ -468,7 +497,54 @@ class SparqlEngine:
         self.triples = triples.select("s", "p", "o")
 
     def select(self, query: str) -> DataFrame:
-        q = parse_select(query)
+        return self._run_core(parse_select(query))
+
+    def ask(self, query: str) -> bool:
+        """ASK { group } → does at least one solution exist (spec
+        §16.3). Evaluates the group and probes one row."""
+        p = _Parser(_tokenize(query))
+        while p.eat_word("PREFIX"):
+            p.next()
+            p.next()
+        if not p.eat_word("ASK"):
+            raise ValueError("not an ASK query")
+        group = p.parse_group()
+        if p.peek()[0] is not None:
+            raise ValueError(f"unsupported trailing syntax: {p.peek()!r}")
+        cur = self._group(group, None)
+        return bool(cur is not None and cur.head(1))
+
+    def construct(self, query: str) -> DataFrame:
+        """CONSTRUCT { template } WHERE { group } → the instantiated
+        (s, p, o) graph, RDF set semantics (spec §16.2). Solutions that
+        leave a template variable unbound (OPTIONAL) drop that triple,
+        not the solution."""
+        p = _Parser(_tokenize(query))
+        while p.eat_word("PREFIX"):
+            p.next()
+            p.next()
+        if not p.eat_word("CONSTRUCT"):
+            raise ValueError("not a CONSTRUCT query")
+        tpl = p.parse_group()
+        if not p.eat_word("WHERE"):
+            raise ValueError("CONSTRUCT needs a WHERE group")
+        where = p.parse_group()
+        if p.peek()[0] is not None:
+            raise ValueError(f"unsupported trailing syntax: {p.peek()!r}")
+        if any(kind != "triple" for kind, *_ in tpl):
+            raise ValueError("CONSTRUCT templates may contain only triples")
+        if any(isinstance(t, Path) for _, triple in tpl for t in triple):
+            raise ValueError("property paths are not allowed in templates")
+        bindings = self._group(where, None)
+        out = _instantiate_template(
+            tpl, bindings, self.triples.sparkSession, allow_unbound=True
+        )
+        return out.filter(
+            F.col("s").isNotNull() & F.col("p").isNotNull()
+            & F.col("o").isNotNull()
+        ).dropDuplicates(["s", "p", "o"])
+
+    def _run_core(self, q: dict) -> DataFrame:
         cur = self._group(q["group"], None)
         if cur is None:
             raise ValueError("empty WHERE group")
@@ -509,7 +585,7 @@ class SparqlEngine:
         for p in q["proj"]:
             if p[0] != "agg":
                 continue
-            _, func, target, distinct, alias = p
+            _, func, target, distinct, alias, sep = p
             if func == "COUNT":
                 if target == "*":
                     col = F.count(F.lit(1))
@@ -517,6 +593,19 @@ class SparqlEngine:
                     col = F.countDistinct(target)
                 else:
                     col = F.count(target)
+            elif func == "GROUP_CONCAT":
+                # spec leaves element order undefined; this engine sorts
+                # lexically so results are DETERMINISTIC across
+                # partitionings (documented subset choice)
+                vals = (
+                    F.collect_set(target) if distinct
+                    else F.collect_list(target)
+                )
+                col = F.array_join(F.sort_array(vals), sep)
+            elif func == "SAMPLE":
+                # any value is spec-conformant; min is the
+                # deterministic pick
+                col = F.min(target)
             else:
                 if distinct:
                     raise ValueError(f"DISTINCT with {func} not supported")
@@ -574,6 +663,8 @@ class SparqlEngine:
                     cur = cur.withColumn(var, self._expr_col(expr))
             elif kind == "subgroup":
                 cur = self._join(cur, self._group(block[1], None), "inner")
+            elif kind == "subquery":
+                cur = self._join(cur, self._run_core(block[1]), "inner")
             elif kind == "union":
                 # SPARQL UNION: bindings of every branch, missing vars
                 # unbound (NULL) — unionByName with missing columns
@@ -873,6 +964,50 @@ def parse_update(query: str) -> list:
     return ops
 
 
+def _instantiate_template(
+    tpl, bindings: DataFrame | None, spark, allow_unbound: bool = False
+) -> DataFrame:
+    """DELETE/INSERT/CONSTRUCT template → (s, p, o) rows, one per
+    (template triple × WHERE solution). Constant-only triples batch
+    into ONE literal DataFrame — a 2000-triple ground INSERT (the
+    reference's chunk size, RdfUpdateHandler.py:58) must not become a
+    2000-way union of single-row scans. ``allow_unbound`` (CONSTRUCT):
+    an unbound template variable yields NULL for the caller to drop;
+    updates keep the hard error."""
+    parts = []
+    ground = []
+    for _kind, pat in [(b[0], b[1]) for b in tpl]:
+        if not any(isinstance(t, Var) for t in pat):
+            ground.append(tuple(t.text for t in pat))
+            continue
+        exprs = []
+        for pos, term in zip(("s", "p", "o"), pat):
+            if isinstance(term, Var):
+                if bindings is None or term.name not in bindings.columns:
+                    if not allow_unbound:
+                        raise ValueError(
+                            f"unbound variable ?{term.name} in template"
+                        )
+                    exprs.append(F.lit(None).cast("string").alias(pos))
+                else:
+                    exprs.append(F.col(term.name).alias(pos))
+            else:
+                exprs.append(F.lit(term.text).alias(pos))
+        if bindings is None:
+            raise ValueError("variable template with empty WHERE")
+        parts.append(bindings.select(*exprs))
+    if ground:
+        parts.append(
+            spark.createDataFrame(ground, "s string, p string, o string")
+        )
+    if not parts:
+        raise ValueError("empty template")
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 class SparqlUpdateEngine(SparqlEngine):
     """SPARQL UPDATE as a pure function: ``update()`` returns the NEW
     triple set (RDF set semantics — duplicates collapse). The caller
@@ -890,37 +1025,7 @@ class SparqlUpdateEngine(SparqlEngine):
                 continue
 
             def instantiate(tpl):
-                spark = cur.sparkSession
-                parts = []
-                ground = []  # constant-only triples batch into ONE literal
-                # DataFrame — a 2000-triple ground INSERT (the reference's
-                # chunk size) must not become a 2000-way union of
-                # single-row scans
-                for _kind, pat in [(b[0], b[1]) for b in tpl]:
-                    if not any(isinstance(t, Var) for t in pat):
-                        ground.append(tuple(t.text for t in pat))
-                        continue
-                    exprs = []
-                    for pos, term in zip(("s", "p", "o"), pat):
-                        if isinstance(term, Var):
-                            if bindings is None or term.name not in bindings.columns:
-                                raise ValueError(
-                                    f"unbound variable ?{term.name} in template"
-                                )
-                            exprs.append(F.col(term.name).alias(pos))
-                        else:
-                            exprs.append(F.lit(term.text).alias(pos))
-                    if bindings is None:
-                        raise ValueError("variable template with empty WHERE")
-                    parts.append(bindings.select(*exprs))
-                if ground:
-                    parts.append(
-                        spark.createDataFrame(ground, "s string, p string, o string")
-                    )
-                out = parts[0]
-                for extra in parts[1:]:
-                    out = out.unionByName(extra)
-                return out
+                return _instantiate_template(tpl, bindings, cur.sparkSession)
 
             if delete_tpl:
                 cur = cur.join(

@@ -673,3 +673,78 @@ def test_run_maintenance_sparql_guarded(spark, tmp_path):
         r.o for r in final.filter(sparql.F.col("p") == "osmm:flag").collect()
     )
     assert flags == ['"a"', '"b"']
+
+
+class TestSparqlStretchFeatures:
+    """Round-4 endpoint-surface extensions: GROUP_CONCAT/SAMPLE,
+    subqueries, ASK, CONSTRUCT."""
+
+    def test_group_concat_and_sample(self, triples):
+        out = _run(triples, """
+SELECT ?rel (GROUP_CONCAT(?m; SEPARATOR=",") AS ?members)
+       (SAMPLE(?m) AS ?one)
+WHERE { ?rel osmm:has ?m . }
+GROUP BY ?rel
+""")
+        got = {r.rel: (r.members, r.one) for r in out.collect()}
+        assert got == {
+            "osmrel:1": ("osmnode:10", "osmnode:10"),
+            "osmrel:2": ("osmnode:11,osmway:12", "osmnode:11"),
+        }
+
+    def test_group_concat_default_separator_and_distinct(self, spark):
+        tr = spark.createDataFrame(
+            [("a", "p:v", "x"), ("a", "p:v", "x"), ("a", "p:v", "y")],
+            "s string, p string, o string",
+        )
+        eng = sparql.SparqlEngine(tr)
+        out = eng.select(
+            "SELECT (GROUP_CONCAT(DISTINCT ?o) AS ?all) WHERE { ?s p:v ?o . }"
+        )
+        assert out.collect()[0].all == "x y"
+
+    def test_subquery(self, triples):
+        # inner aggregation feeding the outer BGP: relations with ≥2
+        # members, joined back to their type
+        out = _run(triples, """
+SELECT ?rel ?n WHERE {
+  ?rel osmm:type 'r' .
+  { SELECT ?rel (COUNT(?m) AS ?n) WHERE { ?rel osmm:has ?m . }
+    GROUP BY ?rel }
+  FILTER (?n >= 2)
+}""")
+        assert [(r.rel, r.n) for r in out.collect()] == [("osmrel:2", 2)]
+
+    def test_ask(self, triples):
+        eng = sparql.SparqlEngine(triples)
+        assert eng.ask("ASK { osmrel:1 osmm:loc ?l . }") is True
+        assert eng.ask("ASK { osmrel:3 osmm:loc ?l . }") is False
+
+    def test_construct(self, triples):
+        eng = sparql.SparqlEngine(triples)
+        out = eng.construct("""
+CONSTRUCT { ?rel osmm:memberOf ?m . ?rel osmm:kind 'relation' . }
+WHERE { ?rel osmm:has ?m . }""")
+        got = sorted((r.s, r.p, r.o) for r in out.collect())
+        assert got == [
+            ("osmrel:1", "osmm:kind", '"relation"'),
+            ("osmrel:1", "osmm:memberOf", "osmnode:10"),
+            ("osmrel:2", "osmm:kind", '"relation"'),
+            ("osmrel:2", "osmm:memberOf", "osmnode:11"),
+            ("osmrel:2", "osmm:memberOf", "osmway:12"),
+        ]
+
+    def test_construct_optional_unbound_drops_triple(self, triples):
+        eng = sparql.SparqlEngine(triples)
+        out = eng.construct("""
+CONSTRUCT { ?rel osmm:locOf ?loc . ?rel osmm:seen 'y' . }
+WHERE { ?rel osmm:type 'r' . OPTIONAL { ?rel osmm:loc ?loc . } }""")
+        got = sorted((r.s, r.p, r.o) for r in out.collect())
+        # every relation gets the ground-ish triple; only located ones
+        # get the loc triple
+        assert ("osmrel:1", "osmm:locOf", '"Point(1 1)"^^geo:wktLiteral') in got
+        assert [t for t in got if t[1] == "osmm:seen"] == [
+            ("osmrel:1", "osmm:seen", '"y"'),
+            ("osmrel:2", "osmm:seen", '"y"'),
+            ("osmrel:3", "osmm:seen", '"y"'),
+        ]
