@@ -2647,6 +2647,57 @@ WHERE d.decision = 'replace'
     )
 
 
+def _q_wiki_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot Sorter's claim canonicalization at scale
+    (Sorter.py:174-200 → operators/wiki_sorter.sort_claims): P5/P24
+    deleted, properties in the curated PROP_ORDER (unknown ids last),
+    statements preferred-rank-first then by value, each claim's
+    canonical position as one window rank. Oracle replays the ordering
+    key arithmetic in SQL."""
+    from sophox_spark.operators import wiki_sorter
+
+    _load(spark, sf_dir, "events")
+    claims = spark.sql("""
+SELECT DISTINCT
+  concat('Q', CAST(event_id % 40 AS STRING)) AS item,
+  CASE event_id % 8 WHEN 0 THEN 'P2' WHEN 1 THEN 'P16' WHEN 2 THEN 'P6'
+       WHEN 3 THEN 'P33' WHEN 4 THEN 'P5' WHEN 5 THEN 'P24'
+       WHEN 6 THEN 'P999' ELSE 'P46' END AS prop,
+  concat('v', CAST(event_id % 12 AS STRING)) AS value,
+  CASE WHEN event_id % 7 = 0 THEN 'preferred' ELSE 'normal' END AS claim_rank
+FROM events""")
+    return wiki_sorter.sort_claims(claims, rank_col="claim_rank")
+
+
+def _wiki_sorted_sql() -> str:
+    # PROP_ORDER indexes of the fixture's props (wiki_sorter.PROP_ORDER):
+    # P2->0, P16->3, P6->15, P33->16, P46->26, P999->unknown(10000)
+    return """
+WITH c AS (
+  SELECT DISTINCT
+    'Q' || CAST(event_id % 40 AS VARCHAR) AS item,
+    CASE event_id % 8 WHEN 0 THEN 'P2' WHEN 1 THEN 'P16' WHEN 2 THEN 'P6'
+         WHEN 3 THEN 'P33' WHEN 4 THEN 'P5' WHEN 5 THEN 'P24'
+         WHEN 6 THEN 'P999' ELSE 'P46' END AS prop,
+    'v' || CAST(event_id % 12 AS VARCHAR) AS value,
+    CASE WHEN event_id % 7 = 0 THEN 'preferred' ELSE 'normal' END AS claim_rank
+  FROM events),
+kept AS (
+  SELECT *,
+         lpad(CAST(CASE prop WHEN 'P2' THEN 0 WHEN 'P16' THEN 3
+                             WHEN 'P6' THEN 15 WHEN 'P33' THEN 16
+                             WHEN 'P46' THEN 26 ELSE 10000 END AS VARCHAR),
+              5, '0')
+           || ':' || prop || ':'
+           || CASE WHEN claim_rank = 'preferred' THEN ' ' ELSE '_' END
+           || value AS k
+  FROM c WHERE prop NOT IN ('P5', 'P24'))
+SELECT item, prop, value, claim_rank,
+       CAST(row_number() OVER (PARTITION BY item ORDER BY k) - 1 AS INT) AS pos
+FROM kept
+"""
+
+
 # OSM-wiki description pages, generated deterministically from events:
 # 70 items × up to 4 language pages (en missing for k%3=0 — exercising
 # the language fallback), with template variants the reference parser
@@ -2953,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wiki_claims": _q_wiki_claims,
         "q_wiki_upsert": _q_wiki_upsert,
         "q_wiki_descriptions": _q_wiki_descriptions,
+        "q_wiki_sorted": _q_wiki_sorted,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -3039,6 +3091,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wiki_claims": _wiki_claims_sql(),
         "q_wiki_upsert": _wiki_upsert_sql(),
         "q_wiki_descriptions": _wiki_descriptions_sql(),
+        "q_wiki_sorted": _wiki_sorted_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
