@@ -73,6 +73,49 @@ def main() -> None:
     n_el = pbf_src.read_pbf(spark, pbf_path).count()
     pbf_sec = time.perf_counter() - t0
 
+    # codec side-metric #2: PNG unfilter throughput on an all-Paeth
+    # 512x512 RGB image (the common real-crawl filter) — tracks the
+    # wavefront unfilter path, driver-side numpy only
+    import numpy as np
+
+    from sophox_spark.functions import png as png_codec
+
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(12)
+    h, w, c = 512, 512, 3
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    # forward Paeth filtering reads only RAW neighbors — vectorized
+    flat = img.reshape(h, w * c).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, c:] = flat[:, :-c]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, c:] = flat[:-1, :-c]
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    scan = np.concatenate(
+        [np.full((h, 1), 4, np.uint8),
+         ((flat - pred) & 0xFF).astype(np.uint8)], axis=1
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    enc = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_codec._chunk(b"IHDR", ihdr)
+        + png_codec._chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + png_codec._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_codec.decode(enc), img)  # warm + correct
+    t0 = time.perf_counter()
+    n_dec = 5
+    for _ in range(n_dec):
+        png_codec.decode(enc)
+    png_sec = time.perf_counter() - t0
+    png_mb = n_dec * img.nbytes / (1 << 20)
+
     joined_rows = counts["q_pip_engine"]
     pip_sec = timings["q_pip_engine"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -85,6 +128,7 @@ def main() -> None:
         "joined_rows": joined_rows,
         "spatial_join_rows_per_sec": round(joined_rows / pip_sec, 1) if pip_sec else None,
         "pbf_decode_elements_per_sec": round(n_el / pbf_sec, 1) if pbf_sec else None,
+        "png_decode_mb_per_sec": round(png_mb / png_sec, 1) if png_sec else None,
         "cpus": CPUS,
     }
     # attach the N->4N scaling evidence (tools/bench_scaling.py):

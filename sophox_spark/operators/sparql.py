@@ -85,12 +85,13 @@ _TOKEN_RE = re.compile(
     (?P<comment>\#[^\n]*)
   | (?P<string>(?:'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       (?:\^\^(?:<[^>]*>|[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?))?)
-  | (?P<iri><[^>]*>)
+  | (?P<iri><[^>\s]*>)   # IRIs contain no whitespace — keeps '<'/'>'
+                         # comparisons from tokenizing as one IRI
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|&&|[{}().=<>*;,+/^|])
+  | (?P<punct>!=|<=|>=|&&|\|\||[{}().=<>*;,+/^|!])
 )""",
     re.X,
 )
@@ -233,10 +234,16 @@ class _Parser:
             if not order:
                 raise ValueError("empty ORDER BY")
         limit = None
-        if self.eat_word("LIMIT"):
-            limit = int(self.expect("num"))
+        offset = 0
+        # LIMIT/OFFSET accepted in either order (spec allows both)
+        for _ in range(2):
+            if self.eat_word("LIMIT"):
+                limit = int(self.expect("num"))
+            elif self.eat_word("OFFSET"):
+                offset = int(self.expect("num"))
         return {"distinct": distinct, "proj": proj, "group": group,
-                "group_by": group_by, "order": order, "limit": limit}
+                "group_by": group_by, "order": order, "limit": limit,
+                "offset": offset}
 
     def parse_group(self):
         self.expect("punct", "{")
@@ -321,10 +328,10 @@ class _Parser:
                     blocks.append(("exists", self.parse_group()))
                 elif (
                     self.peek()[0] == "word"
-                    and self.peek()[1].upper() in self._STR_FNS
+                    and self.peek()[1].upper() in (self._STR_FNS + ("BOUND",))
                 ):
                     # FILTER fn(args) — no extra parens around the call
-                    blocks.append(("filter", [self._comparison()]))
+                    blocks.append(("filter", self._unary_expr()))
                 else:
                     self.expect("punct", "(")
                     blocks.append(("filter", self._filter_expr()))
@@ -457,11 +464,40 @@ class _Parser:
         return ("term", self._term())
 
     def _filter_expr(self):
-        clauses = [self._comparison()]
+        """Boolean expression AST: ``||`` of ``&&`` of unary terms
+        (SPARQL precedence); ``!`` and parenthesized subexpressions in
+        the unary position. Nodes: ('or', [..]) / ('and', [..]) /
+        ('not', x) / ('bound', var) / comparison tuples."""
+        clauses = [self._and_expr()]
+        while self.peek() == ("punct", "||"):
+            self.next()
+            clauses.append(self._and_expr())
+        return clauses[0] if len(clauses) == 1 else ("or", clauses)
+
+    def _and_expr(self):
+        clauses = [self._unary_expr()]
         while self.peek() == ("punct", "&&"):
             self.next()
-            clauses.append(self._comparison())
-        return clauses
+            clauses.append(self._unary_expr())
+        return clauses[0] if len(clauses) == 1 else ("and", clauses)
+
+    def _unary_expr(self):
+        kind, val = self.peek()
+        if kind == "punct" and val == "!":
+            self.next()
+            return ("not", self._unary_expr())
+        if kind == "punct" and val == "(":
+            self.next()
+            e = self._filter_expr()
+            self.expect("punct", ")")
+            return e
+        if kind == "word" and val.upper() == "BOUND":
+            self.next()
+            self.expect("punct", "(")
+            var = self.expect("var")[1:]
+            self.expect("punct", ")")
+            return ("bound", var)
+        return self._comparison()
 
     def _comparison(self):
         kind, val = self.peek()
@@ -563,6 +599,8 @@ class SparqlEngine:
                 *[F.col(v).asc() if asc else F.col(v).desc()
                   for v, asc in q["order"]]
             )
+        if q.get("offset"):
+            cur = cur.offset(q["offset"])
         if q["limit"] is not None:
             cur = cur.limit(q["limit"])
         return cur
@@ -695,9 +733,30 @@ class SparqlEngine:
                 if shared:
                     cur = cur.join(sub, shared, "left_anti")
         for block in filters:
-            for op, left, right in block[1]:
-                cur = cur.filter(self._cmp(op, left, right))
+            cur = cur.filter(self._bool_col(block[1]))
         return cur
+
+    @classmethod
+    def _bool_col(cls, e):
+        """FILTER AST → boolean Column. Spark's three-valued logic
+        matches SPARQL's error propagation: an error (NULL) is dropped
+        by filter, T||E = T, F&&E = F."""
+        tag = e[0]
+        if tag == "or":
+            col = cls._bool_col(e[1][0])
+            for sub in e[1][1:]:
+                col = col | cls._bool_col(sub)
+            return col
+        if tag == "and":
+            col = cls._bool_col(e[1][0])
+            for sub in e[1][1:]:
+                col = col & cls._bool_col(sub)
+            return col
+        if tag == "not":
+            return ~cls._bool_col(e[1])
+        if tag == "bound":
+            return F.col(e[1]).isNotNull()
+        return cls._cmp(*e)
 
     def _scan(self, pattern) -> DataFrame:
         if isinstance(pattern[1], Path):

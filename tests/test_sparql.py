@@ -308,8 +308,11 @@ SELECT ?rel ?z WHERE {
         out = _run(triples, """
 SELECT ?rel WHERE { ?rel osmm:type 'r' . } ORDER BY DESC(?rel) LIMIT 2""")
         assert [r.rel for r in out.collect()] == ["osmrel:3", "osmrel:2"]
+        # OFFSET became a real feature in round 4 — HAVING is the
+        # remaining unsupported trailing clause that must fail loudly
         with pytest.raises(ValueError):
-            _run(triples, "SELECT ?s WHERE { ?s osmm:type 'r' . } OFFSET 5")
+            _run(triples,
+                 "SELECT ?s WHERE { ?s osmm:type 'r' . } HAVING (?s > 1)")
 
     def test_group_by_count(self, triples):
         out = _run(triples, """
@@ -748,3 +751,52 @@ WHERE { ?rel osmm:type 'r' . OPTIONAL { ?rel osmm:loc ?loc . } }""")
             ("osmrel:2", "osmm:seen", '"y"'),
             ("osmrel:3", "osmm:seen", '"y"'),
         ]
+
+
+class TestFilterExpressionsAndOffset:
+    def test_or_and_not_bound(self, triples):
+        # ||, !, BOUND over the OPTIONAL loc binding
+        out = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  OPTIONAL { ?rel osmm:loc ?loc . }
+  FILTER (BOUND(?loc) || ?rel = osmrel:3)
+}""")
+        assert sorted(r.rel for r in out.collect()) == ["osmrel:1", "osmrel:3"]
+
+        out2 = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  OPTIONAL { ?rel osmm:loc ?loc . }
+  FILTER (!BOUND(?loc) && !(?rel = osmrel:3))
+}""")
+        assert [r.rel for r in out2.collect()] == ["osmrel:2"]
+
+    def test_nested_parens_precedence(self, spark):
+        tr = spark.createDataFrame(
+            [(f"n:{i}", "p:v", str(i)) for i in range(10)],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select("""
+SELECT ?s WHERE {
+  ?s p:v ?o .
+  FILTER ((?o < 3 || ?o > 7) && !(?o = 1))
+}""")
+        got = sorted(r.s for r in out.collect())
+        assert got == ["n:0", "n:2", "n:8", "n:9"]
+
+    def test_offset_paging(self, spark):
+        tr = spark.createDataFrame(
+            [(f"n:{i:02d}", "p:v", str(i)) for i in range(10)],
+            "s string, p string, o string",
+        )
+        eng = sparql.SparqlEngine(tr)
+        page2 = eng.select(
+            "SELECT ?s WHERE { ?s p:v ?o . } ORDER BY ?s LIMIT 3 OFFSET 3"
+        )
+        assert [r.s for r in page2.collect()] == ["n:03", "n:04", "n:05"]
+        # OFFSET before LIMIT also accepted
+        page3 = eng.select(
+            "SELECT ?s WHERE { ?s p:v ?o . } ORDER BY ?s OFFSET 8 LIMIT 5"
+        )
+        assert [r.s for r in page3.collect()] == ["n:08", "n:09"]
