@@ -164,13 +164,14 @@ def page_claims(
     def gen(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                params = parse_template(str(r[text_col]), templates)
+            keep_cols = [pdf[c].tolist() for c in keep]
+            for i, text in enumerate(pdf[text_col].tolist()):
+                params = parse_template(str(text), templates)
                 if params is None or "key" not in params:
                     continue
                 desc = params.get("description", "")
                 rows.append(
-                    tuple(r[c] for c in keep)
+                    tuple(col[i] for col in keep_cols)
                     + (
                         params["key"]
                         + ("=" + params["value"] if params.get("value") else ""),
@@ -180,7 +181,7 @@ def page_claims(
                         params.get("onrelation", "").lower() in _YES,
                         params.get("status", "").strip().lower(),
                         desc,
-                        len(extract_tag_refs(str(r[text_col]))),
+                        len(extract_tag_refs(str(text))),
                     )
                 )
             yield pd.DataFrame(
