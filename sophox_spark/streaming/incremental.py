@@ -339,7 +339,9 @@ def relation_centroids_fixpoint(
     cycles never resolve and are left out — termination by no-progress,
     exactly as the reference.
 
-    Returns (rel_id, lon, lat, n_members, iteration)."""
+    Returns (rel_id, lon, lat, n_members, iteration) — ``iteration``
+    stamps the pass each relation RESOLVED in (its dependency depth,
+    matching the reference's shrinking-skipped-list semantics)."""
     spark = nodes_df.sparkSession
     resolved = spark.createDataFrame(
         [], "rel_id long, lon double, lat double, n_members long, iteration int"
@@ -347,10 +349,15 @@ def relation_centroids_fixpoint(
     node_locs = nodes_df.select("id", "lon", "lat").filter(
         F.col("lon").isNotNull() & ~F.isnan("lon") & F.col("lat").isNotNull() & ~F.isnan("lat")
     )
-    n_prev = 0
+    # SHRINKING WORKLIST (updateRelLoc.py:76-87 keeps only the skipped
+    # rels for the next pass): each pass re-evaluates ONLY the still-
+    # unresolved relations — pass k touches the depth-≥k tail, not the
+    # whole table. Resolved rows accumulate; their centroids are final
+    # the pass they resolve (member snapshots only ever gain rows).
+    pending = relations_df.localCheckpoint(eager=True)
     for it in range(1, max_iters + 1):
         member_locs = relation_member_locations(
-            relations_df,
+            pending,
             node_locs,
             way_locs_df.filter(~F.col("loc_error")),
             rel_locs=resolved.select("rel_id", "lon", "lat"),
@@ -367,13 +374,17 @@ def relation_centroids_fixpoint(
             .select("rel_id", "lon", "lat", "n_members")
             .withColumn("iteration", F.lit(it))
             # checkpoint FIRST, count the checkpointed result: one
-            # materialization per iteration, not two (the count used to
-            # recompute the whole join tree a second time)
+            # materialization per iteration, not two
             .localCheckpoint(eager=True)
         )
-        n_now = new_resolved.count()
-        if n_now == n_prev:
-            return new_resolved
-        n_prev = n_now
-        resolved = new_resolved
+        if not new_resolved.head(1):
+            break
+        resolved = resolved.unionByName(new_resolved)
+        pending = pending.join(
+            new_resolved.select("rel_id").withColumnRenamed("rel_id", "id"),
+            "id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if not pending.head(1):
+            break
     return resolved
