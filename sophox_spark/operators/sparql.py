@@ -71,6 +71,14 @@ class Term:
 
 
 @dataclass(frozen=True)
+class AggRef:
+    """Aggregate call inside a HAVING constraint."""
+    func: str
+    target: str
+    distinct: bool
+
+
+@dataclass(frozen=True)
 class Path:
     """Property-path expression at the predicate position.
 
@@ -91,7 +99,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|&&|\|\||[{}().=<>*;,+/^|!])
+  | (?P<punct>!=|<=|>=|&&|\|\||[{}().=<>*;,+/^|!?])
 )""",
     re.X,
 )
@@ -215,6 +223,11 @@ class _Parser:
                 group_by.append(self.next()[1][1:])
             if not group_by:
                 raise ValueError("empty GROUP BY")
+        having = None
+        if self.eat_word("HAVING"):
+            self.expect("punct", "(")
+            having = self._filter_expr()
+            self.expect("punct", ")")
         order = []
         if self.eat_word("ORDER"):
             if not self.eat_word("BY"):
@@ -242,8 +255,8 @@ class _Parser:
             elif self.eat_word("OFFSET"):
                 offset = int(self.expect("num"))
         return {"distinct": distinct, "proj": proj, "group": group,
-                "group_by": group_by, "order": order, "limit": limit,
-                "offset": offset}
+                "group_by": group_by, "having": having, "order": order,
+                "limit": limit, "offset": offset}
 
     def parse_group(self):
         self.expect("punct", "{")
@@ -406,7 +419,7 @@ class _Parser:
             self.next()
         t = self._term()
         kind, val = self.peek()
-        starred = kind == "punct" and val in ("+", "*")
+        starred = kind == "punct" and val in ("+", "*", "?")
         if isinstance(t, Var):
             if inv or starred:
                 raise ValueError("variable inside a property path")
@@ -414,7 +427,10 @@ class _Parser:
         out = t
         if starred:
             self.next()
-            out = Path("plus" if val == "+" else "star", (self._as_path(out),))
+            out = Path(
+                {"+": "plus", "*": "star", "?": "opt"}[val],
+                (self._as_path(out),),
+            )
         if inv:
             out = Path("inv", (self._as_path(out),))
         return out
@@ -499,6 +515,9 @@ class _Parser:
             return ("bound", var)
         return self._comparison()
 
+    _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT",
+                "SAMPLE")
+
     def _comparison(self):
         kind, val = self.peek()
         if kind == "word" and val.upper() in self._STR_FNS:
@@ -509,12 +528,47 @@ class _Parser:
             right = self._term()
             self.expect("punct", ")")
             return ("fn:" + fn, left, right)
-        left = self._term()
+        left = self._term_or_agg()
+        kind, val = self.peek()
+        if kind == "word" and val.upper() in ("IN", "NOT"):
+            neg = val.upper() == "NOT"
+            self.next()
+            if neg and not self.eat_word("IN"):
+                raise ValueError("NOT must be followed by IN in a filter")
+            self.expect("punct", "(")
+            terms = []
+            while self.peek() != ("punct", ")"):
+                terms.append(self._term())
+                if self.peek() == ("punct", ","):
+                    self.next()
+            self.next()
+            return ("not_in" if neg else "in", left, terms)
         kind, op = self.next()
         if kind != "punct" or op not in ("=", "!=", "<", ">", "<=", ">="):
             raise ValueError(f"unsupported filter operator {op!r}")
-        right = self._term()
+        right = self._term_or_agg()
         return (op, left, right)
+
+    def _term_or_agg(self):
+        """A comparison side: plain term, or — inside HAVING — an
+        aggregate call like COUNT(?m)."""
+        kind, val = self.peek()
+        if (
+            kind == "word"
+            and val.upper() in self._AGG_FNS
+            and self.peek(1) == ("punct", "(")
+        ):
+            func = self.next()[1].upper()
+            self.next()
+            distinct = self.eat_word("DISTINCT")
+            if self.peek() == ("punct", "*"):
+                self.next()
+                target = "*"
+            else:
+                target = self.expect("var")[1:]
+            self.expect("punct", ")")
+            return AggRef(func, target, distinct)
+        return self._term()
 
 
 def parse_select(query: str) -> dict:
@@ -588,6 +642,8 @@ class SparqlEngine:
             has_agg = any(p[0] == "agg" for p in q["proj"])
             if has_agg or q["group_by"]:
                 cur = self._aggregate(cur, q)
+            elif q.get("having") is not None:
+                raise ValueError("HAVING requires aggregation")
             else:
                 cur = cur.select(*[p[1] for p in q["proj"]])
         elif q["group_by"]:
@@ -624,39 +680,75 @@ class SparqlEngine:
             if p[0] != "agg":
                 continue
             _, func, target, distinct, alias, sep = p
-            if func == "COUNT":
-                if target == "*":
-                    col = F.count(F.lit(1))
-                elif distinct:
-                    col = F.countDistinct(target)
-                else:
-                    col = F.count(target)
-            elif func == "GROUP_CONCAT":
-                # spec leaves element order undefined; this engine sorts
-                # lexically so results are DETERMINISTIC across
-                # partitionings (documented subset choice)
-                vals = (
-                    F.collect_set(target) if distinct
-                    else F.collect_list(target)
-                )
-                col = F.array_join(F.sort_array(vals), sep)
-            elif func == "SAMPLE":
-                # any value is spec-conformant; min is the
-                # deterministic pick
-                col = F.min(target)
-            else:
-                if distinct:
-                    raise ValueError(f"DISTINCT with {func} not supported")
-                num = self._num_expr(F.col(target))
-                col = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[
-                    func
-                ](num)
-            exprs.append(col.alias(alias))
+            exprs.append(
+                self._agg_col(func, target, distinct, sep).alias(alias)
+            )
         if not exprs:
             raise ValueError("GROUP BY without any aggregate projection")
+        # HAVING: aggregate calls in the constraint become HIDDEN agg
+        # columns computed alongside the projection, filtered, dropped
+        having = q.get("having")
+        hidden: list[tuple] = []
+        if having is not None:
+            having = self._subst_agg_refs(having, hidden)
+            for ref, name in hidden:
+                exprs.append(
+                    self._agg_col(ref.func, ref.target, ref.distinct, " ")
+                    .alias(name)
+                )
         gb = cur.groupBy(*q["group_by"]) if q["group_by"] else cur.groupBy()
         out = gb.agg(*exprs)
+        if having is not None:
+            out = out.filter(self._bool_col(having))
         return out.select(*[p[1] if p[0] == "var" else p[4] for p in q["proj"]])
+
+    @classmethod
+    def _agg_col(cls, func, target, distinct, sep):
+        if func == "COUNT":
+            if target == "*":
+                return F.count(F.lit(1))
+            if distinct:
+                return F.countDistinct(target)
+            return F.count(target)
+        if func == "GROUP_CONCAT":
+            # spec leaves element order undefined; this engine sorts
+            # lexically so results are DETERMINISTIC across
+            # partitionings (documented subset choice)
+            vals = F.collect_set(target) if distinct else F.collect_list(target)
+            return F.array_join(F.sort_array(vals), sep)
+        if func == "SAMPLE":
+            # any value is spec-conformant; min is the deterministic pick
+            return F.min(target)
+        if distinct:
+            raise ValueError(f"DISTINCT with {func} not supported")
+        num = cls._num_expr(F.col(target))
+        return {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[func](
+            num
+        )
+
+    @classmethod
+    def _subst_agg_refs(cls, e, hidden: list):
+        """HAVING AST: replace AggRef nodes with Vars naming hidden agg
+        columns (collected into ``hidden``)."""
+        tag = e[0]
+        if tag in ("or", "and"):
+            return (tag, [cls._subst_agg_refs(x, hidden) for x in e[1]])
+        if tag == "not":
+            return ("not", cls._subst_agg_refs(e[1], hidden))
+        if tag == "bound":
+            return e
+        op, left, right = e
+
+        def side(t):
+            if isinstance(t, AggRef):
+                name = f"__h{len(hidden)}"
+                hidden.append((t, name))
+                return Var(name)
+            return t
+
+        if op in ("in", "not_in"):
+            return (op, side(left), right)
+        return (op, side(left), side(right))
 
     # ---- blocks ----
 
@@ -842,16 +934,26 @@ class SparqlEngine:
                     f"{self.PATH_MAX_ITERS} squaring passes"
                 )
             if p.kind == "star":
-                nodes = (
-                    self.triples.select(F.col("s").alias("n"))
-                    .unionByName(self.triples.select(F.col("o").alias("n")))
-                    .distinct()
-                )
-                reach = reach.unionByName(
-                    nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
-                ).distinct()
+                reach = reach.unionByName(self._identity_edges()).distinct()
             return reach
+        if p.kind == "opt":
+            # zero-or-one: the edge set ∪ x→x for every graph term
+            return (
+                self._path_edges(p.parts[0])
+                .unionByName(self._identity_edges())
+                .distinct()
+            )
         raise ValueError(f"unknown path kind {p.kind!r}")  # pragma: no cover
+
+    def _identity_edges(self) -> DataFrame:
+        """x→x for every term occurring in the graph (subject or
+        object) — the zero-length path of ``*`` and ``?``."""
+        nodes = (
+            self.triples.select(F.col("s").alias("n"))
+            .unionByName(self.triples.select(F.col("o").alias("n")))
+            .distinct()
+        )
+        return nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
 
     @staticmethod
     def _join(cur, other, how):
@@ -929,13 +1031,23 @@ class SparqlEngine:
     def _num_expr(col):
         """Column in TTL surface form → DOUBLE: strip ^^datatype suffix
         and surrounding quotes, then cast (non-numeric lexical forms →
-        NULL → comparison never matches, SPARQL type-error semantics)."""
-        s = F.regexp_replace(col, r"\^\^\S+$", "")
+        NULL → comparison never matches, SPARQL type-error semantics).
+        The leading string cast makes this safe on already-numeric
+        columns too (HAVING's hidden COUNT lanes)."""
+        s = F.regexp_replace(col.cast("string"), r"\^\^\S+$", "")
         s = F.regexp_replace(s, r'^"(.*)"$', "$1")
         return s.try_cast("double")  # ANSI-safe: malformed → NULL, not error
 
     @classmethod
     def _cmp(cls, op, left, right):
+        if isinstance(left, AggRef) or isinstance(right, AggRef):
+            raise ValueError(
+                "aggregate calls are only allowed inside HAVING"
+            )
+        if op in ("in", "not_in"):
+            col = F.col(left.name) if isinstance(left, Var) else F.lit(left.text)
+            c = col.isin([t.text for t in right])
+            return ~c if op == "not_in" else c
         if op.startswith("fn:"):
             # string functions operate on LEXICAL values (decoration
             # stripped both sides)

@@ -800,3 +800,59 @@ SELECT ?s WHERE {
             "SELECT ?s WHERE { ?s p:v ?o . } ORDER BY ?s OFFSET 8 LIMIT 5"
         )
         assert [r.s for r in page3.collect()] == ["n:08", "n:09"]
+
+
+class TestHavingInAndOptPath:
+    def test_having_aggregate_call(self, triples):
+        out = _run(triples, """
+SELECT ?rel (COUNT(?m) AS ?n) WHERE { ?rel osmm:has ?m . }
+GROUP BY ?rel
+HAVING (COUNT(?m) >= 2)
+""")
+        assert [(r.rel, r.n) for r in out.collect()] == [("osmrel:2", 2)]
+
+    def test_having_alias_and_boolean(self, triples):
+        out = _run(triples, """
+SELECT ?rel (COUNT(?m) AS ?n) WHERE { ?rel osmm:has ?m . }
+GROUP BY ?rel
+HAVING (?n >= 2 || COUNT(?m) = 1)
+""")
+        got = {r.rel: r.n for r in out.collect()}
+        assert got == {"osmrel:1": 1, "osmrel:2": 2}
+
+    def test_having_without_aggregation_raises(self, triples):
+        with pytest.raises(ValueError):
+            _run(triples,
+                 "SELECT ?s WHERE { ?s osmm:type 'r' . } HAVING (?s > 1)")
+
+    def test_aggregate_in_plain_filter_raises(self, triples):
+        with pytest.raises(ValueError):
+            _run(triples, """
+SELECT ?rel WHERE { ?rel osmm:has ?m . FILTER (COUNT(?m) > 1) }""")
+
+    def test_filter_in_not_in(self, triples):
+        out = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  FILTER (?rel IN (osmrel:1, osmrel:3))
+}""")
+        assert sorted(r.rel for r in out.collect()) == ["osmrel:1", "osmrel:3"]
+        out2 = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  FILTER (?rel NOT IN (osmrel:1, osmrel:3))
+}""")
+        assert [r.rel for r in out2.collect()] == ["osmrel:2"]
+
+    def test_zero_or_one_path(self, spark):
+        tr = spark.createDataFrame(
+            [("a", "p:n", "b"), ("b", "p:n", "c")],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select(
+            "SELECT ?x ?y WHERE { ?x p:n? ?y . }"
+        )
+        got = sorted((r.x, r.y) for r in out.collect())
+        # one step ∪ identity on every graph term
+        assert got == [("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
+                       ("c", "c")]
