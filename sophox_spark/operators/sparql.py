@@ -778,8 +778,20 @@ class SparqlEngine:
                 )
                 cur = self._join(cur, vals, "inner")
             elif kind == "optional":
-                sub = self._group(block[1], None)
-                cur = self._join(cur, sub, "left_outer")
+                # spec §8.3.2 LeftJoin(Ω1, Ω2, expr): TOP-LEVEL filters
+                # of the optional group join the LEFT-JOIN CONDITION —
+                # they may reference outer vars, and a failing expr
+                # keeps the left row with the optional vars unbound
+                # (applying them after the join would instead drop it)
+                opt_filters = [b for b in block[1] if b[0] == "filter"]
+                inner = [b for b in block[1] if b[0] != "filter"]
+                sub = self._group(inner, None)
+                if not opt_filters:
+                    cur = self._join(cur, sub, "left_outer")
+                else:
+                    cur = self._left_join_with_expr(
+                        cur, sub, [b[1] for b in opt_filters]
+                    )
             elif kind == "bind":
                 _, var, expr = block
                 if cur is None:
@@ -954,6 +966,55 @@ class SparqlEngine:
             .distinct()
         )
         return nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
+
+    @classmethod
+    def _left_join_with_expr(cls, cur, sub, filter_asts):
+        """LeftJoin with a filter expression in the join condition.
+        The optional side's columns are renamed to unique temps so the
+        condition (shared-var equality ∧ filters, filter vars resolved
+        to the optional side when bound there) needs no DataFrame
+        aliases, then renamed back with the shared lanes kept from the
+        left."""
+        if cur is None:
+            raise ValueError("group cannot start with OPTIONAL")
+        shared = [c for c in cur.columns if c in sub.columns]
+        mapping = {c: "__opt__" + c for c in sub.columns}
+        renamed = sub.select(
+            *[F.col(c).alias(mapping[c]) for c in sub.columns]
+        )
+        cond = F.lit(True)
+        for c in shared:
+            cond = cond & (F.col(c) == F.col(mapping[c]))
+        for ast in filter_asts:
+            cond = cond & cls._bool_col(cls._rename_vars(ast, mapping))
+        joined = cur.join(renamed, cond, "left_outer")
+        return joined.select(
+            *cur.columns,
+            *[F.col(mapping[c]).alias(c) for c in sub.columns
+              if c not in shared],
+        )
+
+    @classmethod
+    def _rename_vars(cls, e, mapping: dict):
+        """Rewrite var references in a FILTER AST through ``mapping``
+        (vars not in the mapping — outer bindings — stay as-is)."""
+        tag = e[0]
+        if tag in ("or", "and"):
+            return (tag, [cls._rename_vars(x, mapping) for x in e[1]])
+        if tag == "not":
+            return ("not", cls._rename_vars(e[1], mapping))
+        if tag == "bound":
+            return ("bound", mapping.get(e[1], e[1]))
+        op, left, right = e
+
+        def side(t):
+            if isinstance(t, Var) and t.name in mapping:
+                return Var(mapping[t.name])
+            return t
+
+        if op in ("in", "not_in"):
+            return (op, side(left), right)
+        return (op, side(left), side(right))
 
     @staticmethod
     def _join(cur, other, how):

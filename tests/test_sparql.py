@@ -856,3 +856,36 @@ SELECT ?rel WHERE {
         # one step ∪ identity on every graph term
         assert got == [("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
                        ("c", "c")]
+
+
+class TestOptionalFilterScoping:
+    def test_filter_on_outer_var_keeps_left_rows(self, spark):
+        # spec 8.3.2 LeftJoin(expr): the classic example — prices only
+        # attach when below a threshold THAT REFERENCES THE OUTER ROW;
+        # non-matching rows stay, unbound
+        tr = spark.createDataFrame(
+            [("b:1", "p:limit", "20"), ("b:2", "p:limit", "05"),
+             ("b:1", "p:price", "10"), ("b:2", "p:price", "10")],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select("""
+SELECT ?b ?price WHERE {
+  ?b p:limit ?lim .
+  OPTIONAL { ?b p:price ?price . FILTER (?price < ?lim) }
+}""")
+        got = {r.b: r.price for r in out.collect()}
+        # b:1 price 10 < limit 20 -> bound; b:2 price 10 >= 05 -> UNBOUND
+        # (var-vs-var compares lexically - documented subset; values chosen
+        # so string and numeric order agree)
+        # row kept (a post-join filter would have dropped b:2 entirely)
+        assert got == {"b:1": "10", "b:2": None}
+
+    def test_inner_only_filter_same_as_before(self, triples):
+        out = _run(triples, """
+SELECT ?rel ?m WHERE {
+  ?rel osmm:type 'r' .
+  OPTIONAL { ?rel osmm:has ?m . FILTER (?m != osmnode:11) }
+}""")
+        got = {(r.rel, r.m) for r in out.collect()}
+        assert got == {("osmrel:1", "osmnode:10"), ("osmrel:2", "osmway:12"),
+                       ("osmrel:3", None)}
