@@ -1125,6 +1125,38 @@ FROM q GROUP BY i % 5
 """
 
 
+def _q_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over aggregate calls (round-4 modifier surface): groups
+    filtered by an aggregate computed as a hidden column. Both engines
+    compute the average with the identical exact-int-sum/count double
+    arithmetic, so the > threshold cut is bit-identical."""
+    from sophox_spark.operators import osm2ttl, sparql
+
+    _load(spark, sf_dir, "events")
+    nodes = spark.sql(NODE_TTL_FIXTURE_SPARK)
+    triples = sparql.triples_from_statements(osm2ttl.node_statements(nodes))
+    return sparql.SparqlEngine(triples).select("""
+SELECT ?user (COUNT(*) AS ?n) (AVG(?v) AS ?avg_version)
+WHERE { ?s osmm:user ?user . ?s osmm:version ?v . }
+GROUP BY ?user
+HAVING (AVG(?v) > 5.0)
+ORDER BY ?user
+""")
+
+
+def _sparql_having_sql() -> str:
+    return """
+WITH nodes AS (SELECT event_id AS i FROM events
+               WHERE event_id % 29 <> 0 AND event_id % 13 <> 0)
+SELECT '"u' || CAST(i % 5 AS VARCHAR) || '"' AS user,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(i % 9 + 1) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS avg_version
+FROM nodes GROUP BY i % 5
+HAVING CAST(CAST(SUM(i % 9 + 1) AS BIGINT) AS DOUBLE) / COUNT(*) > 5.0e0
+"""
+
+
 def _q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIND + string filter functions over converter triples:
     STRSTARTS prefilters by lexical value, BIND(CONCAT(STR(...)))
@@ -3049,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_select": _q_sparql_select,
         "q_sparql_agg": _q_sparql_agg,
         "q_sparql_agg2": _q_sparql_agg2,
+        "q_sparql_having": _q_sparql_having,
         "q_sparql_path": _q_sparql_path,
         "q_sparql_bind": _q_sparql_bind,
         "q_sparql_update": _q_sparql_update,
@@ -3098,6 +3131,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_select": _sparql_select_sql(),
         "q_sparql_agg": _sparql_agg_sql(),
         "q_sparql_agg2": _sparql_agg2_sql(),
+        "q_sparql_having": _sparql_having_sql(),
         "q_sparql_path": _sparql_path_sql(),
         "q_sparql_bind": _sparql_bind_sql(),
         "q_sparql_update": _sparql_update_sql(),

@@ -254,6 +254,10 @@ class _Parser:
                 limit = int(self.expect("num"))
             elif self.eat_word("OFFSET"):
                 offset = int(self.expect("num"))
+        if self.eat_word("VALUES"):
+            # trailing VALUES clause (spec §18.2.4.2): joins the query
+            # PATTERN before projection/modifiers — append as a block
+            group.append(self._parse_values())
         return {"distinct": distinct, "proj": proj, "group": group,
                 "group_by": group_by, "having": having, "order": order,
                 "limit": limit, "offset": offset}
@@ -290,35 +294,7 @@ class _Parser:
                     self.next()
             elif kind == "word" and val.upper() == "VALUES":
                 self.next()
-                if self.peek() == ("punct", "("):
-                    # tuple form: VALUES (?a ?b) { (t1 t2) (t3 t4) ... }
-                    # (updateUsageStats.py:125 — per-id counter rows)
-                    self.next()
-                    vars_ = []
-                    while self.peek()[0] == "var":
-                        vars_.append(self.next()[1][1:])
-                    self.expect("punct", ")")
-                    self.expect("punct", "{")
-                    rows = []
-                    while self.peek() == ("punct", "("):
-                        self.next()
-                        row = []
-                        while self.peek() != ("punct", ")"):
-                            row.append(self._term())
-                        self.next()
-                        if len(row) != len(vars_):
-                            raise ValueError("VALUES row arity mismatch")
-                        rows.append(row)
-                    self.expect("punct", "}")
-                    blocks.append(("values_tuple", vars_, rows))
-                    continue
-                var = self.expect("var")[1:]
-                self.expect("punct", "{")
-                terms = []
-                while self.peek() != ("punct", "}"):
-                    terms.append(self._term())
-                self.next()
-                blocks.append(("values", var, terms))
+                blocks.append(self._parse_values())
             elif kind == "word" and val.upper() == "BIND":
                 self.next()
                 self.expect("punct", "(")
@@ -380,6 +356,38 @@ class _Parser:
                 if self.peek() == ("punct", "."):
                     self.next()
 
+    def _parse_values(self):
+        """Body of a VALUES clause (the keyword already consumed):
+        single-var ``VALUES ?x { t... }`` or tuple form ``VALUES
+        (?a ?b) { (t1 t2)... }`` (updateUsageStats.py:125 — per-id
+        counter rows)."""
+        if self.peek() == ("punct", "("):
+            self.next()
+            vars_ = []
+            while self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            self.expect("punct", ")")
+            self.expect("punct", "{")
+            rows = []
+            while self.peek() == ("punct", "("):
+                self.next()
+                row = []
+                while self.peek() != ("punct", ")"):
+                    row.append(self._term())
+                self.next()
+                if len(row) != len(vars_):
+                    raise ValueError("VALUES row arity mismatch")
+                rows.append(row)
+            self.expect("punct", "}")
+            return ("values_tuple", vars_, rows)
+        var = self.expect("var")[1:]
+        self.expect("punct", "{")
+        terms = []
+        while self.peek() != ("punct", "}"):
+            terms.append(self._term())
+        self.next()
+        return ("values", var, terms)
+
     def _path(self):
         """Predicate position: plain Var/Term, or a property path —
         alternatives of sequences of (optionally inverse, optionally
@@ -417,7 +425,13 @@ class _Parser:
         inv = self.peek() == ("punct", "^")
         if inv:
             self.next()
-        t = self._term()
+        if self.peek() == ("word", "a"):
+            # 'a' ≡ rdf:type (Turtle/SPARQL shorthand), predicate
+            # position only
+            self.next()
+            t = Term("rdf:type")
+        else:
+            t = self._term()
         kind, val = self.peek()
         starred = kind == "punct" and val in ("+", "*", "?")
         if isinstance(t, Var):
@@ -603,6 +617,55 @@ class SparqlEngine:
             raise ValueError(f"unsupported trailing syntax: {p.peek()!r}")
         cur = self._group(group, None)
         return bool(cur is not None and cur.head(1))
+
+    def describe(self, query: str) -> DataFrame:
+        """DESCRIBE (?var | resource)+ [WHERE { group }] → every triple
+        whose SUBJECT is a described resource (spec §16.4 leaves the
+        description form to the implementation; subject-triples is the
+        common choice). Vars resolve through the WHERE bindings."""
+        p = _Parser(_tokenize(query))
+        while p.eat_word("PREFIX"):
+            p.next()
+            p.next()
+        if not p.eat_word("DESCRIBE"):
+            raise ValueError("not a DESCRIBE query")
+        vars_: list[str] = []
+        consts: list[str] = []
+        while True:
+            kind, val = p.peek()
+            if kind == "var":
+                vars_.append(p.next()[1][1:])
+            elif kind in ("pname", "iri"):
+                consts.append(p.next()[1])
+            else:
+                break
+        if not vars_ and not consts:
+            raise ValueError("DESCRIBE needs at least one resource")
+        group = None
+        if p.eat_word("WHERE"):
+            group = p.parse_group()
+        if p.peek()[0] is not None:
+            raise ValueError(f"unsupported trailing syntax: {p.peek()!r}")
+        spark = self.triples.sparkSession
+        parts = []
+        if consts:
+            parts.append(
+                spark.createDataFrame([(c,) for c in consts], "s string")
+            )
+        if vars_:
+            if group is None:
+                raise ValueError("DESCRIBE with variables needs WHERE")
+            bindings = self._group(group, None)
+            for v in vars_:
+                if v not in bindings.columns:
+                    raise ValueError(f"?{v} is not bound in WHERE")
+                parts.append(bindings.select(F.col(v).alias("s")))
+        resources = parts[0]
+        for extra in parts[1:]:
+            resources = resources.unionByName(extra)
+        return self.triples.join(
+            resources.distinct(), "s", "left_semi"
+        )
 
     def construct(self, query: str) -> DataFrame:
         """CONSTRUCT { template } WHERE { group } → the instantiated

@@ -889,3 +889,44 @@ SELECT ?rel ?m WHERE {
         got = {(r.rel, r.m) for r in out.collect()}
         assert got == {("osmrel:1", "osmnode:10"), ("osmrel:2", "osmway:12"),
                        ("osmrel:3", None)}
+
+
+class TestValuesClauseDescribeAndA:
+    def test_trailing_values_clause(self, triples):
+        out = _run(triples, """
+SELECT ?rel ?m WHERE { ?rel osmm:has ?m . }
+VALUES ?rel { osmrel:2 }
+""")
+        got = sorted((r.rel, r.m) for r in out.collect())
+        assert got == [("osmrel:2", "osmnode:11"), ("osmrel:2", "osmway:12")]
+
+    def test_trailing_values_joins_before_aggregation(self, triples):
+        out = _run(triples, """
+SELECT ?rel (COUNT(?m) AS ?n) WHERE { ?rel osmm:has ?m . }
+GROUP BY ?rel
+VALUES ?rel { osmrel:2 osmrel:3 }
+""")
+        # the values join restricts the PATTERN (osmrel:3 has no
+        # members, so no group forms for it)
+        assert [(r.rel, r.n) for r in out.collect()] == [("osmrel:2", 2)]
+
+    def test_describe(self, triples):
+        eng = sparql.SparqlEngine(triples)
+        out = eng.describe("DESCRIBE osmrel:1")
+        assert out.count() == 3  # type + loc + has
+        out2 = eng.describe("""
+DESCRIBE ?rel WHERE { ?rel osmm:type 'r' .
+  FILTER NOT EXISTS { ?rel osmm:has ?m . } }""")
+        got = sorted((r.s, r.p) for r in out2.collect())
+        assert got == [("osmrel:3", "osmm:type")]
+
+    def test_a_rdf_type_shorthand(self, spark):
+        tr = spark.createDataFrame(
+            [("x:1", "rdf:type", "c:Road"), ("x:2", "rdf:type", "c:City"),
+             ("x:1", "p:name", '"r1"')],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select(
+            "SELECT ?x WHERE { ?x a c:Road . }"
+        )
+        assert [r.x for r in out.collect()] == ["x:1"]
