@@ -177,12 +177,24 @@ class _Parser:
                 self.next()
                 proj = None
             elif kind == "punct" and val == "(":
-                # (COUNT(?x) AS ?cnt) — aggregate projection
+                # (COUNT(?x) AS ?cnt) aggregate or (expr AS ?x)
+                # expression projection
                 self.next()
+                nk, nv = self.peek()
+                if not (nk == "word" and nv.upper() in (
+                    "COUNT", "SUM", "AVG", "MIN", "MAX",
+                    "GROUP_CONCAT", "SAMPLE",
+                )):
+                    expr = self._expr()
+                    if not self.eat_word("AS"):
+                        raise ValueError(
+                            "expression projection requires AS ?alias"
+                        )
+                    alias = self.expect("var")[1:]
+                    self.expect("punct", ")")
+                    proj.append(("expr", expr, alias))
+                    continue
                 func = self.expect("word").upper()
-                if func not in ("COUNT", "SUM", "AVG", "MIN", "MAX",
-                                "GROUP_CONCAT", "SAMPLE"):
-                    raise ValueError(f"unsupported aggregate {func}")
                 self.expect("punct", "(")
                 agg_distinct = self.eat_word("DISTINCT")
                 k, v = self.peek()
@@ -704,11 +716,22 @@ class SparqlEngine:
         if q["proj"] is not None:
             has_agg = any(p[0] == "agg" for p in q["proj"])
             if has_agg or q["group_by"]:
+                if any(p[0] == "expr" for p in q["proj"]):
+                    raise ValueError(
+                        "expression projections cannot mix with"
+                        " aggregation (use BIND before grouping)"
+                    )
                 cur = self._aggregate(cur, q)
             elif q.get("having") is not None:
                 raise ValueError("HAVING requires aggregation")
             else:
-                cur = cur.select(*[p[1] for p in q["proj"]])
+                cols = []
+                for p in q["proj"]:
+                    if p[0] == "var":
+                        cols.append(F.col(p[1]))
+                    else:  # (expr AS ?alias) — BIND-style projection
+                        cols.append(self._expr_col(p[1]).alias(p[2]))
+                cur = cur.select(*cols)
         elif q["group_by"]:
             raise ValueError("GROUP BY requires an explicit projection")
         if q["distinct"]:

@@ -930,3 +930,17 @@ DESCRIBE ?rel WHERE { ?rel osmm:type 'r' .
             "SELECT ?x WHERE { ?x a c:Road . }"
         )
         assert [r.x for r in out.collect()] == ["x:1"]
+
+
+def test_expression_projection(triples):
+    out = _run(triples, """
+SELECT ?id (CONCAT('key=', STR(?key)) AS ?label) WHERE {
+  ?id osmdt:P16 ?key .
+}""")
+    got = {r.id: r.label for r in out.collect()}
+    assert got == {"osmd:Q103": "key=highway", "osmd:Q104": "key=building",
+                   "osmd:Q105": "key=landuse"}
+    with pytest.raises(ValueError):
+        _run(triples, """
+SELECT (STR(?key) AS ?k) (COUNT(*) AS ?n) WHERE { ?id osmdt:P16 ?key . }
+GROUP BY ?key""")
