@@ -79,6 +79,13 @@ class AggRef:
 
 
 @dataclass(frozen=True)
+class ExprVal:
+    """Function-call expression used as a comparison side in FILTER
+    (``FILTER (STRLEN(?x) > 2)``). Evaluates to a lexical value."""
+    ast: tuple
+
+
+@dataclass(frozen=True)
 class Path:
     """Property-path expression at the predicate position.
 
@@ -478,31 +485,40 @@ class _Parser:
 
     _STR_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "REGEX")
 
+    _EXPR_FNS = {
+        # name → (min_args, max_args)
+        "STR": (1, 1), "CONCAT": (1, 99), "IRI": (1, 1), "URI": (1, 1),
+        "STRLEN": (1, 1), "UCASE": (1, 1), "LCASE": (1, 1),
+        "SUBSTR": (2, 3), "REPLACE": (3, 3),
+        "STRBEFORE": (2, 2), "STRAFTER": (2, 2),
+    }
+
     def _expr(self):
-        """BIND expression subset: term | STR(expr) | CONCAT(expr, …)
-        | IRI(expr) / URI(expr). Covers the shapes real Sophox endpoint
-        queries use (building URLs/labels from bound values) including
-        the reference's maintenance artifact
-        (add_osmt_to_meta.sparql:17 — ``BIND (iri(concat(...)) as
-        ?value)``)."""
+        """BIND/projection expression subset: term or a call from
+        ``_EXPR_FNS`` (the spec §17.4 string functions real endpoint
+        queries use, incl. the reference's maintenance artifact
+        add_osmt_to_meta.sparql:17 ``BIND (iri(concat(...)) as
+        ?value)``). Function results are SIMPLE literals (lexical
+        values); IRI()/URI() bind the '<...>' surface form."""
         kind, val = self.peek()
-        if kind == "word" and val.upper() in ("STR", "CONCAT", "IRI", "URI"):
+        if kind == "word" and val.upper() in self._EXPR_FNS:
             fn = self.next()[1].upper()
+            lo, hi = self._EXPR_FNS[fn]
             self.expect("punct", "(")
             args = [self._expr()]
             while self.peek() == ("punct", ","):
                 self.next()
                 args.append(self._expr())
             self.expect("punct", ")")
+            if not (lo <= len(args) <= hi):
+                raise ValueError(f"{fn} takes {lo}..{hi} arguments")
             if fn == "STR":
-                if len(args) != 1:
-                    raise ValueError("STR takes one argument")
                 return ("str", args[0])
             if fn in ("IRI", "URI"):  # URI() is the spec alias
-                if len(args) != 1:
-                    raise ValueError(f"{fn} takes one argument")
                 return ("iri", args[0])
-            return ("concat", args)
+            if fn == "CONCAT":
+                return ("concat", args)
+            return ("fn", fn, args)
         return ("term", self._term())
 
     def _filter_expr(self):
@@ -576,9 +592,17 @@ class _Parser:
         return (op, left, right)
 
     def _term_or_agg(self):
-        """A comparison side: plain term, or — inside HAVING — an
-        aggregate call like COUNT(?m)."""
+        """A comparison side: plain term, a string-function call
+        (lexical value), or — inside HAVING — an aggregate call like
+        COUNT(?m)."""
         kind, val = self.peek()
+        if (
+            kind == "word"
+            and val.upper() in self._EXPR_FNS
+            and val.upper() not in ("MIN", "MAX")
+            and self.peek(1) == ("punct", "(")
+        ):
+            return ExprVal(self._expr())
         if (
             kind == "word"
             and val.upper() in self._AGG_FNS
@@ -1096,11 +1120,30 @@ class SparqlEngine:
         def side(t):
             if isinstance(t, Var) and t.name in mapping:
                 return Var(mapping[t.name])
+            if isinstance(t, ExprVal):
+                return ExprVal(cls._rename_expr_vars(t.ast, mapping))
             return t
 
         if op in ("in", "not_in"):
             return (op, side(left), right)
         return (op, side(left), side(right))
+
+    @classmethod
+    def _rename_expr_vars(cls, e, mapping: dict):
+        kind = e[0]
+        if kind == "term":
+            t = e[1]
+            if isinstance(t, Var) and t.name in mapping:
+                return ("term", Var(mapping[t.name]))
+            return e
+        if kind in ("str", "iri"):
+            return (kind, cls._rename_expr_vars(e[1], mapping))
+        if kind == "concat":
+            return ("concat", [cls._rename_expr_vars(a, mapping) for a in e[1]])
+        if kind == "fn":
+            return ("fn", e[1],
+                    [cls._rename_expr_vars(a, mapping) for a in e[2]])
+        return e  # pragma: no cover
 
     @staticmethod
     def _join(cur, other, how):
@@ -1163,6 +1206,41 @@ class SparqlEngine:
             )
         if kind == "concat":
             return F.concat(*[cls._lex_expr(cls._expr_col(a)) for a in e[1]])
+        if kind == "fn":
+            _, fn, args = e
+            lex = [cls._lex_expr(cls._expr_col(a)) for a in args]
+            if fn == "STRLEN":
+                # xsd:integer result kept as a bare numeric string —
+                # the engine's simple-literal lane; numeric FILTERs
+                # coerce it back (documented subset)
+                return F.length(lex[0]).cast("string")
+            if fn == "UCASE":
+                return F.upper(lex[0])
+            if fn == "LCASE":
+                return F.lower(lex[0])
+            if fn == "SUBSTR":
+                start = lex[1].try_cast("int")
+                if len(lex) == 3:
+                    return F.substring(lex[0], start, lex[2].try_cast("int"))
+                # XPath substring: to end of string
+                return F.substring(lex[0], start, F.length(lex[0]))
+            if fn == "REPLACE":
+                return F.regexp_replace(lex[0], lex[1], lex[2])
+            if fn == "STRBEFORE":
+                pos = F.instr(lex[0], lex[1])
+                return F.when(
+                    pos > 0, F.substring(lex[0], F.lit(1), pos - 1)
+                ).otherwise(F.lit(""))  # spec: '' when no match
+            if fn == "STRAFTER":
+                pos = F.instr(lex[0], lex[1])
+                return F.when(
+                    pos > 0,
+                    F.substring(
+                        lex[0], pos + F.length(lex[1]),
+                        F.length(lex[0]),
+                    ),
+                ).otherwise(F.lit(""))
+            raise ValueError(f"unknown function {fn!r}")  # pragma: no cover
         raise ValueError(f"unknown expression {kind!r}")  # pragma: no cover
 
     @staticmethod
@@ -1223,15 +1301,27 @@ class SparqlEngine:
             isinstance(t, Term) and cls._lexical_numeric(t.text) is not None
             for t in (left, right)
         )
+        has_expr = any(isinstance(t, ExprVal) for t in (left, right))
 
         def col_or_lit(t):
+            if isinstance(t, ExprVal):
+                col = cls._expr_col(t.ast)  # already a lexical value
+                return cls._num_expr(col) if numeric else col
             if isinstance(t, Var):
-                return cls._num_expr(F.col(t.name)) if numeric else F.col(t.name)
+                if numeric:
+                    return cls._num_expr(F.col(t.name))
+                if has_expr:
+                    # a function result is a lexical value; compare the
+                    # var/literal side lexically too, not by surface form
+                    return cls._lex_expr(F.col(t.name))
+                return F.col(t.name)
             if numeric:
                 lex = cls._lexical_numeric(t.text)
                 if lex is None:  # non-numeric vs numeric: type error → no match
                     return F.lit(None).cast("double")
                 return F.lit(float(lex))
+            if has_expr:
+                return F.lit(cls._lexical_of(t.text))
             return F.lit(t.text)
 
         a, b = col_or_lit(left), col_or_lit(right)

@@ -944,3 +944,53 @@ SELECT ?id (CONCAT('key=', STR(?key)) AS ?label) WHERE {
         _run(triples, """
 SELECT (STR(?key) AS ?k) (COUNT(*) AS ?n) WHERE { ?id osmdt:P16 ?key . }
 GROUP BY ?key""")
+
+
+class TestStringFunctions:
+    def test_bind_string_functions(self, triples):
+        out = _run(triples, """
+SELECT ?s ?up ?l ?sub ?rep WHERE {
+  ?s osmt:name ?n .
+  BIND (UCASE(?n) AS ?up)
+  BIND (STRLEN(?n) AS ?l)
+  BIND (SUBSTR(?n, 2, 3) AS ?sub)
+  BIND (REPLACE(?n, 'a', 'X') AS ?rep)
+}""")
+        got = {r.s: (r.up, r.l, r.sub, r.rep) for r in out.collect()}
+        assert got == {
+            "osmnode:10": ("ALPHA", "5", "lph", "XlphX"),
+            "osmnode:11": ("BETA", "4", "eta", "betX"),
+        }
+
+    def test_strbefore_strafter(self, spark):
+        tr = spark.createDataFrame(
+            [("d:1", "p:host", '"www.example.org"'),
+             ("d:2", "p:host", '"nodots"')],
+            "s string, p string, o string",
+        )
+        out = sparql.SparqlEngine(tr).select("""
+SELECT ?s ?b ?a WHERE {
+  ?s p:host ?h .
+  BIND (STRBEFORE(?h, '.') AS ?b)
+  BIND (STRAFTER(?h, '.') AS ?a)
+}""")
+        got = {r.s: (r.b, r.a) for r in out.collect()}
+        # spec: '' when the separator does not occur
+        assert got == {"d:1": ("www", "example.org"), "d:2": ("", "")}
+
+    def test_function_in_filter_comparison(self, triples):
+        out = _run(triples, """
+SELECT ?s WHERE { ?s osmt:name ?n . FILTER (STRLEN(?n) > 4) }""")
+        assert [r.s for r in out.collect()] == ["osmnode:10"]  # 'alpha'
+        out2 = _run(triples, """
+SELECT ?s WHERE { ?s osmt:name ?n . FILTER (UCASE(?n) = 'BETA') }""")
+        assert [r.s for r in out2.collect()] == ["osmnode:11"]
+
+    def test_lcase_of_iri_and_nested(self, triples):
+        out = _run(triples, """
+SELECT ?s ?x WHERE {
+  ?s osmt:name ?n .
+  BIND (LCASE(CONCAT('N:', UCASE(?n))) AS ?x)
+}""")
+        got = {r.s: r.x for r in out.collect()}
+        assert got == {"osmnode:10": "n:alpha", "osmnode:11": "n:beta"}
