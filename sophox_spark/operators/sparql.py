@@ -99,7 +99,8 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
     (?P<comment>\#[^\n]*)
   | (?P<string>(?:'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-      (?:\^\^(?:<[^>]*>|[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?))?)
+      (?:\^\^(?:<[^>]*>|[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_:.-]*[A-Za-z0-9_-])?)
+        |@[A-Za-z][A-Za-z0-9-]*)?)
   | (?P<iri><[^>\s]*>)   # IRIs contain no whitespace — keeps '<'/'>'
                          # comparisons from tokenizing as one IRI
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
@@ -474,9 +475,11 @@ class _Parser:
             return Var(val[1:])
         if kind == "string":
             # normalize to the double-quoted TTL surface form, keeping
-            # any ^^datatype suffix ('"10"^^xsd:integer')
-            body, sep, dt = val.partition("^^")
-            return Term('"' + body[1:-1] + '"' + sep + dt)
+            # any ^^datatype or @lang suffix ('"10"^^xsd:integer',
+            # '"Wien"@de')
+            quote = val[0]
+            end = val.rfind(quote)
+            return Term('"' + val[1:end] + '"' + val[end + 1:])
         if kind in ("pname", "iri", "num"):
             return Term(val)
         if kind == "punct" and val == "[":  # pragma: no cover (not emitted)
@@ -491,6 +494,8 @@ class _Parser:
         "STRLEN": (1, 1), "UCASE": (1, 1), "LCASE": (1, 1),
         "SUBSTR": (2, 3), "REPLACE": (3, 3),
         "STRBEFORE": (2, 2), "STRAFTER": (2, 2),
+        "LANG": (1, 1), "DATATYPE": (1, 1),
+        "STRLANG": (2, 2), "STRDT": (2, 2),
     }
 
     def _expr(self):
@@ -1175,11 +1180,12 @@ class SparqlEngine:
 
     @staticmethod
     def _lex_expr(col):
-        """TTL surface form → lexical string value: strip ^^datatype
-        and surrounding quotes (SPARQL STR() and the string functions
-        operate on the lexical form); STR(<iri>) is the IRI string
-        without the angle brackets (spec §17.4.2.5)."""
+        """TTL surface form → lexical string value: strip ^^datatype /
+        @lang decoration and surrounding quotes (SPARQL STR() and the
+        string functions operate on the lexical form); STR(<iri>) is
+        the IRI string without the angle brackets (spec §17.4.2.5)."""
         s = F.regexp_replace(col, r"\^\^\S+$", "")
+        s = F.regexp_replace(s, r'@[A-Za-z][A-Za-z0-9-]*$', "")
         s = F.regexp_replace(s, r'^"(.*)"$', "$1")
         return F.regexp_replace(s, r"^<(.*)>$", "$1")
 
@@ -1208,6 +1214,34 @@ class SparqlEngine:
             return F.concat(*[cls._lex_expr(cls._expr_col(a)) for a in e[1]])
         if kind == "fn":
             _, fn, args = e
+            if fn in ("LANG", "DATATYPE", "STRDT", "STRLANG"):
+                # these inspect/construct the SURFACE form
+                raw = cls._expr_col(args[0])
+                if fn == "LANG":
+                    # '' for literals without a tag (spec §17.4.2.6)
+                    return F.regexp_extract(
+                        raw, r"@([A-Za-z][A-Za-z0-9-]*)$", 1
+                    )
+                if fn == "DATATYPE":
+                    dt = F.regexp_extract(raw, r"\^\^(\S+)$", 1)
+                    return (
+                        F.when(dt != "", dt)
+                        .when(
+                            raw.rlike(r"@[A-Za-z][A-Za-z0-9-]*$"),
+                            F.lit("rdf:langString"),
+                        )
+                        .when(raw.rlike(r'^".*"$'), F.lit("xsd:string"))
+                        .otherwise(F.lit(None).cast("string"))
+                    )
+                lex0 = cls._lex_expr(raw)
+                if fn == "STRLANG":
+                    tag = cls._lex_expr(cls._expr_col(args[1]))
+                    return F.concat(F.lit('"'), lex0, F.lit('"@'), tag)
+                # STRDT: the datatype argument keeps its surface form
+                # (prefixed name or <iri>)
+                return F.concat(
+                    F.lit('"'), lex0, F.lit('"^^'), cls._expr_col(args[1])
+                )
             lex = [cls._lex_expr(cls._expr_col(a)) for a in args]
             if fn == "STRLEN":
                 # xsd:integer result kept as a bare numeric string —
@@ -1246,6 +1280,8 @@ class SparqlEngine:
     @staticmethod
     def _lexical_of(text: str) -> str:
         s = re.sub(r"\^\^\S+$", "", text)
+        if s and s[0] in "\"'":
+            s = re.sub(r"@[A-Za-z][A-Za-z0-9-]*$", "", s)
         if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
             s = s[1:-1]
         elif len(s) >= 2 and s[0] == "<" and s[-1] == ">":

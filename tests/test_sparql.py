@@ -994,3 +994,58 @@ SELECT ?s ?x WHERE {
 }""")
         got = {r.s: r.x for r in out.collect()}
         assert got == {"osmnode:10": "n:alpha", "osmnode:11": "n:beta"}
+
+
+class TestLanguageTaggedLiterals:
+    @pytest.fixture(scope="class")
+    def lang_triples(self, spark):
+        return spark.createDataFrame(
+            [("x:1", "p:label", '"Vienna"@en'),
+             ("x:1", "p:label", '"Wien"@de'),
+             ("x:1", "p:pop", '"1900000"^^xsd:integer'),
+             ("x:1", "p:note", '"plain"')],
+            "s string, p string, o string",
+        )
+
+    def test_lang_and_str_strip_tag(self, lang_triples):
+        out = sparql.SparqlEngine(lang_triples).select("""
+SELECT ?l ?tag ?lex WHERE {
+  x:1 p:label ?l .
+  BIND (LANG(?l) AS ?tag)
+  BIND (STR(?l) AS ?lex)
+}""")
+        got = {r.tag: (r.l, r.lex) for r in out.collect()}
+        assert got == {"en": ('"Vienna"@en', "Vienna"),
+                       "de": ('"Wien"@de', "Wien")}
+
+    def test_lang_empty_for_untagged(self, lang_triples):
+        out = sparql.SparqlEngine(lang_triples).select("""
+SELECT ?tag WHERE { x:1 p:note ?n . BIND (LANG(?n) AS ?tag) }""")
+        assert [r.tag for r in out.collect()] == [""]
+
+    def test_filter_by_lang(self, lang_triples):
+        out = sparql.SparqlEngine(lang_triples).select("""
+SELECT ?l WHERE { x:1 p:label ?l . FILTER (LANG(?l) = 'de') }""")
+        assert [r.l for r in out.collect()] == ['"Wien"@de']
+
+    def test_datatype(self, lang_triples):
+        out = sparql.SparqlEngine(lang_triples).select("""
+SELECT ?p ?dt WHERE { x:1 ?p ?o . BIND (DATATYPE(?o) AS ?dt) }""")
+        got = {(r.p, r.dt) for r in out.collect()}
+        assert got == {("p:label", "rdf:langString"),
+                       ("p:pop", "xsd:integer"),
+                       ("p:note", "xsd:string")}
+
+    def test_strlang_strdt_and_lang_literal_terms(self, lang_triples):
+        eng = sparql.SparqlEngine(lang_triples)
+        out = eng.select("""
+SELECT ?x ?y WHERE {
+  x:1 p:note ?n .
+  BIND (STRLANG(STR(?n), 'fr') AS ?x)
+  BIND (STRDT('5', xsd:integer) AS ?y)
+}""")
+        r = out.collect()[0]
+        assert r.x == '"plain"@fr' and r.y == '"5"^^xsd:integer'
+        # language-tagged literal as a query TERM matches by surface form
+        out2 = eng.select("SELECT ?s WHERE { ?s p:label 'Wien'@de . }")
+        assert [r.s for r in out2.collect()] == ["x:1"]
