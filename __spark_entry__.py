@@ -2585,6 +2585,79 @@ LEFT JOIN hist ON hist.media_id = s.media_id AND hist.bucket = b.bucket
 """
 
 
+def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode through the from-scratch baseline codec
+    (functions/jpeg.py: markers/DQT/SOF0/DHT/entropy scan with byte
+    stuffing and restart intervals/Huffman+DPCM/batched IDCT/420
+    upsampling/YCbCr). Fixtures are constant gray-valued images with
+    EVEN values, whose quantized DC is exact ((v-128)*8/16 integral)
+    so the lossy pipeline reproduces v EXACTLY in all three layouts
+    (grayscale, RGB 4:4:4, RGB 4:2:0 with restart intervals) — the
+    DuckDB oracle states the closed form with zero codec math. The
+    decoder is independently pinned to hand-assembled spec bit streams
+    in tests/test_jpeg.py, so symmetric encode+decode bugs can't
+    cancel."""
+    import numpy as np
+
+    from sophox_spark.functions import jpeg as _jpeg
+    from sophox_spark.operators import multimodal
+
+    ids = spark.range(36).withColumnRenamed("id", "media_id").coalesce(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = 16 + (i % 5) * 8, 8 + (i % 4) * 8
+                v = 2 * ((i * 37) % 128)
+                kind = i % 3
+                if kind == 0:
+                    img = np.full((h, w), v, np.uint8)
+                    payloads.append(_jpeg.encode(img))
+                elif kind == 1:
+                    img = np.full((h, w, 3), v, np.uint8)
+                    payloads.append(_jpeg.encode(img, "444"))
+                else:
+                    img = np.full((h, w, 3), v, np.uint8)
+                    payloads.append(
+                        _jpeg.encode(img, "420", restart_interval=2)
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    decoded = multimodal.decode_images(media)
+    return decoded.select(
+        "media_id", "width", "height", "channels", "mean_value",
+        F.posexplode("hist16"),
+    ).select(
+        "media_id", "width", "height", "channels", "mean_value",
+        F.col("pos").cast("long").alias("bucket"),
+        F.col("col").alias("n_px"),
+    )
+
+
+def _jpeg_decode_sql() -> str:
+    return """
+WITH imgs AS (
+  SELECT i AS media_id,
+         16 + (i % 5) * 8 AS w, 8 + (i % 4) * 8 AS h,
+         2 * ((i * 37) % 128) AS v,
+         CASE WHEN i % 3 = 0 THEN 1 ELSE 3 END AS ch
+  FROM range(36) t(i)
+)
+SELECT media_id, w AS width, h AS height, ch AS channels,
+       CAST(v AS DOUBLE) AS mean_value, b.bucket,
+       CAST(CASE WHEN b.bucket = v // 16 THEN w * h * ch ELSE 0 END
+            AS BIGINT) AS n_px
+FROM imgs CROSS JOIN range(16) b(bucket)
+"""
+
+
 _WIKI_UPSERT_FIXTURE = """
 WITH ebase AS (
   SELECT DISTINCT event_id % 97 AS it, event_id % 7 AS pr, event_id % 13 AS vl
@@ -3072,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_embeddings": _q_ivf_embeddings,
         "q_multimodal_meta": _q_multimodal_meta,
         "q_multimodal_decode": _q_multimodal_decode,
+        "q_jpeg_decode": _q_jpeg_decode,
         "q_audio_decode": _q_audio_decode,
         "q_video_decode": _q_video_decode,
         "q_page_mentions": _q_page_mentions,
@@ -3160,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "q_vector_tiles": _vector_tiles_sql(),
         "q_regions_clipped": _regions_clipped_sql(),
         "q_multimodal_decode": _multimodal_decode_sql(),
+        "q_jpeg_decode": _jpeg_decode_sql(),
         "q_audio_decode": _audio_decode_sql(),
         "q_video_decode": _video_decode_sql(),
     }

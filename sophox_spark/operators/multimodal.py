@@ -38,16 +38,20 @@ def make_audio_payload(rate: int, n_samples: int, seed: int = 0) -> bytes:
 
 def real_decode_image(payload: bytes) -> np.ndarray:
     """Real codec path: PNG via the from-scratch zlib+numpy decoder
-    (functions/png.py — signature/chunk-CRC/IHDR/IDAT inflate/all five
-    scanline filters), falling back to the synthetic IMG1 container.
-    Returns an (h, w, c) uint8 array; raises PngFormatError loudly on
-    malformed or out-of-subset input (palette/16-bit/interlace) —
-    never a silent wrong image."""
-    from ..functions import png
+    (functions/png.py) and baseline JPEG via the from-scratch
+    marker/Huffman/IDCT decoder (functions/jpeg.py — the format real
+    crawls actually carry), falling back to the synthetic IMG1
+    container. Returns an (h, w, c) uint8 array; raises loudly on
+    malformed or out-of-subset input (palette/16-bit/interlaced PNG,
+    progressive/arithmetic JPEG) — never a silent wrong image."""
+    from ..functions import jpeg, png
 
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return png.decode(b)
+    if b[:2] == b"\xff\xd8":
+        img = jpeg.decode(b)
+        return img if img.ndim == 3 else img[:, :, None]
     if b[:4] == b"IMG1":
         w, h, c = struct.unpack_from("<IIB", b, 4)
         return np.frombuffer(b, dtype=np.uint8, offset=13).reshape(h, w, c)

@@ -1,0 +1,185 @@
+"""From-scratch baseline JPEG codec (functions/jpeg.py).
+
+The decoder is pinned to HAND-ASSEMBLED spec byte streams (markers +
+hand-derived Huffman bit strings) with analytically known pixel
+output, plus an independent O(N^4) direct-sum IDCT oracle — a
+symmetric encoder+decoder bug cannot cancel."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sophox_spark.functions import jpeg
+
+
+def direct_idct(F):
+    """T.81 A.3.3 direct-sum IDCT — independent of the codec's
+    batched matrix formulation."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * F[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+def _segment(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _minimal_gray_stream(entropy: bytes) -> bytes:
+    """8x8 grayscale baseline stream: flat all-16 quant table, standard
+    luma Huffman tables, caller-supplied entropy bytes."""
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xDB, bytes([0x00]) + bytes([16] * 64))
+    out += _segment(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    bits, vals = jpeg.STD_DC_LUMA
+    out += _segment(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    bits, vals = jpeg.STD_AC_LUMA
+    out += _segment(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    out += _segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+class TestPinnedStreams:
+    def test_dc_only_block(self):
+        # hand-derived bits with the standard DC luma table:
+        # DC diff +32 -> category 6 (code 1110) + '100000'; EOB = 1010
+        # bit string 1110 100000 1010 padded -> 0xE8 0x28
+        img = jpeg.decode(_minimal_gray_stream(bytes([0xE8, 0x28])))
+        # DC 32 x q 16 = 512 -> +512/8 = +64 on the level-shifted plane
+        assert img.shape == (8, 8, 1)
+        assert np.all(img == 192)
+
+    def test_dc_plus_ac_block_vs_direct_idct(self):
+        # DC +32 then AC at zigzag index 1 (=F[0,1]): run 0/size 4
+        # (symbol 0x04 -> code 1011) + '1000' (value 8), EOB 1010:
+        # 1110 100000 1011 1000 1010 -> 0xE8 0x2E 0x28
+        img = jpeg.decode(_minimal_gray_stream(bytes([0xE8, 0x2E, 0x28])))
+        F = np.zeros((8, 8))
+        F[0, 0] = 32 * 16
+        F[0, 1] = 8 * 16
+        want = np.clip(np.round(direct_idct(F) + 128), 0, 255).astype(np.uint8)
+        assert np.array_equal(img[:, :, 0], want)
+
+    def test_negative_dc_ones_complement_code(self):
+        # DC diff -32: category 6, magnitude code = -32 + 63 = 31
+        # ('011111') -> bits 1110 011111 1010 pad -> 0xE7 0xE8
+        img = jpeg.decode(_minimal_gray_stream(bytes([0xE7, 0xE8])))
+        assert np.all(img == 128 - 64)
+
+
+class TestIdctOracle:
+    def test_batched_idct_matches_direct_sum(self):
+        rng = np.random.default_rng(5)
+        F = rng.integers(-200, 200, (4, 8, 8)).astype(np.float64)
+        got = jpeg.idct_blocks(F)
+        for i in range(4):
+            assert np.allclose(got[i], direct_idct(F[i]), atol=1e-9)
+
+    def test_fdct_idct_inverse(self):
+        rng = np.random.default_rng(6)
+        f = rng.uniform(-128, 127, (3, 8, 8))
+        assert np.allclose(jpeg.idct_blocks(jpeg.fdct_blocks(f)), f, atol=1e-9)
+
+
+class TestRoundtrip:
+    def test_constant_even_gray_exact(self):
+        for v in (0, 8, 56, 128, 200, 254):
+            img = np.full((24, 40), v, np.uint8)
+            dec = jpeg.decode(jpeg.encode(img))
+            assert dec.shape == (24, 40, 1) and np.all(dec == v)
+
+    def test_constant_grayvalued_rgb_exact(self):
+        # r=g=b=v (even): Y=v, Cb=Cr=128 -> chroma DC 0 -> exact
+        for sub in ("444", "420"):
+            img = np.full((20, 28, 3), 88, np.uint8)
+            dec = jpeg.decode(jpeg.encode(img, sub))
+            assert dec.shape == (20, 28, 3) and np.all(dec == 88)
+
+    def test_smooth_image_error_bound(self):
+        xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+        rgb = np.stack(
+            [((xx + yy) % 200 + 20), (xx % 180 + 30), (yy % 150 + 50)],
+            axis=-1,
+        ).astype(np.uint8)
+        for sub in ("444", "420"):
+            dec = jpeg.decode(jpeg.encode(rgb, sub))
+            err = np.abs(dec.astype(int) - rgb.astype(int))
+            assert err.max() <= 16 and err.mean() < 3.0
+
+    def test_restart_intervals_roundtrip(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        plain = jpeg.decode(jpeg.encode(img, "420"))
+        with_rst = jpeg.encode(img, "420", restart_interval=2)
+        assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+        assert np.array_equal(jpeg.decode(with_rst), plain)
+
+    def test_byte_stuffing_present_and_handled(self):
+        # search a seed whose entropy stream contains a stuffed 0xFF00
+        for seed in range(40):
+            img = np.random.default_rng(seed).integers(
+                0, 256, (24, 24), dtype=np.uint8
+            )
+            data = jpeg.encode(img)
+            i = data.find(b"\xff\xda")
+            seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+            if b"\xff\x00" in data[i + 2 + seglen : -2]:
+                jpeg.decode(data)  # must not misparse
+                return
+        pytest.skip("no stuffed byte produced in 40 seeds")
+
+    def test_odd_dimensions_and_single_channel_3d(self):
+        img = np.full((13, 17, 1), 100, np.uint8)
+        dec = jpeg.decode(jpeg.encode(img))
+        assert dec.shape == (13, 17, 1) and np.all(dec == 100)
+
+
+class TestFailLoud:
+    def _stream(self):
+        return bytearray(jpeg.encode(np.zeros((8, 8), np.uint8)))
+
+    def test_progressive_refused(self):
+        s = self._stream()
+        s[s.find(b"\xff\xc0") + 1] = 0xC2
+        with pytest.raises(jpeg.JpegFormatError, match="baseline"):
+            jpeg.decode(bytes(s))
+
+    def test_arithmetic_refused(self):
+        s = self._stream()
+        s[s.find(b"\xff\xc4") + 1] = 0xCC
+        with pytest.raises(jpeg.JpegFormatError, match="arithmetic"):
+            jpeg.decode(bytes(s))
+
+    def test_not_a_jpeg(self):
+        with pytest.raises(jpeg.JpegFormatError, match="SOI"):
+            jpeg.decode(b"\x89PNG1234")
+
+    def test_truncated_entropy(self):
+        s = bytes(self._stream())
+        with pytest.raises(jpeg.JpegFormatError):
+            jpeg.decode(s[: s.find(b"\xff\xda") + 8])
+
+
+def test_multimodal_dispatch_jpeg():
+    from sophox_spark.operators.multimodal import real_decode_image
+
+    img = np.full((16, 16, 3), 64, np.uint8)
+    out = real_decode_image(jpeg.encode(img, "420"))
+    assert out.shape == (16, 16, 3) and np.all(out == 64)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
