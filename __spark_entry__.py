@@ -2641,6 +2641,90 @@ def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode→resize→stats over real PNG payloads: the gradient images
+    of q_multimodal_decode are PNG-decoded, nearest-neighbor resized
+    (floor index math: src = dst*size_in//size_out), and reduced to
+    exact pixel stats. The oracle replays the INDEX ARITHMETIC — a
+    codec bug, a resize off-by-one, or a channel-order slip all break
+    the hash."""
+    import numpy as np
+
+    from sophox_spark.functions import png as _png
+    from sophox_spark.operators import multimodal
+
+    ids = spark.range(48).withColumnRenamed("id", "media_id").coalesce(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 7
+                ch = 3 if i % 2 == 0 else 1
+                ca, cb = 3 + i % 4, 5 + i % 3
+                v = (
+                    ca * np.arange(w)[None, :, None]
+                    + cb * np.arange(h)[:, None, None]
+                    + 7 * np.arange(ch)[None, None, :]
+                    + i
+                ) % 256
+                payloads.append(_png.encode(v.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    resized = multimodal.resize_images(media, out_w=6, out_h=5)
+    decoded = multimodal.decode_images(resized)
+    return decoded.select(
+        "media_id", "width", "height", "channels", "mean_value",
+        F.posexplode("hist16"),
+    ).select(
+        "media_id", "width", "height", "channels", "mean_value",
+        F.col("pos").cast("long").alias("bucket"),
+        F.col("col").alias("n_px"),
+    )
+
+
+def _image_resize_sql() -> str:
+    return """
+WITH imgs AS (
+  SELECT i AS media_id,
+         8 + i % 5 AS w, 6 + i % 7 AS h,
+         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch,
+         3 + i % 4 AS ca, 5 + i % 3 AS cb
+  FROM range(48) t(i)
+),
+px AS (  -- nearest-neighbor source index: floor(dst * in // out)
+  SELECT media_id, ch,
+         (ca * (x * w // 6) + cb * (y * h // 5) + 7 * c + media_id) % 256 AS v
+  FROM imgs
+  CROSS JOIN range(6) tx(x)
+  CROSS JOIN range(5) ty(y)
+  CROSS JOIN range(4) tc(c)
+  WHERE c < ch
+),
+stats AS (
+  SELECT media_id, ch,
+         CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_value
+  FROM px GROUP BY media_id, ch
+),
+hist AS (
+  SELECT media_id, v // 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_px
+  FROM px GROUP BY media_id, v // 16
+)
+SELECT s.media_id, CAST(6 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+       s.ch AS channels, s.mean_value, b.bucket,
+       CAST(COALESCE(hist.n_px, 0) AS BIGINT) AS n_px
+FROM stats s
+CROSS JOIN range(16) b(bucket)
+LEFT JOIN hist ON hist.media_id = s.media_id AND hist.bucket = b.bucket
+"""
+
+
 def _jpeg_decode_sql() -> str:
     return """
 WITH imgs AS (
@@ -3146,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": _q_multimodal_meta,
         "q_multimodal_decode": _q_multimodal_decode,
         "q_jpeg_decode": _q_jpeg_decode,
+        "q_image_resize": _q_image_resize,
         "q_audio_decode": _q_audio_decode,
         "q_video_decode": _q_video_decode,
         "q_page_mentions": _q_page_mentions,
@@ -3235,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
         "q_regions_clipped": _regions_clipped_sql(),
         "q_multimodal_decode": _multimodal_decode_sql(),
         "q_jpeg_decode": _jpeg_decode_sql(),
+        "q_image_resize": _image_resize_sql(),
         "q_audio_decode": _audio_decode_sql(),
         "q_video_decode": _video_decode_sql(),
     }

@@ -242,23 +242,33 @@ def decode_media_meta(media_df: DataFrame, id_col="media_id", payload_col="paylo
     ).mapInPandas(gen, MEDIA_META_SCHEMA)
 
 
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Floor-index nearest-neighbor resize: out[y, x] = in[y*h//out_h,
+    x*w//out_w] — exact integer index math, replayable in SQL."""
+    h, w = px.shape[:2]
+    yi = np.arange(out_h) * h // out_h
+    xi = np.arange(out_w) * w // out_w
+    return px[yi][:, xi]
+
+
 def resize_images(media_df: DataFrame, out_w: int, out_h: int,
                   id_col="media_id", payload_col="payload") -> DataFrame:
-    """Nearest-neighbor resize of IMG1 payloads (numpy index math — a
-    stand-in for the codec resize; the Spark plumbing is the point)."""
+    """Nearest-neighbor resize over ANY decodable image payload (PNG /
+    baseline JPEG / IMG1 via ``real_decode_image``), re-emitted as the
+    IMG1 raw container (downstream training pipelines want raw pixels,
+    not a re-encode). Undecodable payloads drop, like decode_images'
+    skip policy."""
 
     def gen(batches):
         for pdf in batches:
             ids, blobs = [], []
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(blob)
-                if b[:4] != b"IMG1":
+                try:
+                    px = real_decode_image(blob)
+                except (ValueError, zlib.error, struct.error):
                     continue
-                w, h, c = struct.unpack_from("<IIB", b, 4)
-                px = np.frombuffer(b, dtype=np.uint8, offset=13).reshape(h, w, c)
-                yi = (np.arange(out_h) * h // out_h)
-                xi = (np.arange(out_w) * w // out_w)
-                out = px[yi][:, xi]
+                out = resize_nearest(px, out_w, out_h)
+                c = out.shape[2]
                 ids.append(mid)
                 blobs.append(
                     b"IMG1" + struct.pack("<IIB", out_w, out_h, c) + out.tobytes()
