@@ -496,7 +496,7 @@ def encode(
     gray = img.ndim == 2
     if not gray and img.shape[2] != 3:
         raise JpegFormatError(f"cannot encode {img.shape[2]}-channel image")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
     h, w = img.shape[:2]
 
@@ -510,12 +510,14 @@ def encode(
     if not gray:
         segment(0xDB, bytes([0x01]) + bytes(STD_CHROMA_Q[ZIGZAG].astype(np.uint8)))
 
-    sub = 2 if (not gray and subsampling == "420") else 1
+    # luma sampling factors per mode: 444 → 1x1, 422 → 2x1, 420 → 2x2
+    sh = 2 if (not gray and subsampling in ("422", "420")) else 1
+    sv = 2 if (not gray and subsampling == "420") else 1
     # SOF0
     if gray:
         comps = [(1, 0x11, 0)]
     else:
-        comps = [(1, (sub << 4) | sub, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        comps = [(1, (sh << 4) | sv, 0), (2, 0x11, 1), (3, 0x11, 1)]
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, hv, tq in comps:
         sof += bytes([cid, hv, tq])
@@ -549,14 +551,15 @@ def encode(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if sub == 2:
-            # average 2x2 → quarter-size chroma
-            my, mx = -(-h // 16) * 16, -(-w // 16) * 16
+        if sh == 2 or sv == 2:
+            # average sh×sv neighborhoods → subsampled chroma
+            my = -(-h // (8 * sv)) * 8 * sv
+            mx = -(-w // (8 * sh)) * 8 * sh
             cbp = _pad(cb, my, mx)
             crp = _pad(cr, my, mx)
-            cb = cbp.reshape(my // 2, 2, mx // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(my // 2, 2, mx // 2, 2).mean(axis=(1, 3))
-        planes = [(y, STD_LUMA_Q, sub, sub), (cb, STD_CHROMA_Q, 1, 1),
+            cb = cbp.reshape(my // sv, sv, mx // sh, sh).mean(axis=(1, 3))
+            cr = crp.reshape(my // sv, sv, mx // sh, sh).mean(axis=(1, 3))
+        planes = [(y, STD_LUMA_Q, sh, sv), (cb, STD_CHROMA_Q, 1, 1),
                   (cr, STD_CHROMA_Q, 1, 1)]
 
     hmax = max(p[2] for p in planes)

@@ -183,3 +183,16 @@ def test_multimodal_dispatch_jpeg():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_422_subsampling_roundtrip():
+    xx, yy = np.meshgrid(np.arange(60), np.arange(44))
+    rgb = np.stack(
+        [((xx + yy) % 200 + 20), (xx % 180 + 30), (yy % 150 + 50)],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = jpeg.decode(jpeg.encode(rgb, "422"))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert dec.shape == rgb.shape and err.max() <= 16 and err.mean() < 3.0
+    flat = np.full((20, 28, 3), 88, np.uint8)
+    assert np.all(jpeg.decode(jpeg.encode(flat, "422")) == 88)
