@@ -116,6 +116,23 @@ def main() -> None:
     png_sec = time.perf_counter() - t0
     png_mb = n_dec * img.nbytes / (1 << 20)
 
+    # codec side-metric #3: baseline JPEG decode (4:2:0, the dominant
+    # real-crawl image format) — smooth gradient, 512x512 RGB
+    from sophox_spark.functions import jpeg as jpeg_codec
+
+    gx, gy = np.meshgrid(np.arange(512), np.arange(512))
+    jimg = np.stack(
+        [((gx + gy) % 200 + 20), (gx % 180 + 30), (gy % 150 + 50)],
+        axis=-1,
+    ).astype(np.uint8)
+    jenc = jpeg_codec.encode(jimg, "420")
+    jpeg_codec.decode(jenc)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jpeg_codec.decode(jenc)
+    jpeg_sec = time.perf_counter() - t0
+    jpeg_mb = 3 * jimg.nbytes / (1 << 20)
+
     joined_rows = counts["q_pip_engine"]
     pip_sec = timings["q_pip_engine"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -129,6 +146,7 @@ def main() -> None:
         "spatial_join_rows_per_sec": round(joined_rows / pip_sec, 1) if pip_sec else None,
         "pbf_decode_elements_per_sec": round(n_el / pbf_sec, 1) if pbf_sec else None,
         "png_decode_mb_per_sec": round(png_mb / png_sec, 1) if png_sec else None,
+        "jpeg_decode_mb_per_sec": round(jpeg_mb / jpeg_sec, 1) if jpeg_sec else None,
         "cpus": CPUS,
     }
     # attach the N->4N scaling evidence (tools/bench_scaling.py):
