@@ -950,7 +950,23 @@ class SparqlEngine:
                 sub = self._group(block[1], None)
                 shared = [c for c in cur.columns if c in sub.columns]
                 if shared:
-                    cur = cur.join(sub, shared, "left_anti")
+                    # §8.3.3 compatibility: solutions must agree on
+                    # every MUTUALLY BOUND shared var (NULL on either
+                    # side is compatible) AND share ≥1 both-bound var
+                    # (non-empty domain intersection) — a plain
+                    # null-rejecting equi-join would keep left rows the
+                    # spec removes when a shared var is unbound.
+                    la, ra = cur.alias("__ml"), sub.alias("__mr")
+                    agree = F.lit(True)
+                    both = F.lit(False)
+                    for c in shared:
+                        lc = F.col(f"__ml.{c}")
+                        rc = F.col(f"__mr.{c}")
+                        agree = agree & (
+                            (lc == rc) | lc.isNull() | rc.isNull()
+                        )
+                        both = both | (lc.isNotNull() & rc.isNotNull())
+                    cur = la.join(ra, agree & both, "left_anti")
         for block in filters:
             cur = cur.filter(self._bool_col(block[1]))
         return cur
@@ -1306,8 +1322,35 @@ class SparqlEngine:
                 "aggregate calls are only allowed inside HAVING"
             )
         if op in ("in", "not_in"):
-            col = F.col(left.name) if isinstance(left, Var) else F.lit(left.text)
-            c = col.isin([t.text for t in right])
+            lexical = isinstance(left, ExprVal)
+            if lexical:
+                # function call on the left: compare LEXICAL values
+                # (_expr_col yields plain lexical strings)
+                col = cls._expr_col(left.ast)
+            else:
+                col = (
+                    F.col(left.name) if isinstance(left, Var)
+                    else F.lit(left.text)
+                )
+
+            def rside(t):
+                if isinstance(t, Var):
+                    return (
+                        cls._lex_expr(F.col(t.name)) if lexical
+                        else F.col(t.name)
+                    )
+                return F.lit(cls._lexical_of(t.text) if lexical else t.text)
+
+            lits = [t for t in right if not isinstance(t, Var)]
+            vs = [t for t in right if isinstance(t, Var)]
+            c = (
+                col.isin([
+                    cls._lexical_of(t.text) if lexical else t.text
+                    for t in lits
+                ]) if lits else F.lit(False)
+            )
+            for v in vs:
+                c = c | (col == rside(v))
             return ~c if op == "not_in" else c
         if op.startswith("fn:"):
             # string functions operate on LEXICAL values (decoration

@@ -95,8 +95,15 @@ def _snak_value_key(snak: dict) -> str:
     return str(val)
 
 
+# The reference's merge_all properties (Properties.py:186,195,210,211:
+# P22 requires-key-or-tag, P18 diff-from, P45 implies, P46 combination)
+# keep their statements in input order — Sorter.py:188 skips sorting
+# them — so they are the default no-sort set here too.
+MERGE_ALL_PROPS = frozenset({"P22", "P18", "P45", "P46"})
+
+
 def canonicalize_item(
-    content: dict, no_sort_props: frozenset = frozenset()
+    content: dict, no_sort_props: frozenset = MERGE_ALL_PROPS
 ) -> dict:
     """One wikibase item JSON → canonical shape (Sorter.order,
     Sorter.py:174-200): root order, en-first languages, claims in
@@ -168,20 +175,37 @@ def sort_claims(
     prop_col: str = "prop",
     value_col: str = "value",
     rank_col: str = "rank",
+    no_sort_props: frozenset = MERGE_ALL_PROPS,
+    input_order_col: str | None = None,
 ) -> DataFrame:
     """Flat claims table → the same rows with ``pos``: each claim's
     0-based position in its item's canonical order (prop by PROP_ORDER
     then id, statements preferred-first then by value), P5/P24 claims
     deleted. One window rank over (item) — the distributed equivalent
-    of Sorter.order for claim statements."""
+    of Sorter.order for claim statements.
+
+    ``no_sort_props`` (default: the reference's merge_all set,
+    Sorter.py:188) keeps statements in INPUT order — but a DataFrame is
+    unordered, so that order must arrive as an explicit
+    ``input_order_col``; when none is given, those props fall back to
+    the rank+value key so the output stays deterministic (documented
+    deviation for order-free inputs)."""
     kept = claims_df.filter(~F.col(prop_col).isin(*PROP_DELETE))
-    key = F.concat(
-        F.lpad(_prop_rank_expr(F.col(prop_col)).cast("string"), 5, "0"),
-        F.lit(":"), F.col(prop_col), F.lit(":"),
+    stmt_key = F.concat(
         F.when(F.col(rank_col) == "preferred", F.lit(" ")).otherwise(
             F.lit("_")
         ),
         F.col(value_col),
+    )
+    if input_order_col is not None and no_sort_props:
+        stmt_key = F.when(
+            F.col(prop_col).isin(*no_sort_props),
+            F.lpad(F.col(input_order_col).cast("string"), 12, "0"),
+        ).otherwise(stmt_key)
+    key = F.concat(
+        F.lpad(_prop_rank_expr(F.col(prop_col)).cast("string"), 5, "0"),
+        F.lit(":"), F.col(prop_col), F.lit(":"),
+        stmt_key,
     )
     w = Window.partitionBy(item_col).orderBy(key)
     return kept.withColumn("pos", F.row_number().over(w) - F.lit(1))

@@ -94,6 +94,14 @@ _RE_WIKIDATA = re.compile(r"^(Q|Property:P)[1-9][0-9]{0,11}$")
 _GOOD_VALUE = re.compile(r"^[a-zA-Z0-9]+([-: _.][a-zA-Z0-9]+)*:?$")
 _KEYS_RE = re.compile(r"^(Key|Tag|Relation):(.+)$", re.IGNORECASE)
 
+# free-text links like [[Relation:route|route]] inside combination
+# lists (utils.py:123 re_tag_link, optional language prefix)
+_RE_TAG_LINK = re.compile(
+    r"\[\[(?:(" + "|".join(sorted(LANGUAGES)) + r"):)?"
+    r"(Key|Tag|Relation):([^|\]]+)(?:\|([^|\]]+))?\]\]",
+    re.IGNORECASE,
+)
+
 _DESCRIPTION_TEMPLATES = (
     "keydescription", "template:keydescription", "pl:keydescription",
     "valuedescription", "template:valuedescription", "pl:valuedescription",
@@ -221,7 +229,9 @@ def _parse_tag_template(name: str, params: dict, messages: list) -> list:
     for val in re.split(r"[/;]+", value):
         val = val.strip()
         if val and not _GOOD_VALUE.match(val):
-            continue
+            # reference (DescriptionParserItem.py:251-255) logs but
+            # STILL yields the item — mirror that
+            messages.append(f"Bad Tag val {val}")
         if _GOOD_VALUE.match(key):
             items.append(("Tag", f"{key}={val}") if val else ("Key", key))
     return items
@@ -283,6 +293,17 @@ def normalize_params(template: str, params: dict, messages: list) -> dict:
             items: list = []
             for name, tparams in _extract_templates(tval):
                 items.extend(_parse_tag_template(name, tparams, messages))
+            # free-text [[Relation:...]] links (parse_combinations,
+            # DescriptionParserItem.py:184-191): Relation links become
+            # items; Key/Tag links are only logged by the reference
+            for _lang, typ, lnk, _freetext in _RE_TAG_LINK.findall(tval):
+                if typ.lower() == "relation":
+                    items.append(("Relation", lnk))
+                else:
+                    messages.append(
+                        f"Parsed link in {tkey} is unrecognized: "
+                        f"{typ}:{lnk}"
+                    )
             if items:
                 setter(tkey, ";".join(f"{t} {i}" for t, i in items))
                 setter(tkey + "!text", tval)

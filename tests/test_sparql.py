@@ -1049,3 +1049,53 @@ SELECT ?x ?y WHERE {
         # language-tagged literal as a query TERM matches by surface form
         out2 = eng.select("SELECT ?s WHERE { ?s p:label 'Wien'@de . }")
         assert [r.s for r in out2.collect()] == ["x:1"]
+
+
+class TestRound5AdviceFixes:
+    """MINUS §8.3.3 unbound-var compatibility + function calls on the
+    left of IN/NOT IN."""
+
+    def test_minus_unbound_shared_var_removes(self, triples):
+        # left: rels with OPTIONAL loc (?l NULL for rel2/rel3); right:
+        # member locations binding (?rel, ?l). rel2's left ?l is
+        # unbound -> per spec still COMPATIBLE with the right solution
+        # (rel2, l=Point(3 3)) because compatibility only constrains
+        # mutually bound vars and dom-intersection {rel} is non-empty,
+        # so rel2 must be removed (a null-rejecting equi-join would
+        # keep it).
+        out = _run(triples, """
+SELECT ?rel WHERE {
+  ?rel osmm:type 'r' .
+  OPTIONAL { ?rel osmm:loc ?l }
+  MINUS { ?rel osmm:has ?m . ?m osmm:loc ?l }
+}""")
+        assert sorted(r.rel for r in out.collect()) == ["osmrel:1", "osmrel:3"]
+
+    def test_filter_fn_call_in_list(self, triples):
+        # function call on the left of IN compares lexical values
+        out = _run(triples, """
+SELECT ?s WHERE {
+  ?s osmt:name ?n .
+  FILTER (UCASE(?n) IN ("ALPHA", "GAMMA"))
+}""")
+        assert [r.s for r in out.collect()] == ["osmnode:10"]
+
+    def test_filter_fn_call_not_in_list(self, triples):
+        out = _run(triples, """
+SELECT ?s WHERE {
+  ?s osmt:name ?n .
+  FILTER (STRLEN(?n) NOT IN ("5"))
+}""")
+        # beta has 4 chars; alpha has 5
+        assert [r.s for r in out.collect()] == ["osmnode:11"]
+
+    def test_filter_var_in_var_list(self, triples):
+        # a Var on the right side of IN compares against the column
+        out = _run(triples, """
+SELECT ?a ?b WHERE {
+  ?a osmt:name ?n .
+  ?b osmt:name ?n2 .
+  FILTER (?n IN (?n2))
+  FILTER (?a != ?b)
+}""")
+        assert out.count() == 0

@@ -93,6 +93,33 @@ class TestParamNormalization:
         assert items == [("Tag", "fuel:octane_95=yes"),
                          ("Tag", "fuel:octane_95=no")]
 
+    def test_bad_tag_value_logged_but_yielded(self):
+        # DescriptionParserItem.py:251-255: a bad value logs
+        # 'Bad Tag val' but the item is STILL yielded
+        msgs = []
+        items = wd._parse_tag_template(
+            "Tag", {"1": "highway", "2": "bad!!value"}, msgs)
+        assert items == [("Tag", "highway=bad!!value")]
+        assert any("Bad Tag val" in m for m in msgs)
+
+    def test_relation_link_extraction(self):
+        # free-text [[Relation:...]] links inside combination lists
+        # (parse_combinations, DescriptionParserItem.py:184-191)
+        r, _ = self.run(
+            "keydescription",
+            {"combination": "{{Key|surface}} and [[Relation:route|a route]]"},
+        )
+        assert r["combination"] == "Key surface;Relation route"
+        # Key/Tag links are logged, not extracted
+        r2, msgs2 = self.run(
+            "keydescription", {"combination": "[[Key:lanes|lanes]]"})
+        assert "combination" not in r2
+        assert any("unrecognized" in m for m in msgs2)
+        # language-prefixed Relation link
+        r3, _ = self.run(
+            "keydescription", {"combination": "[[DE:Relation:route]]"})
+        assert r3["combination"] == "Relation route"
+
 
 class TestIdExtractor:
     def test_key_id(self):

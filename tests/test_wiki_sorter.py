@@ -77,6 +77,22 @@ class TestCanonicalizeItem:
                 for c in out["claims"]["P46"]]
         assert vals == ["z", "a"]  # merge_all props keep input order
 
+    def test_merge_all_props_unsorted_by_default(self):
+        # the DEFAULT no-sort set is the reference's merge_all
+        # properties (Properties.py: P22, P18, P45, P46) — Sorter.py:188
+        # skips sorting them, so the default must too
+        def claim(v):
+            return {"rank": "normal",
+                    "mainsnak": {"datavalue": {"value": v}}}
+
+        item = {"claims": {p: [claim("z"), claim("a")]
+                           for p in ("P22", "P18", "P45", "P46")}}
+        out = ws.canonicalize_item(item)
+        for p in ("P22", "P18", "P45", "P46"):
+            vals = [c["mainsnak"]["datavalue"]["value"]
+                    for c in out["claims"][p]]
+            assert vals == ["z", "a"], p
+
     def test_monolingual_claim_value_order(self):
         def mono(lang):
             return {"rank": "normal",
@@ -118,6 +134,30 @@ class TestSortClaims:
             ("Q1", 4): ("P999", "u"),
             ("Q2", 0): ("P46", "t1"),
             ("Q2", 1): ("P46", "t2"),
+        }
+
+    def test_merge_all_props_keep_input_order(self, spark):
+        # with an explicit input-order column, merge_all props (the
+        # default no_sort_props) keep that order instead of value order
+        rows = [
+            ("Q1", "P46", "z", "normal", 0),
+            ("Q1", "P46", "a", "normal", 1),
+            ("Q1", "P6", "z", "normal", 2),
+            ("Q1", "P6", "a", "normal", 3),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "item string, prop string, value string, claim_rank string,"
+            " seq long",
+        )
+        out = ws.sort_claims(
+            df, rank_col="claim_rank", input_order_col="seq")
+        got = {(r.item, r.pos): (r.prop, r.value) for r in out.collect()}
+        assert got == {
+            ("Q1", 0): ("P6", "a"),     # P6 sorted by value
+            ("Q1", 1): ("P6", "z"),
+            ("Q1", 2): ("P46", "z"),    # P46 keeps input order
+            ("Q1", 3): ("P46", "a"),
         }
 
 
