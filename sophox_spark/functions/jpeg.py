@@ -126,107 +126,166 @@ def fdct_blocks(samples: np.ndarray) -> np.ndarray:
     return np.einsum("ux,nxy,vy->nuv", _T, samples, _T, optimize=True)
 
 
-class _HuffDecoder:
-    """Canonical Huffman decode tables (T.81 F.2.2.3 DECODE)."""
+# --- fast entropy machinery -------------------------------------------------
+#
+# The scan decode is the only serial stage, so it gets the fast path:
+# (a) a 16-bit-peek Huffman LUT (one list index replaces up to 16
+# bit-by-bit tree steps), and (b) a precomputed 32-bit big-endian
+# window per byte offset, so "read n bits at bit position p" is one
+# shift+mask on a plain python int. Both operate on the UNSTUFFED
+# entropy segment.
 
-    def __init__(self, bits, values):
+# generous zero padding: one block consumes at most ~1665 bits
+# (DC 16+11 + 63 AC * (16+10)), and overrun is checked once per block,
+# so the window array only ever gets indexed ~209 bytes past the end
+_PAD = 256
+
+_EXT_MASK = tuple((1 << t) - 1 for t in range(17))
+_EXT_HALF = tuple(1 << (t - 1) if t else 0 for t in range(17))
+
+
+def _window32(seg: bytes) -> tuple[list[int], int]:
+    """(windows, total_bits): windows[i] = 32 bits of ``seg`` starting
+    at byte i, big-endian, zero-padded past the end."""
+    a = np.frombuffer(seg + b"\x00" * _PAD, np.uint8).astype(np.uint32)
+    w = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+    return w.tolist(), 8 * len(seg)
+
+
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _huff_lut(table) -> list[int]:
+    """(BITS, HUFFVAL) → 65536-entry LUT: lut[peek16] = (value<<5)|len,
+    0 for invalid prefixes (T.81 canonical code assignment)."""
+    bits, values = table
+    key = bytes(bits) + bytes(values)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) > 64:
+            _LUT_CACHE.clear()
+        arr = np.zeros(1 << 16, np.int32)
         code = 0
         k = 0
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
         for ln in range(1, 17):
-            n = bits[ln - 1]
-            if n:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                code += n
-                k += n
-                self.maxcode[ln] = code - 1
+            for _ in range(bits[ln - 1]):
+                base = code << (16 - ln)
+                arr[base : base + (1 << (16 - ln))] = (values[k] << 5) | ln
+                code += 1
+                k += 1
             code <<= 1
-        self.values = values
-
-    def decode(self, br) -> int:
-        code = br.read_bit()
-        ln = 1
-        while code > self.maxcode[ln]:
-            ln += 1
-            if ln > 16:
-                raise JpegFormatError("invalid Huffman code in scan")
-            code = (code << 1) | br.read_bit()
-        return self.values[self.valptr[ln] + code - self.mincode[ln]]
-
-
-class _BitReader:
-    """MSB-first bit reader over an UNSTUFFED entropy segment."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.buf = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise JpegFormatError("entropy data exhausted")
-            self.buf = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.2.2.1: map the t-bit magnitude to its signed value."""
-    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+        lut = arr.tolist()
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 def _split_entropy_segments(data: bytes, start: int):
     """Entropy-coded bytes from ``start`` → (segments, end_pos):
     0xFF00 unstuffed, segments split at RSTn markers, stop at any
-    other marker."""
+    other marker. Jumps between 0xFF sightings with bytes.find —
+    no per-byte python loop."""
     segs = []
     cur = bytearray()
     i = start
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            i = n
             break
-        m = data[i + 1]
+        cur += data[i:j]
+        if j + 1 >= n:
+            i = j
+            break
+        m = data[j + 1]
         if m == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= m <= 0xD7:  # RSTn: new segment, reset predictors
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:
+            i = j
             break
     segs.append(bytes(cur))
     return segs, i
 
 
+class _Frame:
+    """Parsed SOF + per-component coefficient accumulators (zigzag
+    order, flat): decoding is "scatter coefficients from every scan,
+    then one batched dequant+IDCT at EOI" — the same model covers
+    baseline single-scan, baseline multi-scan (one component per SOS),
+    and progressive (SOF2) spectral-selection / successive-approximation
+    scans (T.81 G.1.2)."""
+
+    def __init__(self, h, w, comps, progressive):
+        self.h, self.w = h, w
+        self.comps = comps
+        self.progressive = progressive
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        for c in comps:
+            if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+                raise JpegFormatError("sampling factors must be 1, 2 or 4")
+            if self.hmax % c["h"] or self.vmax % c["v"]:
+                raise JpegFormatError("non-divisible sampling factors")
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        # flat (rows*cols*64) per component; rows/cols MCU-aligned
+        self.coef = []
+        for c in comps:
+            rows, cols = self.mcus_y * c["v"], self.mcus_x * c["h"]
+            c["rows"], c["cols"] = rows, cols
+            # true block dims for non-interleaved scans (T.81 A.2.2):
+            # ceil(ceil(dim * factor / max_factor) / 8)
+            cw = -(-(w * c["h"]) // self.hmax)
+            ch = -(-(h * c["v"]) // self.vmax)
+            c["bx"] = -(-cw // 8)
+            c["by"] = -(-ch // 8)
+            self.coef.append(np.zeros(rows * cols * 64, np.int32))
+        self.dc_seen = set()
+
+    def sched(self, scomps):
+        """Block schedule for one scan: (units_x, units_y, entries) with
+        entries = (ci, A, B, C, td, ta) s.t. a unit at (uy, ux) touches
+        flat block offset uy*A + ux*B + C (T.81 A.2.3: interleaved MCU
+        raster for ns>1, the component's own block raster for ns=1)."""
+        if len(scomps) == 1:
+            ci, c, td, ta = scomps[0]
+            cols = c["cols"]
+            return c["bx"], c["by"], [(ci, cols * 64, 64, 0, td, ta)]
+        entries = []
+        for ci, c, td, ta in scomps:
+            cols = c["cols"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    entries.append((
+                        ci, c["v"] * cols * 64, c["h"] * 64,
+                        (by * cols + bx) * 64, td, ta,
+                    ))
+        return self.mcus_x, self.mcus_y, entries
+
+
 def decode(data: bytes) -> np.ndarray:
-    """JPEG bytes → (height, width, channels) uint8 (channels 1 or 3)."""
+    """JPEG bytes → (height, width, channels) uint8 (channels 1 or 3).
+
+    Accepts baseline sequential (SOF0/SOF1, single- or multi-scan,
+    interleaved or per-component scans, RSTn restart intervals) AND
+    progressive (SOF2, spectral selection + successive approximation).
+    Fail-loud outside the subset: arithmetic coding, hierarchical,
+    lossless, 12-bit, CMYK."""
     if data[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, _HuffDecoder] = {}
-    huff_ac: dict[int, _HuffDecoder] = {}
-    frame = None
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    frame: _Frame | None = None
     restart_interval = 0
+    nscans = 0
+    saw_eoi = False
     i = 2
     n = len(data)
     while i < n:
@@ -235,7 +294,10 @@ def decode(data: bytes) -> np.ndarray:
         marker = data[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
-            raise JpegFormatError("EOI before SOS")
+            saw_eoi = True
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            continue
         (seglen,) = struct.unpack_from(">H", data, i)
         seg = data[i + 2 : i + seglen]
         if marker == 0xDB:  # DQT
@@ -256,9 +318,11 @@ def decode(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
+            if frame is not None:
+                raise JpegFormatError("multiple frames unsupported")
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise JpegFormatError(f"{prec}-bit samples unsupported")
@@ -268,94 +332,402 @@ def decode(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = _Frame(h, w, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                "only baseline sequential (SOF0/SOF1) is supported"
+                "only baseline sequential (SOF0/SOF1) and progressive "
+                "(SOF2) are supported"
             )
         elif marker == 0xCC:
             raise JpegFormatError("arithmetic coding unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
+            if not seg or len(seg) < 4 + 2 * seg[0]:
+                raise JpegFormatError("truncated SOS header")
             ns = seg[0]
-            scan = []
+            scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(
-                    x for x in frame["comps"] if x["id"] == cs
-                )
-                scan.append((comp, tt >> 4, tt & 15))
-            return _decode_scan(
-                data, i + seglen, frame, scan, qt, huff_dc, huff_ac,
+                for ci, comp in enumerate(frame.comps):
+                    if comp["id"] == cs:
+                        scomps.append((ci, comp, tt >> 4, tt & 15))
+                        break
+                else:
+                    raise JpegFormatError(f"scan references unknown comp {cs}")
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            segs, i = _split_entropy_segments(data, i + seglen)
+            _decode_one_scan(
+                frame, scomps, ss, se, ah, al, segs, huff_dc, huff_ac,
                 restart_interval,
             )
-        # APPn/COM/etc: skip
+            nscans += 1
+            continue
+        # APPn/COM/DNL/etc: skip
         i += seglen
-    raise JpegFormatError("no SOS marker found")
+    if nscans == 0:
+        raise JpegFormatError("no SOS marker found")
+    if not saw_eoi:
+        raise JpegFormatError("truncated stream (no EOI)")
+    missing = set(range(len(frame.comps))) - frame.dc_seen
+    if missing:
+        raise JpegFormatError(f"components never scanned: {sorted(missing)}")
+    return _assemble(frame, qt)
 
 
-def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval):
-    h, w = frame["h"], frame["w"]
-    comps = [s[0] for s in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # zigzag-order coefficient store per component
-    coef = [
-        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
-        for c in comps
-    ]
-    segs, _end = _split_entropy_segments(data, start)
-    seg_idx = 0
-    br = _BitReader(segs[0])
-    pred = [0] * len(comps)
-    n_mcus = mcus_x * mcus_y
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segs):
-                raise JpegFormatError("missing restart segment")
-            br = _BitReader(segs[seg_idx])
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, (c, td, ta) in enumerate(scan):
-            dctab, actab = huff_dc[td], huff_ac[ta]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
-                    t = dctab.decode(br)
-                    diff = _extend(br.receive(t), t) if t else 0
-                    pred[ci] += diff
-                    blk[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = actab.decode(br)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegFormatError("AC run past block end")
-                        blk[k] = _extend(br.receive(s), s)
-                        k += 1
-    # dequant + inverse zigzag + batched IDCT per component
+def _decode_one_scan(frame, scomps, ss, se, ah, al, segs, huff_dc, huff_ac,
+                     restart_interval):
+    """Dispatch one SOS to the right entropy decoder (T.81 G.1.2 scan
+    taxonomy) and scatter its coefficients into the frame store."""
+    if not frame.progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise JpegFormatError("invalid spectral params for sequential")
+        ux, uy, entries = frame.sched(scomps)
+        _scan_dc_ac(frame, entries, ux, uy, segs, huff_dc, huff_ac,
+                    restart_interval, dc_only=False, al=0)
+        frame.dc_seen.update(ci for ci, *_ in scomps)
+        return
+    if ss == 0:  # DC scan (interleaved allowed)
+        if se != 0:
+            raise JpegFormatError("progressive DC scan must have Se=0")
+        ux, uy, entries = frame.sched(scomps)
+        if ah == 0:
+            _scan_dc_ac(frame, entries, ux, uy, segs, huff_dc, huff_ac,
+                        restart_interval, dc_only=True, al=al)
+            frame.dc_seen.update(ci for ci, *_ in scomps)
+        else:
+            _scan_dc_refine(frame, entries, ux, uy, segs,
+                            restart_interval, al)
+        return
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1)
+    if len(scomps) != 1:
+        raise JpegFormatError("progressive AC scan must be single-component")
+    if not (1 <= ss <= se <= 63):
+        raise JpegFormatError("invalid spectral band")
+    ux, uy, entries = frame.sched(scomps)
+    ci, _c, _td, ta = scomps[0]
+    aclut = _huff_lut(huff_ac[ta])
+    if ah == 0:
+        _scan_ac_first(frame.coef[ci], entries[0], ux, uy, segs, aclut,
+                       restart_interval, ss, se, al)
+    else:
+        _scan_ac_refine(frame.coef[ci], entries[0], ux, uy, segs, aclut,
+                        restart_interval, ss, se, al)
+
+
+def _seg_for(segs, si):
+    if si >= len(segs):
+        raise JpegFormatError("missing restart segment")
+    return _window32(segs[si])
+
+
+def _scan_dc_ac(frame, entries, ux, uy, segs, huff_dc, huff_ac, ri,
+                dc_only, al):
+    """Sequential scan (full band) or progressive first DC scan.
+    Hot path: LUT symbol decode + window bit reads, coefficient
+    (index, value) pairs appended to python lists and scattered into
+    the numpy store once at the end."""
+    ncomp = len(frame.comps)
+    idxs = [[] for _ in range(ncomp)]
+    vals = [[] for _ in range(ncomp)]
+    ents = []
+    for ci, a, b, c0, td, ta in entries:
+        dcl = _huff_lut(huff_dc[td])
+        acl = None if dc_only else _huff_lut(huff_ac[ta])
+        ents.append((ci, a, b, c0, dcl, acl,
+                     idxs[ci].append, vals[ci].append))
+    preds = [0] * ncomp
+    n_units = ux * uy
+    mask, half = _EXT_MASK, _EXT_HALF
+    si = 0
+    w, total = _seg_for(segs, 0)
+    pos = 0
+    muy = mux = 0
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            if pos > total:
+                raise JpegFormatError("entropy data exhausted")
+            si += 1
+            w, total = _seg_for(segs, si)
+            pos = 0
+            for ci in range(ncomp):
+                preds[ci] = 0
+        for ci, a, b, c0, dcl, acl, ia, va in ents:
+            bf = muy * a + mux * b + c0
+            # DC: T.81 F.2.2.1 DECODE + EXTEND via LUT
+            e = dcl[(w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+            ln = e & 31
+            if ln == 0:
+                raise JpegFormatError("invalid Huffman code in scan")
+            t = e >> 5
+            pos += ln
+            if t:
+                v = (w[pos >> 3] >> (32 - (pos & 7) - t)) & mask[t]
+                pos += t
+                if v < half[t]:
+                    v += 1 - (1 << t)
+                preds[ci] += v
+            ia(bf)
+            va(preds[ci] << al)
+            if acl is None:
+                if pos > total:
+                    raise JpegFormatError("entropy data exhausted")
+                continue
+            # AC run-length (F.2.2.2)
+            k = 1
+            while True:
+                e = acl[(w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+                ln = e & 31
+                if ln == 0:
+                    raise JpegFormatError("invalid Huffman code in scan")
+                pos += ln
+                rs = e >> 5
+                s = rs & 15
+                if s:
+                    k += rs >> 4
+                    if k > 63:
+                        raise JpegFormatError("AC run past block end")
+                    v = (w[pos >> 3] >> (32 - (pos & 7) - s)) & mask[s]
+                    pos += s
+                    if v < half[s]:
+                        v += 1 - (1 << s)
+                    ia(bf + k)
+                    va(v)
+                    k += 1
+                    if k == 64:
+                        break
+                elif rs == 0xF0:  # ZRL
+                    k += 16
+                    if k > 63:
+                        raise JpegFormatError("ZRL past block end")
+                else:  # EOB
+                    break
+            if pos > total:
+                raise JpegFormatError("entropy data exhausted")
+        mux += 1
+        if mux == ux:
+            mux = 0
+            muy += 1
+    if pos > total:
+        raise JpegFormatError("entropy data exhausted")
+    for ci in range(ncomp):
+        if idxs[ci]:
+            frame.coef[ci][np.asarray(idxs[ci], np.int64)] = np.asarray(
+                vals[ci], np.int32
+            )
+
+
+def _scan_dc_refine(frame, entries, ux, uy, segs, ri, al):
+    """Progressive DC refinement (T.81 G.1.2.1): one appended bit per
+    block; OR-ing bit<<Al is exact two's-complement refinement of the
+    arithmetic-shift point transform."""
+    p1 = 1 << al
+    hit = [[] for _ in range(len(frame.comps))]
+    n_units = ux * uy
+    si = 0
+    w, total = _seg_for(segs, 0)
+    pos = 0
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            si += 1
+            w, total = _seg_for(segs, si)
+            pos = 0
+        muy, mux = divmod(m, ux)
+        for ci, a, b, c0, _td, _ta in entries:
+            if (w[pos >> 3] >> (31 - (pos & 7))) & 1:
+                hit[ci].append(muy * a + mux * b + c0)
+            pos += 1
+        if pos > total:
+            raise JpegFormatError("entropy data exhausted")
+    for ci, idx in enumerate(hit):
+        if idx:
+            frame.coef[ci][np.asarray(idx, np.int64)] |= p1
+
+
+def _scan_ac_first(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
+    """Progressive first AC scan for one band (T.81 G.1.2.2): run-length
+    symbols as in sequential plus EOBn end-of-band run codes."""
+    _ci, a, b, c0 = entry[0], entry[1], entry[2], entry[3]
+    idx, val = [], []
+    ia, va = idx.append, val.append
+    eobrun = 0
+    si = 0
+    w, total = _seg_for(segs, 0)
+    pos = 0
+    for m in range(ux * uy):
+        if ri and m and m % ri == 0:
+            si += 1
+            w, total = _seg_for(segs, si)
+            pos = 0
+            eobrun = 0
+        if eobrun:
+            eobrun -= 1
+            continue
+        muy, mux = divmod(m, ux)
+        bf = muy * a + mux * b + c0
+        k = ss
+        while k <= se:
+            e = aclut[(w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+            ln = e & 31
+            if ln == 0:
+                raise JpegFormatError("invalid Huffman code in scan")
+            pos += ln
+            rs = e >> 5
+            s = rs & 15
+            r = rs >> 4
+            if s:
+                k += r
+                if k > se:
+                    raise JpegFormatError("AC run past band end")
+                v = (w[pos >> 3] >> (32 - (pos & 7) - s)) & _EXT_MASK[s]
+                pos += s
+                if v < _EXT_HALF[s]:
+                    v += 1 - (1 << s)
+                ia(bf + k)
+                va(v << al)
+                k += 1
+            elif r == 15:  # ZRL
+                k += 16
+            else:  # EOBn: run of (1<<r)+ext end-of-band blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += (
+                        w[pos >> 3] >> (32 - (pos & 7) - r)
+                    ) & _EXT_MASK[r]
+                    pos += r
+                break
+        if pos > total:
+            raise JpegFormatError("entropy data exhausted")
+    if pos > total:
+        raise JpegFormatError("entropy data exhausted")
+    if idx:
+        coef[np.asarray(idx, np.int64)] = np.asarray(val, np.int32)
+
+
+def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
+    """Progressive AC refinement (T.81 G.1.2.3): newly significant
+    coefficients arrive as (run, 1) symbols whose run counts ZERO-
+    HISTORY positions; every already-nonzero coefficient passed over —
+    including those inside an EOB run — reads one correction bit."""
+    p1 = 1 << al
+    kmax = se - ss
+    eobrun = 0
+    si = 0
+    w, total = _seg_for(segs, 0)
+    pos = 0
+    for m in range(ux * uy):
+        if ri and m and m % ri == 0:
+            si += 1
+            w, total = _seg_for(segs, si)
+            pos = 0
+            eobrun = 0
+        muy, mux = divmod(m, ux)
+        bf = muy * entry[1] + mux * entry[2] + entry[3] + ss
+        band = coef[bf : bf + kmax + 1].tolist()
+        changed = False
+        k = 0
+        if eobrun == 0:
+            while k <= kmax:
+                e = aclut[(w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+                ln = e & 31
+                if ln == 0:
+                    raise JpegFormatError("invalid Huffman code in scan")
+                pos += ln
+                rs = e >> 5
+                s = rs & 15
+                r = rs >> 4
+                newval = 0
+                if s == 0:
+                    if r != 15:  # EOBn
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += (
+                                w[pos >> 3] >> (32 - (pos & 7) - r)
+                            ) & _EXT_MASK[r]
+                            pos += r
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                elif s == 1:
+                    newval = (
+                        p1 if (w[pos >> 3] >> (31 - (pos & 7))) & 1 else -p1
+                    )
+                    pos += 1
+                else:
+                    raise JpegFormatError(
+                        "refinement magnitude must be 1"
+                    )
+                # advance: corrections on nonzero-history coefficients,
+                # run countdown on zero-history ones
+                while k <= kmax:
+                    c = band[k]
+                    if c:
+                        bit = (w[pos >> 3] >> (31 - (pos & 7))) & 1
+                        pos += 1
+                        if bit and not (c & p1):
+                            band[k] = c + p1 if c > 0 else c - p1
+                            changed = True
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if s and k <= kmax:
+                    band[k] = newval
+                    changed = True
+                k += 1
+                if pos > total:
+                    raise JpegFormatError("entropy data exhausted")
+        if eobrun:
+            # this block (and the next eobrun-1) still read correction
+            # bits for their remaining nonzero coefficients
+            while k <= kmax:
+                c = band[k]
+                if c:
+                    bit = (w[pos >> 3] >> (31 - (pos & 7))) & 1
+                    pos += 1
+                    if bit and not (c & p1):
+                        band[k] = c + p1 if c > 0 else c - p1
+                        changed = True
+                k += 1
+            eobrun -= 1
+        if changed:
+            coef[bf : bf + kmax + 1] = band
+        if pos > total:
+            raise JpegFormatError("entropy data exhausted")
+
+
+_T32 = None  # float32 DCT basis, built lazily (module init order)
+
+
+def _assemble(frame, qt):
+    """Coefficient store → pixels: batched dequant + inverse zigzag +
+    batched-matmul IDCT per component, chroma upsample, YCbCr→RGB.
+    float32 throughout: coefficients are ≤ ~2^15·255 and the IDCT sums
+    64 terms, so worst-case error ≈ 1e-3 ≪ the 0.5 rounding step —
+    and it halves the memory traffic of the hottest vector stage."""
+    global _T32
+    if _T32 is None:
+        _T32 = _T.astype(np.float32)
+    h, w = frame.h, frame.w
+    hmax, vmax = frame.hmax, frame.vmax
     planes = []
-    for ci, c in enumerate(comps):
+    for ci, c in enumerate(frame.comps):
+        if c["tq"] not in qt:
+            raise JpegFormatError(f"missing quant table {c['tq']}")
         q = qt[c["tq"]].reshape(-1)[ZIGZAG]  # zigzag-order quant steps
-        ny, nx, _ = coef[ci].shape
-        blocks = (coef[ci].reshape(-1, 64) * q)[:, UNZIGZAG].reshape(
-            -1, 8, 8
-        ).astype(np.float64)
-        pix = idct_blocks(blocks) + 128.0
+        ny, nx = c["rows"], c["cols"]
+        blocks = (
+            (frame.coef[ci].reshape(-1, 64) * q)[:, UNZIGZAG]
+            .reshape(-1, 8, 8)
+            .astype(np.float32)
+        )
+        # IDCT = T^T F T as two batched matmuls
+        pix = (_T32.T @ blocks) @ _T32
+        pix += np.float32(128.0)
         plane = (
             pix.reshape(ny, nx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -365,17 +737,19 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac,
         plane = np.repeat(
             np.repeat(plane, hmax // c["h"], axis=1), vmax // c["v"], axis=0
         )
-        planes.append(plane[: mcus_y * vmax * 8, : mcus_x * hmax * 8])
-    out = np.stack([p[:h, :w] for p in planes], axis=-1)
+        planes.append(plane[: h, : w])
     if len(planes) == 3:  # JFIF YCbCr → RGB (BT.601, full range)
-        y, cb, cr = out[..., 0], out[..., 1] - 128.0, out[..., 2] - 128.0
-        out = np.stack(
-            [y + 1.402 * cr,
-             y - 0.344136 * cb - 0.714136 * cr,
-             y + 1.772 * cb],
-            axis=-1,
-        )
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+        y, cb, cr = planes
+        cb = cb - np.float32(128.0)
+        cr = cr - np.float32(128.0)
+        planes = [
+            y + np.float32(1.402) * cr,
+            y - np.float32(0.344136) * cb - np.float32(0.714136) * cr,
+            y + np.float32(1.772) * cb,
+        ]
+    out = np.stack(planes, axis=-1)
+    np.rint(out, out=out)
+    return np.clip(out, 0, 255, out=out).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

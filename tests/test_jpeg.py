@@ -151,10 +151,19 @@ class TestFailLoud:
     def _stream(self):
         return bytearray(jpeg.encode(np.zeros((8, 8), np.uint8)))
 
-    def test_progressive_refused(self):
+    def test_progressive_marker_with_sequential_scan_refused(self):
+        # SOF2 is SUPPORTED now, but a progressive frame whose scan
+        # header carries sequential spectral params (Ss=0, Se=63) is
+        # malformed and must fail loud, not decode as garbage
         s = self._stream()
         s[s.find(b"\xff\xc0") + 1] = 0xC2
-        with pytest.raises(jpeg.JpegFormatError, match="baseline"):
+        with pytest.raises(jpeg.JpegFormatError, match="Se=0"):
+            jpeg.decode(bytes(s))
+
+    def test_lossless_refused(self):
+        s = self._stream()
+        s[s.find(b"\xff\xc0") + 1] = 0xC3
+        with pytest.raises(jpeg.JpegFormatError, match="SOF"):
             jpeg.decode(bytes(s))
 
     def test_arithmetic_refused(self):
