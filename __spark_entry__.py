@@ -2591,18 +2591,20 @@ def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stuffing and restart intervals/Huffman+DPCM/batched IDCT/420
     upsampling/YCbCr). Fixtures are constant gray-valued images with
     EVEN values, whose quantized DC is exact ((v-128)*8/16 integral)
-    so the lossy pipeline reproduces v EXACTLY in all three layouts
-    (grayscale, RGB 4:4:4, RGB 4:2:0 with restart intervals) — the
+    so the lossy pipeline reproduces v EXACTLY in all four layouts
+    (grayscale, RGB 4:4:4, RGB 4:2:0 with restart intervals, and
+    PROGRESSIVE SOF2 4:2:0 — spectral selection + successive
+    approximation, the dominant real-crawl variant) — the
     DuckDB oracle states the closed form with zero codec math. The
     decoder is independently pinned to hand-assembled spec bit streams
-    in tests/test_jpeg.py, so symmetric encode+decode bugs can't
-    cancel."""
+    (baseline AND progressive) in tests/test_jpeg.py, so symmetric
+    encode+decode bugs can't cancel."""
     import numpy as np
 
     from sophox_spark.functions import jpeg as _jpeg
     from sophox_spark.operators import multimodal
 
-    ids = spark.range(36).withColumnRenamed("id", "media_id").coalesce(4)
+    ids = spark.range(48).withColumnRenamed("id", "media_id").coalesce(4)
 
     def gen(batches):
         import pandas as pd
@@ -2613,17 +2615,22 @@ def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 w, h = 16 + (i % 5) * 8, 8 + (i % 4) * 8
                 v = 2 * ((i * 37) % 128)
-                kind = i % 3
+                kind = i % 4
                 if kind == 0:
                     img = np.full((h, w), v, np.uint8)
                     payloads.append(_jpeg.encode(img))
                 elif kind == 1:
                     img = np.full((h, w, 3), v, np.uint8)
                     payloads.append(_jpeg.encode(img, "444"))
-                else:
+                elif kind == 2:
                     img = np.full((h, w, 3), v, np.uint8)
                     payloads.append(
                         _jpeg.encode(img, "420", restart_interval=2)
+                    )
+                else:
+                    img = np.full((h, w, 3), v, np.uint8)
+                    payloads.append(
+                        _jpeg.encode(img, "420", progressive=True)
                     )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
@@ -2731,8 +2738,8 @@ WITH imgs AS (
   SELECT i AS media_id,
          16 + (i % 5) * 8 AS w, 8 + (i % 4) * 8 AS h,
          2 * ((i * 37) % 128) AS v,
-         CASE WHEN i % 3 = 0 THEN 1 ELSE 3 END AS ch
-  FROM range(36) t(i)
+         CASE WHEN i % 4 = 0 THEN 1 ELSE 3 END AS ch
+  FROM range(48) t(i)
 )
 SELECT media_id, w AS width, h AS height, ch AS channels,
        CAST(v AS DOUBLE) AS mean_value, b.bucket,

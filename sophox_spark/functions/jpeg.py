@@ -1,27 +1,35 @@
-"""From-scratch baseline JPEG codec (no PIL/libjpeg in this container).
+"""From-scratch JPEG codec (no PIL/libjpeg in this container).
 
 Real web crawls carry JPEG images overwhelmingly more often than PNG,
 so the multimodal image column needs this codec to be REAL: ``decode``
 parses the public JFIF/JPEG wire format — marker segments, quantization
-tables (DQT), baseline frame headers (SOF0/SOF1), canonical Huffman
-tables (DHT), the entropy-coded scan with 0xFF00 byte stuffing and
-RSTn restart intervals — through Huffman + DPCM/RLE entropy decode,
-dequantization, inverse zigzag, a BATCHED orthonormal IDCT (two
-einsum matrix products over all blocks at once — the per-symbol
-entropy loop is the only python-serial part), chroma upsampling by
-sampling factors, and JFIF YCbCr→RGB. ``encode`` writes a valid
-baseline stream (grayscale, 4:4:4, or 4:2:0) with the Annex K tables
-for fixtures and sinks.
+tables (DQT), frame headers, canonical Huffman tables (DHT), the
+entropy-coded scans with 0xFF00 byte stuffing and RSTn restart
+intervals — and supports BOTH baseline sequential DCT (SOF0/SOF1,
+single- or multi-scan, interleaved or per-component scans) AND
+progressive (SOF2: spectral selection + successive approximation with
+EOBn end-of-band runs, T.81 Annex G — the dominant variant among real
+crawl JPEGs). Scans scatter quantized coefficients into per-component
+stores; one batched dequant + matmul IDCT at EOI produces pixels
+(chroma upsampling by sampling factors, JFIF YCbCr→RGB). The
+per-symbol entropy loop is the only python-serial part and runs on a
+16-bit-peek Huffman LUT over precomputed 32-bit bit windows.
 
-Supported subset (fail-loud outside it): baseline sequential DCT
-(SOF0/SOF1), 8-bit samples, 1 or 3 components, Huffman coding.
-Progressive (SOF2), arithmetic coding (DAC), hierarchical, and 12-bit
-raise ``JpegFormatError`` — never a silent wrong image.
+``encode`` writes valid baseline streams (Annex K tables; grayscale,
+4:4:4, 4:2:2 or 4:2:0; optional RSTn) and, with ``progressive=True``,
+a multi-scan SOF2 stream with per-scan frequency-optimized Huffman
+tables (built by the T.81 Annex K.2 algorithm) whose decoded output is
+bit-identical to the baseline encoding of the same image.
 
-JPEG is lossy: correctness is pinned by (a) hand-assembled
-single-block streams whose pixel output is analytically derivable
+Fail-loud outside the subset: arithmetic coding (DAC), hierarchical,
+lossless, 12-bit, CMYK raise ``JpegFormatError`` — never a silent
+wrong image.
+
+JPEG is lossy: correctness is pinned by (a) hand-assembled baseline
+AND progressive streams whose pixel output is analytically derivable
 (tests/test_jpeg.py), (b) an independent O(N^4) direct-sum IDCT
-oracle, and (c) encode→decode error bounds on random images.
+oracle, (c) encode→decode error bounds on random images, and (d) the
+progressive==baseline bit-identity invariant.
 
 Reference analog: the reference ships no image pipeline of its own
 (external libs only); this is the container-native equivalent for the
@@ -857,13 +865,19 @@ def _pad(plane: np.ndarray, my: int, mx: int) -> np.ndarray:
 
 
 def encode(
-    img: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+    img: np.ndarray, subsampling: str = "444", restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 → baseline
-    JPEG bytes with the Annex K tables. ``subsampling``: '444' or
-    '420' (ignored for grayscale); ``restart_interval`` > 0 emits DRI
-    and RSTn markers every that many MCUs (crawl JPEGs commonly carry
-    them — exercises the decoder's segment-reset path)."""
+    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 → JPEG
+    bytes. ``subsampling``: '444', '422' or '420' (ignored for
+    grayscale); ``restart_interval`` > 0 emits DRI and RSTn markers
+    every that many MCUs (crawl JPEGs commonly carry them — exercises
+    the decoder's segment-reset path); ``progressive`` writes an SOF2
+    stream (spectral selection + successive approximation, the
+    dominant real-crawl JPEG variant) with per-scan frequency-
+    optimized Huffman tables (T.81 Annex K.2) — the quantized
+    coefficients are identical to the baseline encoding, so decode
+    output is bit-identical between the two modes."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
@@ -872,6 +886,10 @@ def encode(
         raise JpegFormatError(f"cannot encode {img.shape[2]}-channel image")
     if subsampling not in ("444", "422", "420"):
         raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
+    if progressive and restart_interval:
+        raise JpegFormatError(
+            "restart intervals unsupported in progressive encode"
+        )
     h, w = img.shape[:2]
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -887,7 +905,7 @@ def encode(
     # luma sampling factors per mode: 444 → 1x1, 422 → 2x1, 420 → 2x2
     sh = 2 if (not gray and subsampling in ("422", "420")) else 1
     sv = 2 if (not gray and subsampling == "420") else 1
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     if gray:
         comps = [(1, 0x11, 0)]
     else:
@@ -895,25 +913,7 @@ def encode(
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, hv, tq in comps:
         sof += bytes([cid, hv, tq])
-    segment(0xC0, sof)
-
-    # DHT
-    for tc_th, (bits, vals) in (
-        ((0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)) if gray else
-        ((0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA),
-         (0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA))
-    ):
-        segment(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-
-    if restart_interval:
-        segment(0xDD, struct.pack(">H", restart_interval))
-
-    # SOS header
-    if gray:
-        sos = bytes([1, 1, 0x00, 0, 63, 0])
-    else:
-        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    segment(0xDA, sos)
+    segment(0xC2 if progressive else 0xC0, sof)
 
     # component planes
     if gray:
@@ -946,6 +946,33 @@ def encode(
         zz = _plane_blocks_zz(_pad(plane, my, mx), q)
         comp_blocks.append(zz.reshape(mcus_y * cv, mcus_x * ch, 64))
 
+    if progressive:
+        factors = [(p[2], p[3]) for p in planes]
+        _encode_progressive(
+            segment, out.extend, comp_blocks, factors, gray, h, w,
+            mcus_x, mcus_y, hmax, vmax,
+        )
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
+
+    # DHT
+    for tc_th, (bits, vals) in (
+        ((0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)) if gray else
+        ((0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA),
+         (0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA))
+    ):
+        segment(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+
+    # SOS header
+    if gray:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    else:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    segment(0xDA, sos)
+
     dc_l, ac_l = _huff_codes(*STD_DC_LUMA), _huff_codes(*STD_AC_LUMA)
     dc_c, ac_c = _huff_codes(*STD_DC_CHROMA), _huff_codes(*STD_AC_CHROMA)
     tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
@@ -971,3 +998,350 @@ def encode(
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G encode side)
+# ---------------------------------------------------------------------------
+
+
+def _build_huff_table(freq: dict[int, int]):
+    """Symbol frequencies → canonical (BITS[1..16], HUFFVAL) via the
+    T.81 Annex K.2 algorithm (Figures K.1-K.3): pairwise lowest-
+    frequency merging with the reserved 256 pseudo-symbol, 16-bit
+    length limiting, size-then-value ordering."""
+    freqs = [0] * 257
+    for s, f in freq.items():
+        freqs[s] = f
+    freqs[256] = 1  # reserved: keeps the all-ones code unassigned
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        for i in range(257):
+            f = freqs[i]
+            if f > 0:
+                if v1 == -1 or f < freqs[v1] or (f == freqs[v1] and i > v1):
+                    v2 = v1
+                    v1 = i
+                elif v2 == -1 or f < freqs[v2] or (f == freqs[v2] and i > v2):
+                    v2 = i
+        if v2 == -1:
+            break
+        freqs[v1] += freqs[v2]
+        freqs[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # adjust_bits: fold codes longer than 16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code point
+    huffval = [
+        v for v in sorted(range(256), key=lambda x: (codesize[x], x))
+        if codesize[v]
+    ]
+    return bits[1:17], huffval
+
+
+class _ScanEmitter:
+    """Ordered (symbol | raw-bit) emission buffer for one scan: pass 1
+    collects symbol frequencies, then the scan serializes with tables
+    built from exactly those frequencies."""
+
+    def __init__(self):
+        self.items = []
+        self.freq: dict[tuple[int, int], int] = {}
+
+    def sym(self, tid, s):
+        self.items.append((0, tid, s))
+        k = (tid, s)
+        self.freq[k] = self.freq.get(k, 0) + 1
+
+    def bits(self, val, n):
+        if n:
+            self.items.append((1, val, n))
+
+    def bit(self, b):
+        self.items.append((1, b, 1))
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): divide by 2^Al truncating
+    TOWARD ZERO (DC uses plain arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _comp_true_dims(w, h, ch, cv, hmax, vmax):
+    """Non-interleaved block raster dims for a component (T.81 A.2.2)."""
+    cw = -(-(w * ch) // hmax)
+    chh = -(-(h * cv) // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _emit_dc_first(em, comp_blocks, scomps, factors, mcus_x, mcus_y,
+                   gray, w, h, hmax, vmax, al):
+    """First DC scan (Ah=0): DPCM of the arithmetic-shifted DC values,
+    interleaved MCU order for ns>1, block raster for ns=1."""
+    preds = [0] * len(scomps)
+    if len(scomps) == 1:
+        ci = scomps[0]
+        ch, cv = factors[ci]
+        bx, by = _comp_true_dims(w, h, ch, cv, hmax, vmax)
+        tid = 0 if ci == 0 else 1
+        for yy in range(by):
+            for xx in range(bx):
+                dc = int(comp_blocks[ci][yy, xx, 0]) >> al
+                diff = dc - preds[0]
+                preds[0] = dc
+                t, code = _magnitude(diff)
+                em.sym(tid, t)
+                em.bits(code, t)
+        return
+    for m in range(mcus_x * mcus_y):
+        myi, mxi = divmod(m, mcus_x)
+        for si, ci in enumerate(scomps):
+            ch, cv = factors[ci]
+            tid = 0 if ci == 0 else 1
+            for by in range(cv):
+                for bx in range(ch):
+                    dc = int(
+                        comp_blocks[ci][myi * cv + by, mxi * ch + bx, 0]
+                    ) >> al
+                    diff = dc - preds[si]
+                    preds[si] = dc
+                    t, code = _magnitude(diff)
+                    em.sym(tid, t)
+                    em.bits(code, t)
+
+
+def _emit_dc_refine(em, comp_blocks, scomps, factors, mcus_x, mcus_y,
+                    gray, w, h, hmax, vmax, al):
+    """DC refinement: one raw bit per block, (dc >> Al) & 1."""
+    if len(scomps) == 1:
+        ci = scomps[0]
+        ch, cv = factors[ci]
+        bx, by = _comp_true_dims(w, h, ch, cv, hmax, vmax)
+        for yy in range(by):
+            for xx in range(bx):
+                em.bit((int(comp_blocks[ci][yy, xx, 0]) >> al) & 1)
+        return
+    for m in range(mcus_x * mcus_y):
+        myi, mxi = divmod(m, mcus_x)
+        for ci in scomps:
+            ch, cv = factors[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    em.bit((
+                        int(comp_blocks[ci][myi * cv + by, mxi * ch + bx, 0])
+                        >> al
+                    ) & 1)
+
+
+def _flush_eobn(em, tid, eobrun, corr_bits):
+    """Emit an EOBn symbol for a pending end-of-band run plus the
+    buffered correction bits of the blocks it covers."""
+    r = eobrun.bit_length() - 1
+    em.sym(tid, r << 4)
+    em.bits(eobrun - (1 << r), r)
+    for b in corr_bits:
+        em.bit(b)
+
+
+def _emit_ac_first(em, blocks, tid, ss, se, al):
+    """First AC scan for one band (Ah=0): sequential run-length coding
+    plus EOBn run accumulation across blocks."""
+    eobrun = 0
+    for blk in blocks:
+        band = [_trunc_shift(int(blk[k]), al) for k in range(ss, se + 1)]
+        last = -1
+        for i2 in range(len(band) - 1, -1, -1):
+            if band[i2]:
+                last = i2
+                break
+        if last == -1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _flush_eobn(em, tid, eobrun, ())
+                eobrun = 0
+            continue
+        if eobrun:
+            _flush_eobn(em, tid, eobrun, ())
+            eobrun = 0
+        run = 0
+        for i2 in range(last + 1):
+            v = band[i2]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.sym(tid, 0xF0)  # ZRL
+                run -= 16
+            t, code = _magnitude(v)
+            em.sym(tid, (run << 4) | t)
+            em.bits(code, t)
+            run = 0
+        if last < len(band) - 1:
+            eobrun = 1
+    if eobrun:
+        _flush_eobn(em, tid, eobrun, ())
+
+
+def _emit_ac_refine(em, blocks, tid, ss, se, al):
+    """AC refinement scan (Ah=Al+1): newly significant coefficients as
+    (zero-history-run, 1) symbols + sign bit, correction bits for every
+    passed-over already-nonzero coefficient, EOBn runs carrying the
+    trailing correction bits of the blocks they cover (wire order
+    matches the decoder's read order in _scan_ac_refine)."""
+    eobrun = 0
+    eob_bits: list[int] = []
+    for blk in blocks:
+        band = [_trunc_shift(int(blk[k]), al) for k in range(ss, se + 1)]
+        last_new = -1
+        for i2 in range(len(band) - 1, -1, -1):
+            if band[i2] in (1, -1):
+                last_new = i2
+                break
+        if last_new == -1:
+            # whole block rides the EOB run; its nonzero-history
+            # coefficients still contribute correction bits
+            eobrun += 1
+            eob_bits.extend(abs(v) & 1 for v in band if abs(v) > 1)
+            if eobrun == 0x7FFF:
+                _flush_eobn(em, tid, eobrun, eob_bits)
+                eobrun = 0
+                eob_bits = []
+            continue
+        if eobrun:
+            _flush_eobn(em, tid, eobrun, eob_bits)
+            eobrun = 0
+            eob_bits = []
+        run = 0
+        pend: list[int] = []
+        for i2 in range(last_new + 1):
+            v = band[i2]
+            av = abs(v)
+            if av > 1:  # history-nonzero: correction bit
+                pend.append(av & 1)
+            elif av == 1:  # newly significant
+                em.sym(tid, (run << 4) | 1)
+                em.bit(1 if v > 0 else 0)
+                for b in pend:
+                    em.bit(b)
+                pend = []
+                run = 0
+            else:
+                run += 1
+                if run == 16:  # ZRL covers exactly 16 zero-history slots
+                    em.sym(tid, 0xF0)
+                    for b in pend:
+                        em.bit(b)
+                    pend = []
+                    run = 0
+        tail = band[last_new + 1:]
+        if tail:
+            eobrun = 1
+            eob_bits = [abs(v) & 1 for v in tail if abs(v) > 1]
+    if eobrun:
+        _flush_eobn(em, tid, eobrun, eob_bits)
+
+
+def _write_scan(segment, raw, em, scan_hdr_comps, ss, se, ah, al, tc):
+    """DHT segments (frequency-built tables) + SOS header + serialized
+    entropy bytes for one scan."""
+    tids = sorted({t for (t, _s) in em.freq})
+    codes = {}
+    for tid in tids:
+        f = {s: c for (t, s), c in em.freq.items() if t == tid}
+        bits, vals = _build_huff_table(f)
+        codes[tid] = _huff_codes(bits, vals)
+        segment(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([len(scan_hdr_comps)])
+    for cid, td, ta in scan_hdr_comps:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    segment(0xDA, sos)
+    bw = _BitWriter()
+    for it in em.items:
+        if it[0] == 0:
+            bw.write(*codes[it[1]][it[2]])
+        else:
+            bw.write(it[1], it[2])
+    bw.flush()
+    raw(bw.out)
+
+
+def _encode_progressive(segment, raw, comp_blocks, factors, gray, h, w,
+                        mcus_x, mcus_y, hmax, vmax):
+    """Write the scan script: DC first (Al=1) + DC refinement, per-
+    component spectral-selection AC scans with successive approximation
+    on luma, then AC refinements down to Al=0. Every decoder path —
+    interleaved DC, non-interleaved bands, EOBn runs, ZRL-in-refine,
+    multi-level approximation — is exercised."""
+    ncomp = len(comp_blocks)
+    all_comps = list(range(ncomp))
+
+    def comp_ac_blocks(ci):
+        ch, cv = factors[ci]
+        bx, by = _comp_true_dims(w, h, ch, cv, hmax, vmax)
+        return [comp_blocks[ci][yy, xx] for yy in range(by)
+                for xx in range(bx)]
+
+    def dc_hdr(ci, ta=0):
+        return (ci + 1, 0 if ci == 0 else 1, ta)
+
+    # 1. DC first, Al=1, interleaved
+    em = _ScanEmitter()
+    _emit_dc_first(em, comp_blocks, all_comps, factors, mcus_x, mcus_y,
+                   gray, w, h, hmax, vmax, 1)
+    _write_scan(segment, raw, em,
+                [dc_hdr(ci) for ci in all_comps], 0, 0, 0, 1, 0)
+    # 2. AC scans (first pass)
+    ac_scans = [(0, 1, 5, 0, 2), (0, 6, 63, 0, 2)] if gray else [
+        (0, 1, 5, 0, 2),        # luma low band, coarse
+        (1, 1, 63, 0, 1),       # chroma full band
+        (2, 1, 63, 0, 1),
+        (0, 6, 63, 0, 2),       # luma high band, coarse
+    ]
+    for ci, ss, se, ah, al in ac_scans:
+        em = _ScanEmitter()
+        _emit_ac_first(em, comp_ac_blocks(ci), 0, ss, se, al)
+        _write_scan(segment, raw, em, [(ci + 1, 0, 0)], ss, se, ah, al, 1)
+    # 3. DC refinement, Al=0
+    em = _ScanEmitter()
+    _emit_dc_refine(em, comp_blocks, all_comps, factors, mcus_x, mcus_y,
+                    gray, w, h, hmax, vmax, 0)
+    _write_scan(segment, raw, em,
+                [dc_hdr(ci) for ci in all_comps], 0, 0, 1, 0, 0)
+    # 4. AC refinements
+    ref_scans = [(0, 1, 63, 2, 1), (0, 1, 63, 1, 0)] if gray else [
+        (0, 1, 63, 2, 1),       # luma 2 -> 1
+        (1, 1, 63, 1, 0),       # chroma 1 -> 0
+        (2, 1, 63, 1, 0),
+        (0, 1, 63, 1, 0),       # luma 1 -> 0
+    ]
+    for ci, ss, se, ah, al in ref_scans:
+        em = _ScanEmitter()
+        _emit_ac_refine(em, comp_ac_blocks(ci), 0, ss, se, al)
+        _write_scan(segment, raw, em, [(ci + 1, 0, 0)], ss, se, ah, al, 1)

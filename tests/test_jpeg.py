@@ -205,3 +205,141 @@ def test_422_subsampling_roundtrip():
     assert dec.shape == rgb.shape and err.max() <= 16 and err.mean() < 3.0
     flat = np.full((20, 28, 3), 88, np.uint8)
     assert np.all(jpeg.decode(jpeg.encode(flat, "422")) == 88)
+
+
+def _segment_list(parts):
+    out = bytearray(b"\xff\xd8")
+    for marker, body in parts:
+        out += _segment(marker, body)
+    return out
+
+
+class TestProgressivePinnedStreams:
+    """Hand-assembled SOF2 streams with hand-derived Huffman bits —
+    pins the progressive scan semantics independently of the encoder
+    (T.81 Annex G)."""
+
+    def _stream(self, scans):
+        out = bytearray(b"\xff\xd8")
+        out += _segment(0xDB, bytes([0x00]) + bytes([16] * 64))
+        out += _segment(
+            0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        bits, vals = jpeg.STD_DC_LUMA
+        out += _segment(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+        bits, vals = jpeg.STD_AC_LUMA
+        out += _segment(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+        for hdr, entropy in scans:
+            out += _segment(0xDA, hdr)
+            out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def test_dc_ac_successive_approximation(self):
+        # target coefficients: DC=42, AC(zigzag k=1)=6, flat q=16.
+        # scan 1 DC first Al=1: diff 21 -> cat5 '110'+'10101' = 0xD5
+        # scan 2 AC first band 1-63 Al=1: 6>>1=3 -> sym 0x02 '01' +
+        #   mag '11', then EOB '1010' = 0x7A
+        # scan 3 DC refine Al=0: bit 42&1=0 -> 0x00
+        # scan 4 AC refine Al=0: no new coeffs -> EOB0 '1010' + one
+        #   correction bit (6>>0)&1=0 for the history coeff = 0xA0
+        img = jpeg.decode(self._stream([
+            (bytes([1, 1, 0x00, 0, 0, 0x01]), bytes([0xD5])),
+            (bytes([1, 1, 0x00, 1, 63, 0x01]), bytes([0x7A])),
+            (bytes([1, 1, 0x00, 0, 0, 0x10]), bytes([0x00])),
+            (bytes([1, 1, 0x00, 1, 63, 0x10]), bytes([0xA0])),
+        ]))
+        F = np.zeros((8, 8))
+        F[0, 0] = 42 * 16
+        F[0, 1] = 6 * 16
+        ref = np.clip(np.round(direct_idct(F) + 128), 0, 255)
+        assert np.array_equal(img[:, :, 0] if img.ndim == 3 else img,
+                              ref.astype(np.uint8))
+
+    def test_eobn_run_skips_blocks(self):
+        # 8x16 gray, 2 blocks. DC scan Al=0: block1 diff +16 (cat5
+        # '110'+'10000'), block2 DC 0 -> diff -16 (cat5 '110' +
+        # ones-complement '01111') -> 1101 0000 1100 1111 = 0xD0 0xCF.
+        # AC scan: custom 1-symbol DHT {0x10:'0'}; EOB2 = sym 0x10 +
+        # 1 ext bit 0 -> '00' -> 0x00: both blocks empty.
+        out = bytearray(b"\xff\xd8")
+        out += _segment(0xDB, bytes([0x00]) + bytes([16] * 64))
+        out += _segment(
+            0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        bits, vals = jpeg.STD_DC_LUMA
+        out += _segment(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+        eob_bits = [1] + [0] * 15
+        out += _segment(0xC4, bytes([0x10]) + bytes(eob_bits) + bytes([0x10]))
+        out += _segment(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        out += bytes([0xD0, 0xCF])
+        out += _segment(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        out += bytes([0x00])
+        out += b"\xff\xd9"
+        img = jpeg.decode(bytes(out))
+        assert img.shape[:2] == (8, 16)
+        # block 1: DC 16*16/8 = 32 above mid -> 128+32; block 2: DC 0
+        assert np.all(img[:, :8] == 160)
+        assert np.all(img[:, 8:] == 128)
+
+
+class TestProgressiveRoundtrip:
+    """decode(encode(progressive)) must be BIT-IDENTICAL to
+    decode(encode(baseline)): the scan script reorders the same
+    quantized coefficients, so any deviation is a codec bug."""
+
+    def test_identical_to_baseline_all_subsamplings(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        for sub in ("444", "422", "420"):
+            base = jpeg.decode(jpeg.encode(img, sub))
+            prog = jpeg.decode(jpeg.encode(img, sub, progressive=True))
+            assert np.array_equal(base, prog), sub
+
+    def test_identical_gray_odd_dims(self):
+        rng = np.random.default_rng(5)
+        for h, w in ((33, 41), (8, 8), (17, 9)):
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            assert np.array_equal(
+                jpeg.decode(jpeg.encode(g)),
+                jpeg.decode(jpeg.encode(g, progressive=True))), (h, w)
+
+    def test_identical_constant_and_smooth(self):
+        # constant -> maximal EOBn runs; smooth -> long zero runs with
+        # sparse newly-significant refinement coefficients
+        img = np.full((128, 144, 3), 77, np.uint8)
+        assert np.array_equal(
+            jpeg.decode(jpeg.encode(img, "420")),
+            jpeg.decode(jpeg.encode(img, "420", progressive=True)))
+        x = np.linspace(0, 4, 160)
+        sm = np.clip(
+            np.add.outer(x * 30, x * 20)[..., None] + np.array([0, 40, 80]),
+            0, 255).astype(np.uint8)
+        for sub in ("444", "420"):
+            assert np.array_equal(
+                jpeg.decode(jpeg.encode(sm, sub)),
+                jpeg.decode(jpeg.encode(sm, sub, progressive=True))), sub
+
+    def test_progressive_is_sof2_on_the_wire(self):
+        enc = jpeg.encode(np.zeros((8, 8), np.uint8), progressive=True)
+        assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+        # multiple scans present
+        assert enc.count(b"\xff\xda") >= 4
+
+    def test_restart_plus_progressive_refused(self):
+        with pytest.raises(jpeg.JpegFormatError, match="restart"):
+            jpeg.encode(np.zeros((8, 8), np.uint8), restart_interval=2,
+                        progressive=True)
+
+
+def test_single_scan_sampling_factors_nonninterleaved():
+    # ADVICE round-4: a single-component scan is NON-interleaved per
+    # T.81 — sampling factors do not impose MCU layout. A grayscale
+    # frame declaring 2x2 factors must decode identically to the same
+    # entropy data with 1x1 factors (previously garbled).
+    entropy = bytes([0xE8, 0x28])  # DC +32, EOB
+    plain = jpeg.decode(_minimal_gray_stream(entropy))
+    s = bytearray(_minimal_gray_stream(entropy))
+    sof_at = bytes(s).find(b"\xff\xc0")
+    assert s[sof_at + 11] == 0x11
+    s[sof_at + 11] = 0x22  # h=v=2
+    img = jpeg.decode(bytes(s))
+    assert np.array_equal(img, plain)
