@@ -2434,16 +2434,19 @@ GROUP BY media_id, rate, ch, nf
 
 def _q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video container parse through the from-scratch AVI codec
-    (functions/avi.py, RIFF + uncompressed DIB frames): integer
-    gradient frames are encoded executor-side, frame-sampled
-    (every 2nd frame), and reduced to exact per-channel means. Oracle
-    rebuilds the means from the same arithmetic with no container."""
+    (functions/avi.py, RIFF + uncompressed DIB frames AND MJPEG frames
+    decoded through functions/jpeg.py): integer gradient DIB clips
+    (ids 0-23) plus constant-frame MJPEG clips (ids 24-35, exact
+    through the lossy codec because constant gray-valued even frames
+    quantize losslessly), frame-sampled (every 2nd frame) and reduced
+    to exact per-channel means. Oracle rebuilds the means from the
+    same arithmetic with no container."""
     import numpy as np
 
     from sophox_spark.functions import avi as _avi
     from sophox_spark.operators import multimodal
 
-    ids = spark.range(24).withColumnRenamed("id", "media_id").coalesce(4)
+    ids = spark.range(36).withColumnRenamed("id", "media_id").coalesce(4)
 
     def gen(batches):
         import pandas as pd
@@ -2454,6 +2457,16 @@ def _q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 w, h = 4 + i % 3, 3 + i % 4
                 nf = 2 + i % 3
+                if i >= 24:  # MJPEG: constant even-valued frames
+                    frames = [
+                        np.full((h, w, 3), 2 * ((7 * f + i * 11) % 128),
+                                np.uint8)
+                        for f in range(nf)
+                    ]
+                    payloads.append(
+                        _avi.encode(frames, fps=5 + i % 5, codec="MJPG")
+                    )
+                    continue
                 frames = []
                 for f in range(nf):
                     x = np.arange(w)[None, :, None]
@@ -2495,6 +2508,15 @@ SELECT media_id, f AS frame_idx, w AS width, h AS height, fps,
        CAST(CAST(SUM(vb) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_b
 FROM px
 GROUP BY media_id, f, w, h, fps
+UNION ALL
+SELECT media_id, f AS frame_idx, 4 + media_id % 3 AS width,
+       3 + media_id % 4 AS height, CAST(5 + media_id % 5 AS DOUBLE) AS fps,
+       CAST(2 * ((7 * f + media_id * 11) % 128) AS DOUBLE) AS mean_r,
+       CAST(2 * ((7 * f + media_id * 11) % 128) AS DOUBLE) AS mean_g,
+       CAST(2 * ((7 * f + media_id * 11) % 128) AS DOUBLE) AS mean_b
+FROM (SELECT 24 + i AS media_id FROM range(12) t(i))
+CROSS JOIN range(4) tf(f)
+WHERE f < 2 + media_id % 3 AND f % 2 = 0
 """
 
 

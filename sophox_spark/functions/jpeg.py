@@ -277,19 +277,26 @@ class _Frame:
         return self.mcus_x, self.mcus_y, entries
 
 
-def decode(data: bytes) -> np.ndarray:
+def decode(data: bytes, *, default_huff: bool = False) -> np.ndarray:
     """JPEG bytes → (height, width, channels) uint8 (channels 1 or 3).
 
     Accepts baseline sequential (SOF0/SOF1, single- or multi-scan,
     interleaved or per-component scans, RSTn restart intervals) AND
     progressive (SOF2, spectral selection + successive approximation).
     Fail-loud outside the subset: arithmetic coding, hierarchical,
-    lossless, 12-bit, CMYK."""
+    lossless, 12-bit, CMYK.
+
+    ``default_huff`` pre-seeds the Annex K Huffman tables (ids 0=luma,
+    1=chroma) for streams that omit DHT — the common MJPEG-in-AVI
+    convention; in-stream DHT segments override the seeds."""
     if data[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, tuple] = {}
     huff_ac: dict[int, tuple] = {}
+    if default_huff:
+        huff_dc = {0: STD_DC_LUMA, 1: STD_DC_CHROMA}
+        huff_ac = {0: STD_AC_LUMA, 1: STD_AC_CHROMA}
     frame: _Frame | None = None
     restart_interval = 0
     nscans = 0
@@ -391,6 +398,13 @@ def _decode_one_scan(frame, scomps, ss, se, ah, al, segs, huff_dc, huff_ac,
                      restart_interval):
     """Dispatch one SOS to the right entropy decoder (T.81 G.1.2 scan
     taxonomy) and scatter its coefficients into the frame store."""
+    need_dc = ss == 0 and (ah == 0 or not frame.progressive)
+    need_ac = ss > 0 or not frame.progressive
+    for _ci, _c2, td, ta in scomps:
+        if need_dc and td not in huff_dc:
+            raise JpegFormatError(f"missing DC Huffman table {td}")
+        if need_ac and ta not in huff_ac:
+            raise JpegFormatError(f"missing AC Huffman table {ta}")
     if not frame.progressive:
         if (ss, se, ah, al) != (0, 63, 0, 0):
             raise JpegFormatError("invalid spectral params for sequential")

@@ -51,9 +51,10 @@ class TestDecodeHandAssembled:
         fps, got = avi.decode(build_avi(1, 1, frames))
         assert [g[0, 0, 0] for g in got] == [10, 20, 30]
 
-    def test_compressed_rejected(self):
+    def test_unknown_compression_rejected(self):
         with pytest.raises(avi.AviFormatError, match="compression"):
-            avi.decode(build_avi(1, 1, [bytes(4)], comp=0x47504A4D))  # MJPG
+            avi.decode(build_avi(1, 1, [bytes(4)],
+                                 comp=0x44495658))  # 'XVID'
 
     def test_non_dib_handler_rejected(self):
         with pytest.raises(avi.AviFormatError, match="handler"):
@@ -77,6 +78,86 @@ class TestRoundtrip:
         assert fps == 25.0 and len(got) == 4
         for a, b in zip(got, frames):
             assert np.array_equal(a, b)
+
+
+class TestMjpeg:
+    """MJPEG-in-AVI: 00dc chunks are standalone JPEG streams decoded
+    through functions/jpeg.py (the dominant compressed crawl codec)."""
+
+    def test_mjpeg_roundtrip_matches_jpeg_codec(self):
+        from sophox_spark.functions import jpeg
+
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        enc = avi.encode(frames, fps=12, codec="MJPG")
+        assert b"MJPG" in enc and b"00dc" in enc and b"00db" not in enc
+        fps, got = avi.decode(enc)
+        assert fps == 12.0 and len(got) == 3
+        # container adds nothing: each frame must equal the plain
+        # JPEG codec roundtrip of the same pixels
+        for a, f in zip(got, frames):
+            assert np.array_equal(a, jpeg.decode(jpeg.encode(f, "444")))
+
+    def test_mjpeg_constant_frames_exact(self):
+        frames = [np.full((9, 11, 3), v, np.uint8) for v in (8, 100, 200)]
+        _fps, got = avi.decode(avi.encode(frames, fps=5, codec="MJPG"))
+        for a, f in zip(got, frames):
+            assert np.array_equal(a, f)
+
+    def test_mjpeg_frame_without_dht_uses_annex_k_defaults(self):
+        # strip every DHT segment from an encoded frame — the common
+        # MJPEG convention — and splice it back into the container
+        from sophox_spark.functions import jpeg
+
+        img = np.full((8, 8, 3), 96, np.uint8)
+        enc = avi.encode([img], fps=5, codec="MJPG")
+        i = enc.find(b"\xff\xd8", 12)
+        j = enc.find(b"\xff\xd9", i) + 2
+        frame = bytearray(enc[i:j])
+        while True:
+            d = frame.find(b"\xff\xc4")
+            if d < 0:
+                break
+            seglen = int.from_bytes(frame[d + 2 : d + 4], "big")
+            del frame[d : d + 2 + seglen]
+        assert b"\xff\xc4" not in bytes(frame)
+        # bare JPEG without tables fails loud...
+        with pytest.raises(jpeg.JpegFormatError, match="Huffman table"):
+            jpeg.decode(bytes(frame))
+        # ...but decodes with the Annex K defaults (what AVI decode uses)
+        got = jpeg.decode(bytes(frame), default_huff=True)
+        assert np.all(got == 96)
+        # and through the container via the same convention
+        stripped = build_mjpeg_avi(8, 8, [bytes(frame)])
+        _fps, frames2 = avi.decode(stripped)
+        assert np.all(frames2[0] == 96)
+
+    def test_mjpeg_size_mismatch_fails_loud(self):
+        from sophox_spark.functions import jpeg
+
+        payload = jpeg.encode(np.zeros((8, 8, 3), np.uint8), "444")
+        with pytest.raises(avi.AviFormatError, match="does not match"):
+            avi.decode(build_mjpeg_avi(16, 16, [payload]))
+
+    def test_mjpeg_garbage_frame_fails_loud(self):
+        with pytest.raises(avi.AviFormatError, match="bad MJPEG frame"):
+            avi.decode(build_mjpeg_avi(8, 8, [b"\xff\xd8garbage"]))
+
+
+def build_mjpeg_avi(w, h, jpeg_payloads, rate=10, scale=1):
+    avih = struct.pack("<IIIIIIIIII4I", 100000, 0, 0, 0, len(jpeg_payloads),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, scale, rate, 0,
+        len(jpeg_payloads), 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,
+                       0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def test_sample_video_frames_spark(spark):
