@@ -2373,18 +2373,22 @@ GROUP BY fa.doc_id, fb.doc_id
 
 def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the from-scratch WAV codec
-    (functions/wav.py): integer waveforms are RIFF-PCM16-encoded
-    executor-side, decoded by the chunk walker, and reduced to exact
-    sample statistics (mean |amplitude| = one int division; energy =
-    exact int64 sum of squares). The oracle rebuilds both from the
-    same arithmetic with no codec; the decoder is separately pinned to
-    hand-assembled RIFF byte layouts in tests/test_wav.py."""
+    (functions/wav.py): integer waveforms are RIFF-encoded
+    executor-side — PCM16 (ids 0-39) plus the full depth sweep on ids
+    40-59 (8-bit unsigned, 24-bit, IEEE float32/float64 with exactly
+    representable v/32768 samples, 32-bit PCM) — decoded by the chunk
+    walker, and reduced to exact sample statistics (mean |amplitude| =
+    one int division; energy = exact int64 sum of squares; floats map
+    through the deterministic x*32768 PCM16 mapping). The oracle
+    rebuilds both from the same arithmetic with no codec; the decoder
+    is separately pinned to hand-assembled RIFF byte layouts in
+    tests/test_wav.py."""
     import numpy as np
 
     from sophox_spark.functions import wav as _wav
     from sophox_spark.operators import multimodal
 
-    ids = spark.range(40).withColumnRenamed("id", "media_id").coalesce(4)
+    ids = spark.range(60).withColumnRenamed("id", "media_id").coalesce(4)
 
     def gen(batches):
         import pandas as pd
@@ -2398,8 +2402,31 @@ def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nf = 50 + i % 20
                 f = np.arange(nf)[:, None]
                 c = np.arange(ch)[None, :]
-                v = ((3 + i % 4) * f + 7 * c + 11 * i) % 65536 - 32768
-                payloads.append(_wav.encode(v.astype(np.int16), rate))
+                ca = 3 + i % 4
+                kind = (i - 40) % 5 if i >= 40 else -1
+                if kind == 0:  # 8-bit unsigned PCM
+                    v = (ca * f + 7 * c + 11 * i) % 256
+                    payloads.append(
+                        _wav.encode(v.astype(np.uint8), rate, bits=8))
+                elif kind == 1:  # 24-bit PCM
+                    v = (ca * f * 1000 + 7 * c + 11 * i) % 16777216 - 8388608
+                    payloads.append(
+                        _wav.encode(v.astype(np.int32), rate, bits=24))
+                elif kind == 2:  # IEEE float32, samples v/32768 exact
+                    v = (ca * f + 7 * c + 11 * i) % 65536 - 32768
+                    payloads.append(_wav.encode(
+                        (v / 32768.0).astype(np.float32), rate, fmt="float"))
+                elif kind == 3:  # IEEE float64
+                    v = (ca * f + 7 * c + 11 * i) % 65536 - 32768
+                    payloads.append(_wav.encode(
+                        v / 32768.0, rate, bits=64, fmt="float"))
+                elif kind == 4:  # 32-bit PCM
+                    v = (ca * f * 97 + 7 * c + 11 * i) % 200001 - 100000
+                    payloads.append(
+                        _wav.encode(v.astype(np.int32), rate, bits=32))
+                else:
+                    v = (ca * f + 7 * c + 11 * i) % 65536 - 32768
+                    payloads.append(_wav.encode(v.astype(np.int16), rate))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
@@ -2413,12 +2440,20 @@ def _audio_decode_sql() -> str:
 WITH clips AS (
   SELECT i AS media_id, 8000 + 100 * (i % 5) AS rate,
          1 + i % 2 AS ch, 50 + i % 20 AS nf,
-         3 + i % 4 AS ca
-  FROM range(40) t(i)
+         3 + i % 4 AS ca,
+         CASE WHEN i >= 40 THEN (i - 40) % 5 ELSE -1 END AS kind
+  FROM range(60) t(i)
 ),
 px AS (
   SELECT media_id, rate, ch, nf,
-         (ca * f + 7 * c + 11 * media_id) % 65536 - 32768 AS v
+         CASE kind
+           WHEN 0 THEN (ca * f + 7 * c + 11 * media_id) % 256
+           WHEN 1 THEN (ca * f * 1000 + 7 * c + 11 * media_id) % 16777216
+                       - 8388608
+           WHEN 4 THEN (ca * f * 97 + 7 * c + 11 * media_id) % 200001
+                       - 100000
+           ELSE (ca * f + 7 * c + 11 * media_id) % 65536 - 32768
+         END AS v
   FROM clips
   CROSS JOIN range(70) tf(f)
   CROSS JOIN range(2) tc(c)

@@ -101,10 +101,12 @@ def decode_images(media_df: DataFrame, id_col="media_id", payload_col="payload")
 
 
 def real_decode_audio(payload: bytes):
-    """Real audio codec path: WAV (RIFF PCM16) via the from-scratch
+    """Real audio codec path: WAV (RIFF PCM 8/16/24/32-bit or IEEE
+    float 32/64, incl. WAVE_FORMAT_EXTENSIBLE) via the from-scratch
     parser in functions/wav.py, falling back to the synthetic AUD1
-    container. Returns (sample_rate, channels, int16 [n, ch]);
-    raises WavFormatError loudly outside the PCM16 subset."""
+    container. Returns (sample_rate, channels, samples [n, ch]) in the
+    stream's native dtype; raises WavFormatError loudly outside the
+    subset."""
     from ..functions import wav
 
     b = bytes(payload)
@@ -139,6 +141,14 @@ def decode_audio(media_df: DataFrame, id_col="media_id", payload_col="payload") 
                 except (ValueError, struct.error):
                     rows.append((mid, None, None, None, None, None))
                     continue
+                if np.issubdtype(samples.dtype, np.floating):
+                    # deterministic float→PCM16 mapping (x*32768,
+                    # round-half-even, clip) so the stats stay exact
+                    # integers a SQL oracle can restate
+                    samples = np.clip(
+                        np.rint(samples.astype(np.float64) * 32768.0),
+                        -32768, 32767,
+                    ).astype(np.int64)
                 flat = samples.reshape(-1).astype(np.int64)
                 mean_abs = (
                     float(np.abs(flat).sum()) / flat.size if flat.size else None
