@@ -3207,6 +3207,102 @@ def _q_page_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.extract_mentions(pages)
 
 
+def _q_tag_template_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot WikiTagTemplateUsage analog (WikiTagTemplateUsage.py:
+    26-52 → operators/wiki_usage.tag_template_usage): parse every
+    {{Tag}}/{{Key}} occurrence out of deterministic wikitext pages
+    (shared DescriptionParserItem grammar, Arrow-batched), count per
+    (key, value) incl. '/'-multi-value splits, attach the per-key
+    total the reference sorts by. Oracle restates the pair counts from
+    the page-construction formulas with no wikitext parsing."""
+    from sophox_spark.operators import wiki_usage
+
+    _load(spark, sf_dir, "events")
+    pages = spark.sql("""
+SELECT concat(
+  '{{Tag|k', CAST(k % 7 AS STRING), '|v', CAST(k % 5 AS STRING), '}} txt ',
+  '{{Key|k', CAST(k % 7 AS STRING), '}}',
+  CASE WHEN k % 3 = 0
+       THEN concat(' {{Tag|k', CAST((k + 1) % 7 AS STRING), '|a/b}}')
+       ELSE '' END) AS wikitext
+FROM (SELECT DISTINCT event_id % 180 AS k FROM events)""")
+    return wiki_usage.tag_template_usage(pages)
+
+
+def _tag_template_usage_sql() -> str:
+    return """
+WITH pg AS (SELECT DISTINCT event_id % 180 AS k FROM events),
+pairs AS (
+  SELECT 'k' || CAST(k % 7 AS VARCHAR) AS key,
+         'v' || CAST(k % 5 AS VARCHAR) AS value FROM pg
+  UNION ALL SELECT 'k' || CAST(k % 7 AS VARCHAR), '' FROM pg
+  UNION ALL SELECT 'k' || CAST((k + 1) % 7 AS VARCHAR), 'a' FROM pg
+  WHERE k % 3 = 0
+  UNION ALL SELECT 'k' || CAST((k + 1) % 7 AS VARCHAR), 'b' FROM pg
+  WHERE k % 3 = 0
+),
+counts AS (
+  SELECT key, value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY key, value
+)
+SELECT key, value, cnt,
+       CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS key_total
+FROM counts
+"""
+
+
+def _q_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot DataItemContributors analog (DataItemContributors.py:
+    38-80 → operators/wiki_usage.contributor_digest): parse wikibase
+    revision comments with the reference's reComment/reProperty
+    regexes (native JVM regex, no python), drop bot edits, emit the
+    distinct (qid, kind, value) contribution facts —
+    editentity-create counts toward all three language kinds. Oracle
+    restates the facts from the comment-construction formulas."""
+    from sophox_spark.operators import wiki_usage
+
+    _load(spark, sf_dir, "events")
+    revs = spark.sql("""
+SELECT concat('Q', CAST(event_id % 40 AS STRING)) AS qid,
+  CASE WHEN event_id % 6 = 0 THEN 'Yurikbot'
+       ELSE concat('u', CAST(event_id % 4 AS STRING)) END AS editor,
+  CASE CAST(event_id % 8 AS INT)
+    WHEN 0 THEN '/* wbsetlabel-add:1|en */ foo'
+    WHEN 1 THEN '/* wbsetdescription-set:1|de */ bar'
+    WHEN 2 THEN '/* wbsetaliases-add:1|fr */ baz'
+    WHEN 3 THEN '/* wbeditentity-create:0| */ new item'
+    WHEN 4 THEN concat('/* wbsetclaim-create:2||1 */ [[Property:P',
+                       CAST(event_id % 9 + 1 AS STRING), ']] x')
+    WHEN 5 THEN 'Reverted edits by vandal'
+    WHEN 6 THEN '/* wbsetlabel-set:1|es */ qux'
+    ELSE 'undo revision 123'
+  END AS comment
+FROM events""")
+    return wiki_usage.contributor_digest(revs, user_col="editor")
+
+
+def _contributors_sql() -> str:
+    return """
+WITH r AS (
+  SELECT event_id % 40 AS q, event_id % 6 AS bot,
+         CAST(event_id % 8 AS INT) AS m, event_id % 9 + 1 AS p
+  FROM events
+),
+f AS (
+  SELECT q, 'label' AS kind, 'en' AS value FROM r WHERE bot <> 0 AND m = 0
+  UNION ALL SELECT q, 'description', 'de' FROM r WHERE bot <> 0 AND m = 1
+  UNION ALL SELECT q, 'aliases', 'fr' FROM r WHERE bot <> 0 AND m = 2
+  UNION ALL SELECT q, 'label', '' FROM r WHERE bot <> 0 AND m = 3
+  UNION ALL SELECT q, 'description', '' FROM r WHERE bot <> 0 AND m = 3
+  UNION ALL SELECT q, 'aliases', '' FROM r WHERE bot <> 0 AND m = 3
+  UNION ALL SELECT q, 'claims', 'P' || CAST(p AS VARCHAR) FROM r
+  WHERE bot <> 0 AND m = 4
+  UNION ALL SELECT q, 'label', 'es' FROM r WHERE bot <> 0 AND m = 6
+)
+SELECT DISTINCT 'Q' || CAST(q AS VARCHAR) AS qid, kind, value FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -3258,6 +3354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wiki_upsert": _q_wiki_upsert,
         "q_wiki_descriptions": _q_wiki_descriptions,
         "q_wiki_sorted": _q_wiki_sorted,
+        "q_tag_template_usage": _q_tag_template_usage,
+        "q_contributors": _q_contributors,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -3348,6 +3446,8 @@ def oracle_sql() -> dict[str, str]:
         "q_wiki_upsert": _wiki_upsert_sql(),
         "q_wiki_descriptions": _wiki_descriptions_sql(),
         "q_wiki_sorted": _wiki_sorted_sql(),
+        "q_tag_template_usage": _tag_template_usage_sql(),
+        "q_contributors": _contributors_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
