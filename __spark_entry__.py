@@ -3303,6 +3303,99 @@ SELECT DISTINCT 'Q' || CAST(q AS VARCHAR) AS qid, kind, value FROM f
 """
 
 
+_NEGPATH_TRIPLES_SPARK = """
+WITH e AS (SELECT DISTINCT event_id % 120 AS i FROM events)
+SELECT concat('x:', CAST(i AS STRING)) AS s, 'p:type' AS p,
+       concat('"t', CAST(i % 4 AS STRING), '"') AS o FROM e
+UNION ALL
+SELECT concat('x:', CAST(i AS STRING)), 'p:name',
+       concat('"n', CAST(i AS STRING), '"') FROM e WHERE i % 3 <> 0
+UNION ALL
+SELECT concat('x:', CAST(i AS STRING)), 'p:link',
+       concat('x:', CAST((i + 1) % 120 AS STRING)) FROM e WHERE i % 2 = 0
+UNION ALL
+SELECT concat('x:', CAST(i AS STRING)), 'p:loc',
+       concat('"L', CAST(i % 7 AS STRING), '"') FROM e WHERE i % 5 = 0
+"""
+
+
+def _q_sparql_negpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §9.1 negated property sets through the engine:
+    ``!(a|b)`` forward exclusion UNION a mixed-direction set whose
+    inverse members yield reversed edges. Oracle restates both edge
+    relations from the fixture formulas — a direction slip, a
+    mis-negated filter, or a dropped member is a hash mismatch."""
+    from sophox_spark.operators import sparql
+
+    _load(spark, sf_dir, "events")
+    triples = spark.sql(_NEGPATH_TRIPLES_SPARK)
+    return sparql.SparqlEngine(triples).select("""
+SELECT ?a ?b WHERE {
+  { ?a !(p:type|p:link) ?b }
+  UNION
+  { ?a !(p:type|p:name|p:loc|^p:type|^p:name|^p:loc) ?b }
+}""")
+
+
+def _sparql_negpath_sql() -> str:
+    return """
+WITH e AS (SELECT DISTINCT event_id % 120 AS i FROM events)
+SELECT 'x:' || CAST(i AS VARCHAR) AS a,
+       '"n' || CAST(i AS VARCHAR) || '"' AS b FROM e WHERE i % 3 <> 0
+UNION ALL
+SELECT 'x:' || CAST(i AS VARCHAR),
+       '"L' || CAST(i % 7 AS VARCHAR) || '"' FROM e WHERE i % 5 = 0
+UNION ALL
+SELECT 'x:' || CAST(i AS VARCHAR),
+       'x:' || CAST((i + 1) % 120 AS VARCHAR) FROM e WHERE i % 2 = 0
+UNION ALL
+SELECT 'x:' || CAST((i + 1) % 120 AS VARCHAR),
+       'x:' || CAST(i AS VARCHAR) FROM e WHERE i % 2 = 0
+"""
+
+
+_GRAPH_QUADS_SPARK = """
+WITH e AS (SELECT DISTINCT event_id % 150 AS i FROM events)
+SELECT concat('x:', CAST(i % 50 AS STRING)) AS s, 'p:v' AS p,
+       concat('"v', CAST(i % 11 AS STRING), '"') AS o,
+       concat('g:', CAST(i % 3 AS STRING)) AS g FROM e
+UNION ALL
+SELECT concat('x:', CAST(i % 50 AS STRING)), 'p:w',
+       concat('"w', CAST(i % 5 AS STRING), '"'),
+       concat('g:', CAST(i % 2 AS STRING)) FROM e WHERE i % 4 = 0
+"""
+
+
+def _q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH over a quads store: ``GRAPH ?g`` binds the graph per
+    triple through the quads scan (no per-graph driver loop), UNIONed
+    with a ``GRAPH <iri>`` restriction. Oracle replays both branches
+    from the quad-construction formulas."""
+    from sophox_spark.operators import sparql
+
+    _load(spark, sf_dir, "events")
+    quads = spark.sql(_GRAPH_QUADS_SPARK)
+    return sparql.SparqlEngine(quads).select("""
+SELECT ?g ?s ?o WHERE {
+  { GRAPH ?g { ?s p:v ?o } }
+  UNION
+  { GRAPH g:0 { ?s p:w ?o } BIND(STR('g:0') AS ?g) }
+}""")
+
+
+def _sparql_graph_sql() -> str:
+    return """
+WITH e AS (SELECT DISTINCT event_id % 150 AS i FROM events)
+SELECT 'g:' || CAST(i % 3 AS VARCHAR) AS g,
+       'x:' || CAST(i % 50 AS VARCHAR) AS s,
+       '"v' || CAST(i % 11 AS VARCHAR) || '"' AS o FROM e
+UNION ALL
+SELECT 'g:0', 'x:' || CAST(i % 50 AS VARCHAR),
+       '"w' || CAST(i % 5 AS VARCHAR) || '"'
+FROM e WHERE i % 4 = 0 AND i % 2 = 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -3356,6 +3449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wiki_sorted": _q_wiki_sorted,
         "q_tag_template_usage": _q_tag_template_usage,
         "q_contributors": _q_contributors,
+        "q_sparql_negpath": _q_sparql_negpath,
+        "q_sparql_graph": _q_sparql_graph,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -3448,6 +3543,8 @@ def oracle_sql() -> dict[str, str]:
         "q_wiki_sorted": _wiki_sorted_sql(),
         "q_tag_template_usage": _tag_template_usage_sql(),
         "q_contributors": _contributors_sql(),
+        "q_sparql_negpath": _sparql_negpath_sql(),
+        "q_sparql_graph": _sparql_graph_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),

@@ -348,6 +348,11 @@ class _Parser:
             elif kind == "word" and val.upper() == "MINUS":
                 self.next()
                 blocks.append(("minus", self.parse_group()))
+            elif kind == "word" and val.upper() == "GRAPH":
+                self.next()
+                k2, _v2 = self.peek()
+                g = Var(self.next()[1][1:]) if k2 == "var" else self._term()
+                blocks.append(("graph", g, self.parse_group()))
             else:
                 # triples-same-subject: ``?s p1 o1, o2; p2 o3 .`` — ';'
                 # repeats the subject for another predicate-object pair,
@@ -445,6 +450,48 @@ class _Parser:
         inv = self.peek() == ("punct", "^")
         if inv:
             self.next()
+        if self.peek() == ("punct", "!"):
+            # negated property set (SPARQL 1.1 §9.1): !iri, !^iri, or
+            # !(iri1|^iri2|...) — forward members restrict forward
+            # edges, inverse members restrict reversed edges
+            self.next()
+            fwd: list[str] = []
+            invs: list[str] = []
+
+            def one_member():
+                m_inv = self.peek() == ("punct", "^")
+                if m_inv:
+                    self.next()
+                if self.peek() == ("word", "a"):
+                    self.next()
+                    t = Term("rdf:type")
+                else:
+                    t = self._term()
+                if not isinstance(t, Term):
+                    raise ValueError(
+                        "negated property set members must be IRIs"
+                    )
+                (invs if m_inv else fwd).append(t.text)
+
+            if self.peek() == ("punct", "("):
+                self.next()
+                one_member()
+                while self.peek() == ("punct", "|"):
+                    self.next()
+                    one_member()
+                self.expect("punct", ")")
+            else:
+                one_member()
+            out = Path("negset", (tuple(fwd) or None, tuple(invs) or None))
+            kind, val = self.peek()
+            if kind == "punct" and val in ("+", "*", "?"):
+                self.next()
+                out = Path(
+                    {"+": "plus", "*": "star", "?": "opt"}[val], (out,)
+                )
+            if inv:
+                out = Path("inv", (out,))
+            return out
         if self.peek() == ("word", "a"):
             # 'a' ≡ rdf:type (Turtle/SPARQL shorthand), predicate
             # position only
@@ -639,7 +686,16 @@ class SparqlEngine:
     """Executes the parsed subset against a (s, p, o) triples DataFrame."""
 
     def __init__(self, triples: DataFrame):
-        self.triples = triples.select("s", "p", "o")
+        # optional named-graph column: a (s, p, o, g) quads store
+        # enables GRAPH <iri> / GRAPH ?var; the default graph is the
+        # DISTINCT union of all named graphs (documented subset)
+        if "g" in triples.columns:
+            self.quads = triples.select("s", "p", "o", "g")
+            self.triples = triples.select("s", "p", "o").distinct()
+        else:
+            self.quads = None
+            self.triples = triples.select("s", "p", "o")
+        self._gvar: str | None = None
 
     def select(self, query: str) -> DataFrame:
         return self._run_core(parse_select(query))
@@ -940,6 +996,32 @@ class SparqlEngine:
                     nonempty = bool(sub.head(1))
                     if (kind == "not_exists") == nonempty:
                         cur = cur.limit(0)
+            elif kind == "graph":
+                if self.quads is None:
+                    raise ValueError(
+                        "GRAPH requires a quads store (s, p, o, g column)"
+                    )
+                g = block[1]
+                if isinstance(g, Var):
+                    # bind ?g per-triple: scans inside the group read
+                    # the quads store and carry g as a shared variable
+                    # — joins co-group on it, no per-graph driver loop
+                    saved_gvar = self._gvar
+                    self._gvar = g.name
+                    try:
+                        sub = self._group(block[2], None)
+                    finally:
+                        self._gvar = saved_gvar
+                else:
+                    saved = self.triples
+                    self.triples = self.quads.filter(
+                        F.col("g") == g.text
+                    ).select("s", "p", "o")
+                    try:
+                        sub = self._group(block[2], None)
+                    finally:
+                        self.triples = saved
+                cur = self._join(cur, sub, "inner")
             elif kind == "minus":
                 # SPARQL MINUS (spec §8.3.3): drop left solutions
                 # compatible with some right solution SHARING at least
@@ -994,6 +1076,17 @@ class SparqlEngine:
         return cls._cmp(*e)
 
     def _scan(self, pattern) -> DataFrame:
+        if self._gvar is not None:
+            # inside GRAPH ?g: scan the quads store, binding g
+            if isinstance(pattern[1], Path):
+                raise ValueError(
+                    "property paths inside GRAPH ?var are unsupported"
+                )
+            return self._scan_positions(
+                self.quads,
+                tuple(zip(("s", "p", "o"), pattern))
+                + (("g", Var(self._gvar)),),
+            )
         if isinstance(pattern[1], Path):
             return self._scan_positions(
                 self._path_edges(pattern[1]),
@@ -1032,6 +1125,28 @@ class SparqlEngine:
         spec's all-RDF-terms rule."""
         if p.kind == "pred":
             return self.triples.filter(F.col("p") == p.parts[0]).select("s", "o")
+        if p.kind == "negset":
+            # §9.1 negated property set: forward edges whose predicate
+            # is outside the forward member set, unioned with reversed
+            # edges outside the inverse member set — each direction
+            # present only if the expression names members for it
+            fwd, inv = p.parts
+            outs = []
+            if fwd is not None:
+                outs.append(
+                    self.triples.filter(~F.col("p").isin(*fwd))
+                    .select("s", "o")
+                )
+            if inv is not None:
+                outs.append(
+                    self.triples.filter(~F.col("p").isin(*inv)).select(
+                        F.col("o").alias("s"), F.col("s").alias("o")
+                    )
+                )
+            out = outs[0]
+            for e in outs[1:]:
+                out = out.unionByName(e)
+            return out
         if p.kind == "inv":
             e = self._path_edges(p.parts[0])
             return e.select(F.col("o").alias("s"), F.col("s").alias("o"))

@@ -1099,3 +1099,92 @@ SELECT ?a ?b WHERE {
   FILTER (?a != ?b)
 }""")
         assert out.count() == 0
+
+
+class TestNegatedPropertySets:
+    """SPARQL 1.1 §9.1 negated property sets: !iri, !(a|b), !^iri."""
+
+    def test_single_negated_predicate(self, triples):
+        out = _run(triples, "SELECT ?s ?o WHERE { ?s !osmm:type ?o }")
+        assert out.count() == 11  # 16 triples - 5 osmm:type
+
+    def test_negated_set(self, triples):
+        out = _run(triples, """
+SELECT ?s ?o WHERE { ?s !(osmm:type|osmm:loc|osmm:has|osmt:name) ?o }""")
+        got = sorted((r.s, r.o) for r in out.collect())
+        assert got == [("osmd:Q103", '"highway"'), ("osmd:Q104", '"building"'),
+                       ("osmd:Q105", '"landuse"')]
+
+    def test_negated_inverse_member(self, triples):
+        # !(^p): ONLY reversed edges, predicate != p
+        out = _run(triples, "SELECT ?x ?y WHERE { ?x !(^osmm:type) ?y }")
+        got = {(r.x, r.y) for r in out.collect()}
+        assert ('"alpha"', "osmnode:10") in got  # reversed osmt:name
+        assert out.count() == 11
+        # forward pairs must NOT appear
+        assert ("osmnode:10", '"alpha"') not in got
+
+    def test_negated_mixed_directions(self, triples):
+        out = _run(triples, """
+SELECT ?x ?y WHERE { ?x !(osmm:type|^osmm:type) ?y }""")
+        assert out.count() == 22  # 11 forward + 11 reversed
+
+    def test_negated_in_sequence_path(self, triples):
+        # rel --has--> member --(anything but type)--> value
+        out = _run(triples, """
+SELECT ?rel ?v WHERE { ?rel osmm:has/!osmm:type ?v }""")
+        got = sorted((r.rel, r.v) for r in out.collect())
+        assert got == [
+            ("osmrel:1", '"Point(2 2)"^^geo:wktLiteral'),  # node10 loc
+            ("osmrel:1", '"alpha"'),                        # node10 name
+            ("osmrel:2", '"Point(3 3)"^^geo:wktLiteral'),  # way12 loc
+            ("osmrel:2", '"beta"'),                         # node11 name
+        ]
+
+
+class TestGraphClause:
+    """GRAPH <iri> / GRAPH ?var over a quads (s, p, o, g) store."""
+
+    @pytest.fixture(scope="class")
+    def quads(self, spark):
+        rows = [
+            ("x:1", "p:t", '"a"', "g:1"),
+            ("x:2", "p:t", '"b"', "g:2"),
+            ("x:1", "p:u", '"c"', "g:2"),
+            ("x:1", "p:t", '"a"', "g:2"),  # same triple in two graphs
+        ]
+        return spark.createDataFrame(
+            rows, "s string, p string, o string, g string")
+
+    def test_default_graph_is_distinct_union(self, quads):
+        out = sparql.SparqlEngine(quads).select(
+            "SELECT ?s ?o WHERE { ?s p:t ?o }")
+        assert sorted((r.s, r.o) for r in out.collect()) == [
+            ("x:1", '"a"'), ("x:2", '"b"')]
+
+    def test_graph_iri_restricts(self, quads):
+        out = sparql.SparqlEngine(quads).select(
+            "SELECT ?s WHERE { GRAPH g:1 { ?s p:t ?o } }")
+        assert [r.s for r in out.collect()] == ["x:1"]
+
+    def test_graph_var_binds(self, quads):
+        out = sparql.SparqlEngine(quads).select(
+            "SELECT ?g ?s WHERE { GRAPH ?g { ?s p:t ?o } }")
+        got = sorted((r.g, r.s) for r in out.collect())
+        assert got == [("g:1", "x:1"), ("g:2", "x:1"), ("g:2", "x:2")]
+
+    def test_graph_var_joins_outer_pattern(self, quads):
+        out = sparql.SparqlEngine(quads).select("""
+SELECT ?g WHERE { ?s p:u ?c . GRAPH ?g { ?s p:t ?o } }""")
+        assert sorted(r.g for r in out.collect()) == ["g:1", "g:2"]
+
+    def test_graph_without_quads_fails_loud(self, triples):
+        with pytest.raises(ValueError, match="quads"):
+            _run(triples, "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }")
+
+    def test_graph_var_same_as_pattern_var(self, quads):
+        # repeated var across positions: g must equal o's binding —
+        # no row has o == g here
+        out = sparql.SparqlEngine(quads).select(
+            "SELECT ?g WHERE { GRAPH ?g { ?s p:t ?g } }")
+        assert out.count() == 0
