@@ -392,7 +392,10 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    # chain mode: linear candidate volume per LSH bucket (consecutive
+    # pairs, identical connected components) — the all-pairs variant
+    # explodes quadratically on duplicate-heavy buckets at scale
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, mode="chain")
     clusters = dedup.duplicate_clusters(pairs, a_col="a", b_col="b")
     sizes = clusters.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return clusters.join(sizes, "cluster").select(

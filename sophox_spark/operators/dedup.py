@@ -15,7 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def tokens_df(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -62,10 +62,26 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_hashes: int = 8,
     bands: int = 4,
+    mode: str = "pairs",
 ) -> DataFrame:
     """LSH banding: signature split into ``bands`` bands of
-    ``n_hashes/bands`` rows; docs sharing any band value become candidate
-    pairs. Output: (band, a, b) with a < b."""
+    ``n_hashes/bands`` rows; docs sharing any band value become
+    candidates. Output: (band, a, b) with a < b.
+
+    ``mode='pairs'`` emits every within-bucket pair — what a
+    per-candidate similarity verifier needs, but O(bucket²): a single
+    duplicate-heavy bucket of n docs produces n(n-1)/2 rows, which at
+    crawl scale (millions of boilerplate near-copies in one bucket) is
+    a job-killing blowup — the sf1 soak hit exactly this.
+
+    ``mode='chain'`` sorts each bucket by id and emits only the n-1
+    CONSECUTIVE pairs. Output is linear in input, and connected
+    components over chains equal components over the full cliques, so
+    every cluster-level consumer (duplicate_clusters) gets identical
+    results at any scale. Use 'chain' whenever the pairs feed
+    clustering rather than per-pair verification."""
+    if mode not in ("pairs", "chain"):
+        raise ValueError(f"unknown mode {mode!r}")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, key, text_col, n_hashes)
     band_cols = [
@@ -84,6 +100,18 @@ def minhash_lsh_pairs(
             ])
         ).alias("bs"),
     ).select(key, "bs.band", "bs.sig")
+    if mode == "chain":
+        w = Window.partitionBy("band", "sig").orderBy(key)
+        return (
+            stacked.withColumn("__prev", F.lag(key).over(w))
+            .filter(F.col("__prev").isNotNull())
+            .select(
+                "band",
+                F.col("__prev").alias("a"),
+                F.col(key).alias("b"),
+            )
+            .distinct()
+        )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

@@ -91,7 +91,7 @@ def write_osc(path: str, changes: pd.DataFrame, compress: bool | None = None,
     parts = ["<?xml version='1.0' encoding='UTF-8'?>",
              f'<osmChange version="0.6" generator={quoteattr(generator)}>']
     prev = None
-    for _, row in changes.iterrows():
+    for row in changes.to_dict("records"):
         action = row["action"]
         if action not in ACTIONS:
             raise ValueError(f"unknown action {action!r}")

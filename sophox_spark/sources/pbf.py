@@ -401,7 +401,8 @@ def write_pbf(
             for lo in range(0, len(pdf), block_size):
                 _st = _StringTable()
                 body = b"".join(
-                    enc(_st, row) for _, row in pdf.iloc[lo : lo + block_size].iterrows()
+                    enc(_st, row)
+                    for row in pdf.iloc[lo : lo + block_size].to_dict("records")
                 )
                 emit(body)
     return n_blobs

@@ -344,3 +344,34 @@ class TestDuplicateClusters:
         out = dedup.duplicate_clusters(pairs, max_iter=64).collect()
         assert {r.cluster for r in out} == {0}
         assert len(out) == n + 1
+
+
+def test_lsh_chain_mode_same_clusters_linear_pairs(spark):
+    """chain mode emits n-1 consecutive pairs per bucket (linear, the
+    scale path) and yields IDENTICAL connected components to the
+    all-pairs mode — the sf1 soak found the all-pairs variant going
+    quadratic on duplicate-heavy buckets."""
+    import pandas as pd
+
+    from sophox_spark.operators import dedup
+
+    # 12 near-identical docs (one shared vocabulary) + 3 distinct
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en")
+            for i in range(12)]
+    rows += [(100, "totally different words here qq ww ee", "en"),
+             (101, "another unrelated text block rr tt yy", "en"),
+             (102, "third standalone document uu ii oo pp", "en")]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    all_pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    chain = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4,
+                                    mode="chain")
+    n_all = all_pairs.select("a", "b").distinct().count()
+    n_chain = chain.select("a", "b").distinct().count()
+    assert n_all == 12 * 11 // 2      # quadratic clique
+    assert n_chain == 11              # linear chain
+    ca = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(all_pairs).collect()}
+    cc = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(chain).collect()}
+    assert ca == cc == {(i, 0) for i in range(12)}
