@@ -167,6 +167,30 @@ def _broadcast_polygons(points_df: DataFrame, polygons_df, geom_col, id_col):
     return points_df.sparkSession.sparkContext.broadcast(mapping)
 
 
+def _probe_polygon_dim(polygons_df, geom_col, id_col, max_bytes):
+    """Byte-bounded auto-route probe: stream the polygon dim through
+    ``toLocalIterator`` accumulating the broadcast {id: wkb} map, and
+    ABORT the moment the byte budget is exceeded. One pass both
+    decides the route and (on the broadcast path) materializes the
+    map — no separate sizing aggregation, and a planet-scale dim is
+    read at most ``max_bytes`` + one partition deep instead of being
+    fully scanned just to be measured.
+
+    Returns (mapping, True) when the dim fits, (None, False) when it
+    doesn't."""
+    mapping: dict = {}
+    total = 0
+    for r in polygons_df.select(id_col, geom_col).toLocalIterator():
+        g = r[1]
+        if g is None:
+            continue
+        total += len(g)
+        if total > max_bytes:
+            return None, False
+        mapping[r[0]] = bytes(g)
+    return mapping, True
+
+
 def point_in_polygon_join(
     points_df: DataFrame,
     polygons_df: DataFrame,
@@ -190,12 +214,13 @@ def point_in_polygon_join(
     polygon's covering cells are disjoint regions, so each point still
     matches each polygon at most once).
 
-    ``broadcast_dim=None`` (default) AUTO-ROUTES like
-    ``dissolve.clipped_regions``: one native ``sum(length(geom))`` agg
-    sizes the polygon dim (a JVM-only scalar job — no Python, no
-    geometry to the driver) and picks broadcast iff it fits
-    ``broadcast_max_bytes``. A planet-scale dim therefore can NEVER
-    OOM-collect to the driver through the default path; pass
+    ``broadcast_dim=None`` (default) AUTO-ROUTES with a byte-bounded
+    streamed probe (``_probe_polygon_dim``): the dim streams through
+    ``toLocalIterator`` into the broadcast map and ABORTS the moment
+    ``broadcast_max_bytes`` is exceeded — one pass both decides the
+    route and materializes the broadcast side, so the small-dim case
+    pays no separate sizing job and a planet-scale dim is read at most
+    budget-deep, never fully scanned or OOM-collected. Pass
     ``broadcast_dim=True/False`` to force a path explicitly.
 
     ``salt > 1`` replicates dim-side cell rows across ``salt`` lanes and
@@ -207,14 +232,11 @@ def point_in_polygon_join(
     only inflate the broadcast ``salt``-fold. With ``broadcast_dim``
     the salt argument is therefore ignored.
     """
+    poly_map = None
     if broadcast_dim is None:
-        dim_bytes = (
-            polygons_df.select(
-                F.sum(F.length(geom_col)).alias("b")
-            ).collect()[0][0]
-            or 0
+        poly_map, broadcast_dim = _probe_polygon_dim(
+            polygons_df, geom_col, id_col, broadcast_max_bytes
         )
-        broadcast_dim = dim_bytes <= broadcast_max_bytes
     if isinstance(res, tuple):
         res_min, res_max = res
         pcells = (
@@ -307,7 +329,11 @@ def point_in_polygon_join(
 
         return cand.mapInPandas(refine_partitioned, out_schema)
 
-    poly_bc = _broadcast_polygons(points_df, polygons_df, geom_col, id_col)
+    poly_bc = (
+        points_df.sparkSession.sparkContext.broadcast(poly_map)
+        if poly_map is not None
+        else _broadcast_polygons(points_df, polygons_df, geom_col, id_col)
+    )
 
     def refine(batches):
         # SINGLE-PASS accept/refine: every candidate pair flows through
