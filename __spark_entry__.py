@@ -3306,6 +3306,68 @@ SELECT DISTINCT 'Q' || CAST(q AS VARCHAR) AS qid, kind, value FROM f
 """
 
 
+def _q_map_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot WikiFeatures analog (WikiFeatures.py:103-133 →
+    operators/wiki_usage.map_features_rows): parse the Map-Features
+    template wiki tables — one {|…|} table per page, |- separated
+    rows, 7 |-led cells decoded via the reference's parse_kv /
+    parse_param regexes, [[File:]] names extracted. Deterministic
+    template pages generated executor-side; the oracle restates every
+    parsed column from the construction formulas with no wikitext."""
+    from sophox_spark.operators import wiki_usage
+
+    ids = spark.range(24).withColumnRenamed("id", "t").coalesce(4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            titles, texts = [], []
+            for t in pdf["t"]:
+                t = int(t)
+                rows = []
+                for i in range(t % 4 + 1):
+                    rows.append(
+                        "|-\n"
+                        f"| [[{{{{{{key|}}}}}}|k{(t * 3 + i) % 9}]]\n"
+                        f"| [[{{{{{{value|}}}}}}|v{(t + i) % 6}]]\n"
+                        f"| m{i % 3}\n"
+                        f"| {{{{{{description|d {t}_{i}}}}}}}\n"
+                        f"| {{{{{{render|[[File:r{t}_{i}.png|80px]]}}}}}}\n"
+                        f"| {{{{{{image|[[Image:im{t}_{i}.jpg]]}}}}}}\n"
+                    )
+                titles.append(f"Template:MF:{t}")
+                texts.append(
+                    "intro\n{|\n! head\n" + "".join(rows) + "|-\n|}\n"
+                )
+            yield pd.DataFrame({"title": titles, "wikitext": texts})
+
+    pages = ids.mapInPandas(gen, "title string, wikitext string")
+    return wiki_usage.map_features_rows(pages)
+
+
+def _map_features_sql() -> str:
+    return """
+WITH r AS (
+  SELECT t, i FROM range(24) tt(t) CROSS JOIN range(4) ri(i)
+  WHERE i < t % 4 + 1
+)
+SELECT 'Template:MF:' || CAST(t AS VARCHAR) AS title,
+       'key' AS key_param,
+       'k' || CAST((t * 3 + i) % 9 AS VARCHAR) AS key_id,
+       'value' AS val_param,
+       'v' || CAST((t + i) % 6 AS VARCHAR) AS val_id,
+       'm' || CAST(i % 3 AS VARCHAR) AS members_text,
+       'description' AS desc_param,
+       'd ' || CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS desc_text,
+       'r' || CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '.png'
+         AS render_file,
+       'im' || CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '.jpg'
+         AS image_file
+FROM r
+"""
+
+
 _NEGPATH_TRIPLES_SPARK = """
 WITH e AS (SELECT DISTINCT event_id % 120 AS i FROM events)
 SELECT concat('x:', CAST(i AS STRING)) AS s, 'p:type' AS p,
@@ -3454,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contributors": _q_contributors,
         "q_sparql_negpath": _q_sparql_negpath,
         "q_sparql_graph": _q_sparql_graph,
+        "q_map_features": _q_map_features,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -3548,6 +3611,7 @@ def oracle_sql() -> dict[str, str]:
         "q_contributors": _contributors_sql(),
         "q_sparql_negpath": _sparql_negpath_sql(),
         "q_sparql_graph": _sparql_graph_sql(),
+        "q_map_features": _map_features_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),

@@ -22,6 +22,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -116,4 +118,118 @@ def contributor_digest(
         .filter(F.col("fact").isNotNull())
         .select("qid", "fact.kind", "fact.value")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-Features template table parser (WikiFeatures.py analog)
+# ---------------------------------------------------------------------------
+
+# the reference's cell regexes (WikiFeatures.py:178-187)
+_RE_KV_1 = re.compile(
+    r"(?:\{\{anchor[^}]*\}\})?(?:\[\[ *)?\{\{\{([^|\]}]*)\| *(?:[^|\]}]*)\}\}\}"
+    r"(?: *\| *(.*)\]\])?"
+)
+_RE_KV_2 = re.compile(
+    r"^\{\{[^|}]*\|(?:lang=\{\{\{lang\|\}\}\}\|)?\{\{\{([^|}]+) *\|\}\}\}"
+    r" *\| *([^|}]+(?: *\| *[^|}]*))\}\}"
+)
+_RE_PARAM = re.compile(r"\{\{\{([^|\]}]*)(?:\| *((?:.|\n)*))?\}\}\}")
+_RE_FILE_LINK = re.compile(r"\[\[\s*(?:File|Image)\s*:\s*([^|\]]+)")
+
+
+def _parse_kv_cell(val):
+    m = _RE_KV_1.match(val)
+    if not m:
+        m = _RE_KV_2.match(val)
+    return m.groups() if m else (None, None)
+
+
+def _parse_param_cell(val):
+    m = _RE_PARAM.match(val)
+    return m.groups() if m else (None, None)
+
+
+def _parse_file_cell(val, messages):
+    param, file = _parse_param_cell(val)
+    if param and file:
+        m = _RE_FILE_LINK.search(file)
+        file = m.group(1).strip() if m else None
+    if not file:
+        messages.append(f"Unparsable {val}")
+    return param, file
+
+
+def parse_map_features_table(title: str, content: str, messages: list
+                             ) -> list[tuple]:
+    """One Map-Features template page → parsed table rows
+    (WikiFeatures.get_all_relevant_pages, WikiFeatures.py:103-133):
+    exactly one ``{| … |}`` wiki table, rows split on ``|-`` markers,
+    7 ``|``-led columns per row, cells decoded through the reference's
+    parse_kv / parse_param regexes; the render/image file cells resolve
+    to the bare ``[[File:…]]`` name. Rows that fail any stage are
+    logged and skipped, like the reference."""
+    tbl_start = [m.end() for m in re.finditer(r"^ *\{\|", content, re.M)]
+    tbl_end = [m.end() for m in re.finditer(r"^ *\|\} *$", content, re.M)]
+    if len(tbl_start) != len(tbl_end) or len(tbl_start) != 1:
+        messages.append(
+            f"Multiple tables in {title} - {len(tbl_start)} starts, "
+            f"{len(tbl_end)}"
+        )
+        return []
+    content = content[tbl_start[0] : tbl_end[0]]
+    out = []
+    for row in re.split(r"\n\|-.*\n", content):
+        cols = re.split(r"(?:^|\n)+\| *", row)
+        if len(cols) != 7:
+            # the reference logs and skips (incl. the final chunk when
+            # a table does not close with a '|-' separator, since the
+            # slice keeps the trailing '|}')
+            if row.strip() and not row.lstrip().startswith(("!", "}")):
+                messages.append(f"Unable to parse {row[:60]!r}")
+            continue
+        key_param, key_id = _parse_kv_cell(cols[1])
+        val_param, val_id = _parse_kv_cell(cols[2])
+        if not val_param:
+            messages.append(f"Invalid {cols[2]}")
+            continue
+        desc_param, desc_text = _parse_param_cell(cols[4])
+        _rp, render_file = _parse_file_cell(cols[5], messages)
+        _ip, image_file = _parse_file_cell(cols[6], messages)
+        out.append((
+            title, key_param, key_id, val_param, val_id,
+            cols[3].strip(), desc_param, desc_text, render_file, image_file,
+        ))
+    return out
+
+
+_MAP_FEATURES_SCHEMA = (
+    "title string, key_param string, key_id string, val_param string, "
+    "val_id string, members_text string, desc_param string, "
+    "desc_text string, render_file string, image_file string"
+)
+
+
+def map_features_rows(
+    pages_df: DataFrame, title_col: str = "title", text_col: str = "wikitext"
+) -> DataFrame:
+    """Map-Features template pages → one structured row per parsed
+    table row (Arrow-batched page parse; per-page work is the
+    reference's exact regex pipeline)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for title, text in zip(pdf[title_col], pdf[text_col]):
+                msgs: list = []
+                rows.extend(parse_map_features_table(title, text or "", msgs))
+            yield pd.DataFrame(
+                rows, columns=[f.split(" ")[0] for f in
+                               _MAP_FEATURES_SCHEMA.split(", ")],
+            )
+
+    return pages_df.select(title_col, text_col).mapInPandas(
+        gen, _MAP_FEATURES_SCHEMA
     )

@@ -71,3 +71,73 @@ class TestContributorDigest:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+MAP_FEATURES_PAGE = """Some intro text
+{|
+! header junk
+|-
+| [[{{{key|}}}|highway]]
+| [[{{{value|}}}|residential]]
+| node way
+| {{{description|A residential road}}}
+| {{{render|[[File:r1.png|80px]]}}}
+| {{{image|[[Image:i1.jpg]]}}}
+|- style="x"
+| [[{{{key|}}}|building]]
+| [[{{{value|}}}|yes]]
+| area
+| {{{description|A building}}}
+| {{{render|[[File:r2.png]]}}}
+| {{{image|[[File:i2.jpg|thumb]]}}}
+|-
+|}
+trailer
+"""
+
+
+class TestMapFeatures:
+    def test_table_rows_parsed(self):
+        msgs = []
+        rows = wu.parse_map_features_table("T", MAP_FEATURES_PAGE, msgs)
+        assert rows == [
+            ("T", "key", "highway", "value", "residential", "node way",
+             "description", "A residential road", "r1.png", "i1.jpg"),
+            ("T", "key", "building", "value", "yes", "area",
+             "description", "A building", "r2.png", "i2.jpg"),
+        ]
+
+    def test_anchor_prefix_and_alt_kv_form(self):
+        # {{anchor}}-prefixed cell + the second parse_kv form
+        msgs = []
+        p, i = wu._parse_kv_cell("{{anchor|x}}[[{{{key|}}}|amenity]]")
+        assert (p, i) == ("key", "amenity")
+        # the reference's greedy [^|}]+ group keeps the trailing space
+        p2, i2 = wu._parse_kv_cell(
+            "{{Tag|lang={{{lang|}}}|{{{key |}}} | shop | mall}}")
+        assert p2.strip() == "key" and "shop" in i2
+
+    def test_invalid_value_cell_skipped(self):
+        msgs = []
+        bad = MAP_FEATURES_PAGE.replace(
+            "[[{{{value|}}}|residential]]", "just text")
+        rows = wu.parse_map_features_table("T", bad, msgs)
+        assert len(rows) == 1  # only the building row survives
+        assert any("Invalid" in m for m in msgs)
+
+    def test_multiple_tables_rejected(self):
+        msgs = []
+        two = MAP_FEATURES_PAGE + "\n{|\n|-\n|}\n"
+        assert wu.parse_map_features_table("T", two, msgs) == []
+        assert any("Multiple tables" in m for m in msgs)
+
+    def test_dataframe_wrapper(self, spark):
+        import pandas as pd
+
+        pages = spark.createDataFrame(
+            pd.DataFrame({"title": ["Template:Map Features:highway"],
+                          "wikitext": [MAP_FEATURES_PAGE]}))
+        out = wu.map_features_rows(pages).toPandas()
+        assert len(out) == 2
+        assert set(out["key_id"]) == {"highway", "building"}
+        assert set(out["render_file"]) == {"r1.png", "r2.png"}
