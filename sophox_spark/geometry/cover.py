@@ -73,7 +73,6 @@ def cover_polygons_adaptive(
 
     Returns (poly_idx, cell, fully_contained).
     """
-    prep = PreparedPolygons(packed)
     bb = packed.bbox
     valid = np.flatnonzero(np.isfinite(bb[:, 0]))
     if valid.size == 0:
@@ -82,7 +81,24 @@ def cover_polygons_adaptive(
         bb[valid, 0], bb[valid, 1], bb[valid, 2], bb[valid, 3], res_min,
         max_cells=max_cells_per_poly * max(valid.size, 1),
     )
-    poly_idx = valid[src]
+    return refine_cells(packed, valid[src], cells, res_min, res_max)
+
+
+def refine_cells(
+    packed: PackedPolygons,
+    poly_idx: np.ndarray,
+    cells: np.ndarray,
+    res_min: int,
+    res_max: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quadtree refinement from given SEED cells at ``res_min``: the
+    per-level classify/split loop of ``cover_polygons_adaptive``,
+    callable on any (poly_idx, cell) subset — each seed cell refines
+    independently, which is what lets the distributed builder spread
+    one huge polygon's covering across the cluster."""
+    prep = PreparedPolygons(packed)
+    poly_idx = np.asarray(poly_idx, np.int64)
+    cells = np.asarray(cells, np.int64)
     out_p: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
     out_f: list[np.ndarray] = []

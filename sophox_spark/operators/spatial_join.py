@@ -129,29 +129,66 @@ def build_polygon_cells_adaptive(
     """Quadtree (multi-resolution) covering dim: O(perimeter) rows
     instead of O(area) — coarse fully-contained cells carry most of the
     polygon interior, fine cells trace the boundary. Same schema as
-    ``build_polygon_cells``; cell ids self-describe their resolution."""
-    out_schema = f"cell long, {id_col} long, fully_contained boolean"
+    ``build_polygon_cells``; cell ids self-describe their resolution.
 
-    def gen(batches):
+    SEED-PARALLEL: phase 1 fans each polygon out to its bbox cover at
+    ``res_min`` (one cheap pass); the (polygon, seed-cell) rows then
+    reshuffle so phase 2 refines every seed independently. One
+    country-sized polygon no longer serializes in a single task — its
+    quadtree spreads across the whole cluster, and output rows are
+    identical to the single-task recursion (each seed's subtree is
+    independent)."""
+    out_schema = f"cell long, {id_col} long, fully_contained boolean"
+    spark = polygons_df.sparkSession
+    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def seeds(batches):
         for pdf in batches:
             packed = wkb.pack(pdf[geom_col].tolist())
-            poly_idx, cells, full = cover.cover_polygons_adaptive(
-                packed, res_min, res_max
+            bb = packed.bbox
+            valid = np.flatnonzero(np.isfinite(bb[:, 0]))
+            if valid.size == 0:
+                continue
+            src, cells = grid.cover_bbox(
+                bb[valid, 0], bb[valid, 1], bb[valid, 2], bb[valid, 3],
+                res_min, max_cells=262_144 * max(valid.size, 1),
+            )
+            pi = valid[src]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[pi],
+                    "geom": pdf[geom_col].to_numpy()[pi],
+                    "cell": cells,
+                }
+            )
+
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # pack each distinct polygon once per batch, map seeds to
+            # its slot
+            uniq = pdf.drop_duplicates(id_col)
+            packed = wkb.pack(uniq["geom"].tolist())
+            slot = {p: i for i, p in enumerate(uniq[id_col])}
+            seed_slots = pdf[id_col].map(slot).to_numpy(np.int64)
+            pi, cells, full = cover.refine_cells(
+                packed, seed_slots, pdf["cell"].to_numpy(np.int64),
+                res_min, res_max,
             )
             yield pd.DataFrame(
                 {
                     "cell": cells,
-                    id_col: pdf[id_col].to_numpy()[poly_idx],
+                    id_col: uniq[id_col].to_numpy()[pi],
                     "fully_contained": full,
                 }
             )
 
-    spark = polygons_df.sparkSession
-    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cells_df = (
-        polygons_df.select(id_col, geom_col)
-        .repartition(n_slices)
-        .mapInPandas(gen, out_schema)
+    seeds_df = polygons_df.select(id_col, geom_col).mapInPandas(
+        seeds, f"{id_col} long, geom binary, cell long"
+    )
+    cells_df = seeds_df.repartition(n_slices).mapInPandas(
+        refine, out_schema
     )
     if num_partitions:
         cells_df = cells_df.repartitionByRange(num_partitions, "cell")
