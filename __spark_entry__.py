@@ -776,6 +776,30 @@ FROM cov
 """
 
 
+def _q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Mapbox Vector Tile wire format end-to-end: the quantized
+    ring features of q_vector_tiles serialize into per-tile .mvt
+    protobuf blobs (zigzag-delta geometry commands, cursor across
+    rings — operators/mvt.py, encoder pinned to hand-assembled spec
+    bytes in tests/test_mvt.py) and decode back through the standalone
+    parser. Output shape and ORACLE are exactly q_vector_tiles': any
+    command/zigzag/cursor/framing bug breaks the coordinate hash."""
+    from sophox_spark.operators import mvt, tiles
+
+    polys = _rect_polys(spark.sql(RECTS_SPARK))
+    feats = tiles.vector_tile_features(polys, z=_VT_Z, extent=_VT_EXTENT)
+    back = mvt.roundtrip_rings(mvt.tile_blobs(feats, extent=_VT_EXTENT))
+    return back.select(
+        "tile",
+        "polygon_id",
+        "ring_idx",
+        (F.size("coords_q") / 2).cast("long").alias("n_pts"),
+        F.concat_ws(
+            ",", F.transform("coords_q", lambda v: v.cast("string"))
+        ).alias("coords_csv"),
+    )
+
+
 def _q_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sophox_spark.operators import similarity
 
@@ -3517,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_negpath": _q_sparql_negpath,
         "q_sparql_graph": _q_sparql_graph,
         "q_map_features": _q_map_features,
+        "q_mvt_roundtrip": _q_mvt_roundtrip,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -3612,6 +3637,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_negpath": _sparql_negpath_sql(),
         "q_sparql_graph": _sparql_graph_sql(),
         "q_map_features": _map_features_sql(),
+        "q_mvt_roundtrip": _vector_tiles_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),
