@@ -133,6 +133,16 @@ def main() -> None:
     jpeg_sec = time.perf_counter() - t0
     jpeg_mb = 3 * jimg.nbytes / (1 << 20)
 
+    # codec side-metric #4: progressive (SOF2) decode — the dominant
+    # real-crawl JPEG variant (spectral selection + successive
+    # approximation; refinement scans are the extra cost vs baseline)
+    jenc_p = jpeg_codec.encode(jimg, "420", progressive=True)
+    jpeg_codec.decode(jenc_p)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jpeg_codec.decode(jenc_p)
+    jpeg_prog_sec = time.perf_counter() - t0
+
     joined_rows = counts["q_pip_engine"]
     pip_sec = timings["q_pip_engine"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -147,6 +157,7 @@ def main() -> None:
         "pbf_decode_elements_per_sec": round(n_el / pbf_sec, 1) if pbf_sec else None,
         "png_decode_mb_per_sec": round(png_mb / png_sec, 1) if png_sec else None,
         "jpeg_decode_mb_per_sec": round(jpeg_mb / jpeg_sec, 1) if jpeg_sec else None,
+        "jpeg_progressive_mb_per_sec": round(jpeg_mb / jpeg_prog_sec, 1) if jpeg_prog_sec else None,
         "cpus": CPUS,
     }
     # attach the N->4N scaling evidence (tools/bench_scaling.py):

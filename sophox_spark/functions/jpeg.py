@@ -637,22 +637,59 @@ def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
     including those inside an EOB run — reads one correction bit."""
     p1 = 1 << al
     kmax = se - ss
+    a, b, c0 = entry[1], entry[2], entry[3]
     eobrun = 0
     si = 0
     w, total = _seg_for(segs, 0)
+    bits_np = None  # per-segment unpacked bit array, built lazily
     pos = 0
-    for m in range(ux * uy):
+    n_units = ux * uy
+    m = 0
+    while m < n_units:
         if ri and m and m % ri == 0:
             si += 1
             w, total = _seg_for(segs, si)
+            bits_np = None
             pos = 0
             eobrun = 0
+        if eobrun:
+            # BATCH the pure run blocks (no symbols, only correction
+            # bits on already-nonzero coefficients): gather their
+            # bands, read one bit per nonzero in flat order — the
+            # dominant phase of sparse refinement scans, vectorized
+            lim = n_units - m
+            if ri:
+                lim = min(lim, ri - (m % ri))
+            take = min(eobrun, lim)
+            ms = np.arange(m, m + take, dtype=np.int64)
+            bfs = (ms // ux) * a + (ms % ux) * b + c0 + ss
+            bands = coef[bfs[:, None] + np.arange(kmax + 1)]
+            nzr, nzc = np.nonzero(bands)
+            cnt = nzr.size
+            if cnt:
+                if pos + cnt > total:
+                    raise JpegFormatError("entropy data exhausted")
+                if bits_np is None:
+                    bits_np = np.unpackbits(
+                        np.frombuffer(segs[si], np.uint8)
+                    )
+                cb = bits_np[pos : pos + cnt]
+                pos += cnt
+                vals = bands[nzr, nzc]
+                apply = (cb == 1) & ((vals & p1) == 0)
+                if apply.any():
+                    coef[bfs[nzr[apply]] + nzc[apply]] = np.where(
+                        vals[apply] > 0, vals[apply] + p1, vals[apply] - p1
+                    )
+            eobrun -= take
+            m += take
+            continue
         muy, mux = divmod(m, ux)
-        bf = muy * entry[1] + mux * entry[2] + entry[3] + ss
+        bf = muy * a + mux * b + c0 + ss
         band = coef[bf : bf + kmax + 1].tolist()
         changed = False
         k = 0
-        if eobrun == 0:
+        if eobrun == 0:  # always true here; keeps the symbol loop scoped
             while k <= kmax:
                 e = aclut[(w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
                 ln = e & 31
@@ -704,8 +741,9 @@ def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
                 if pos > total:
                     raise JpegFormatError("entropy data exhausted")
         if eobrun:
-            # this block (and the next eobrun-1) still read correction
-            # bits for their remaining nonzero coefficients
+            # the EOBn block itself still reads correction bits for its
+            # remaining nonzero coefficients (following run blocks go
+            # through the batch path above)
             while k <= kmax:
                 c = band[k]
                 if c:
@@ -720,6 +758,7 @@ def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
             coef[bf : bf + kmax + 1] = band
         if pos > total:
             raise JpegFormatError("entropy data exhausted")
+        m += 1
 
 
 _T32 = None  # float32 DCT basis, built lazily (module init order)
