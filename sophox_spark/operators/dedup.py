@@ -63,6 +63,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     mode: str = "pairs",
+    chain_salt: int = 0,
 ) -> DataFrame:
     """LSH banding: signature split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band value become
@@ -79,7 +80,13 @@ def minhash_lsh_pairs(
     components over chains equal components over the full cliques, so
     every cluster-level consumer (duplicate_clusters) gets identical
     results at any scale. Use 'chain' whenever the pairs feed
-    clustering rather than per-pair verification."""
+    clustering rather than per-pair verification.
+
+    ``chain_salt > 1`` additionally splits each bucket into that many
+    hash lanes: each lane chains independently (bounding the largest
+    single-task sort at bucket/salt rows — dense-bucket skew handling,
+    north_rule) and the per-lane minima are chained across lanes, so
+    the bucket stays one connected component. Still linear output."""
     if mode not in ("pairs", "chain"):
         raise ValueError(f"unknown mode {mode!r}")
     rows_per_band = n_hashes // bands
@@ -101,6 +108,34 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select(key, "bs.band", "bs.sig")
     if mode == "chain":
+        if chain_salt > 1:
+            st = stacked.withColumn(
+                "__lane", F.pmod(F.xxhash64(key), F.lit(chain_salt))
+            )
+            wl = Window.partitionBy("band", "sig", "__lane").orderBy(key)
+            lane_pairs = (
+                st.withColumn("__prev", F.lag(key).over(wl))
+                .filter(F.col("__prev").isNotNull())
+                .select(
+                    "band",
+                    F.col("__prev").alias("a"),
+                    F.col(key).alias("b"),
+                )
+            )
+            mins = st.groupBy("band", "sig", "__lane").agg(
+                F.min(key).alias("__m")
+            )
+            wm = Window.partitionBy("band", "sig").orderBy("__m")
+            links = (
+                mins.withColumn("__prev", F.lag("__m").over(wm))
+                .filter(F.col("__prev").isNotNull())
+                .select(
+                    "band",
+                    F.col("__prev").alias("a"),
+                    F.col("__m").alias("b"),
+                )
+            )
+            return lane_pairs.unionByName(links).distinct()
         w = Window.partitionBy("band", "sig").orderBy(key)
         return (
             stacked.withColumn("__prev", F.lag(key).over(w))

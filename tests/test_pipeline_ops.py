@@ -375,3 +375,30 @@ def test_lsh_chain_mode_same_clusters_linear_pairs(spark):
     cc = {(r.x, r.cluster)
           for r in dedup.duplicate_clusters(chain).collect()}
     assert ca == cc == {(i, 0) for i in range(12)}
+
+
+def test_lsh_chain_salted_same_clusters(spark):
+    """chain_salt splits each bucket into independent lanes linked by
+    their minima — largest single-task sort bounded at bucket/salt,
+    clusters IDENTICAL to the unsalted chain and to all-pairs."""
+    import pandas as pd
+
+    from sophox_spark.operators import dedup
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en")
+            for i in range(20)]
+    rows += [(100 + i, f"unique text number {i} xx{i} yy{i} zz{i}", "en")
+             for i in range(4)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    plain = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, mode="chain")
+    salted = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4,
+                                     mode="chain", chain_salt=4)
+    cp = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(plain).collect()}
+    cs = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(salted).collect()}
+    assert cp == cs
+    assert {(i, 0) for i in range(20)} <= cs
+    # salted pair volume stays linear-ish: lanes-1 links per bucket extra
+    assert salted.count() <= plain.count() + 4 * 4 * 4  # bands*lanes slack
