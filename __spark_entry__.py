@@ -776,6 +776,72 @@ FROM cov
 """
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (functions/textstats.
+    repetition_stats): duplicate-line fraction / duplicate-line char
+    fraction / top word-bigram char fraction over newline-structured
+    documents derived from events. The oracle mirrors the same line
+    and bigram mechanics in SQL over the identical fixture."""
+    from sophox_spark.functions import textstats
+
+    _load(spark, sf_dir, "events")
+    docs = spark.sql(r"""
+WITH d AS (SELECT DISTINCT event_id % 60 AS K FROM events),
+l AS (SELECT K, explode(sequence(0, 2 + CAST(K % 4 AS INT))) AS j FROM d),
+ln AS (SELECT K, j,
+       concat('w', CAST((j * (1 + K % 3)) % 4 AS STRING),
+              ' x', CAST(K % 5 AS STRING)) AS line FROM l)
+SELECT K AS doc_id,
+       concat_ws('\n',
+           transform(sort_array(collect_list(struct(j, line))),
+                     s -> s.line)) AS text
+FROM ln GROUP BY K""")
+    return textstats.repetition_stats(docs)
+
+
+def _repetition_stats_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT event_id % 60 AS K FROM events),
+l AS (SELECT K, j FROM d CROSS JOIN range(7) rj(j) WHERE j <= 2 + K % 4),
+ln AS (SELECT K, j,
+       'w' || CAST((j * (1 + K % 3)) % 4 AS VARCHAR)
+       || ' x' || CAST(K % 5 AS VARCHAR) AS line FROM l),
+doc AS (SELECT K, string_agg(line, chr(10) ORDER BY j) AS text
+        FROM ln GROUP BY K),
+per AS (SELECT K, line, COUNT(*) AS c, length(line) AS L
+        FROM ln GROUP BY K, line),
+dl AS (SELECT K, CAST(SUM(c) AS BIGINT) AS n_lines,
+              1.0e0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                AS dup_line_frac,
+              CAST(SUM((c - 1) * L) AS DOUBLE)
+                / CAST(GREATEST(SUM(c * L), 1) AS DOUBLE)
+                AS dup_line_char_frac
+       FROM per GROUP BY K),
+tok AS (SELECT K, j * 2 AS pos,
+               'w' || CAST((j * (1 + K % 3)) % 4 AS VARCHAR) AS tok FROM l
+        UNION ALL
+        SELECT K, j * 2 + 1, 'x' || CAST(K % 5 AS VARCHAR) FROM l),
+big AS (SELECT K,
+               tok || ' ' || lead(tok) OVER (PARTITION BY K ORDER BY pos)
+                 AS bg
+        FROM tok),
+bgc AS (SELECT K, bg, COUNT(*) AS c FROM big WHERE bg IS NOT NULL
+        GROUP BY K, bg),
+nch AS (SELECT K, length(text) AS n_chars FROM doc),
+top AS (SELECT K, bg, c,
+               row_number() OVER (PARTITION BY K ORDER BY c DESC, bg ASC)
+                 AS rn
+        FROM bgc)
+SELECT dl.K AS doc_id, dl.n_lines, dl.dup_line_frac,
+       dl.dup_line_char_frac, top.bg AS top_bigram,
+       CAST(top.c * length(top.bg) AS DOUBLE)
+         / CAST(GREATEST(nch.n_chars, 1) AS DOUBLE) AS top_bigram_frac
+FROM dl
+JOIN top ON top.K = dl.K AND top.rn = 1
+JOIN nch ON nch.K = dl.K
+"""
+
+
 def _q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Mapbox Vector Tile wire format end-to-end: the quantized
     ring features of q_vector_tiles serialize into per-tile .mvt
@@ -3542,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_graph": _q_sparql_graph,
         "q_map_features": _q_map_features,
         "q_mvt_roundtrip": _q_mvt_roundtrip,
+        "q_repetition_stats": _q_repetition_stats,
         # dedup / text pipeline
         "q_dedup_exact": _sql_query(DEDUP_EXACT_SQL_SPARK, ("documents",)),
         "q_minhash_signatures": _sql_query(_minhash_sql("spark"), ("documents",)),
@@ -3638,6 +3705,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_graph": _sparql_graph_sql(),
         "q_map_features": _map_features_sql(),
         "q_mvt_roundtrip": _vector_tiles_sql(),
+        "q_repetition_stats": _repetition_stats_sql(),
         "q_geo_extraction": _geo_extraction_sql(),
         "q_s2_cells": _s2_oracle_sql(16),
         "q_node_ttl": _node_ttl_sql(),

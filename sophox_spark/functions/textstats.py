@@ -86,3 +86,72 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key (portable: DuckDB md5())."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def repetition_stats(df, key: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the standard crawl-filtering heuristics) per document:
+
+    * ``dup_line_frac`` — fraction of lines that repeat an earlier
+      line: 1 − distinct/total
+    * ``dup_line_char_frac`` — characters inside the REPEATED line
+      occurrences over all line characters
+    * ``top_bigram`` / ``top_bigram_frac`` — the most frequent word
+      2-gram (ties break lexicographically) and the character fraction
+      its occurrences cover
+
+    All native exprs: one explode per signal family + grouped aggs —
+    JVM-side, shuffle on ``key`` only, linear in corpus size."""
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    k = F.col(key)
+    lines = df.select(
+        k, F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    per = (
+        lines.groupBy(key, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(key, "c", F.length("line").alias("ln"))
+    )
+    doc_lines = per.groupBy(key).agg(
+        F.sum("c").alias("n_lines"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_line_frac"),
+        (
+            F.sum((F.col("c") - 1) * F.col("ln"))
+            / F.greatest(F.sum(F.col("c") * F.col("ln")), F.lit(1))
+        ).cast("double").alias("dup_line_char_frac"),
+    )
+    toks = df.select(
+        k,
+        F.length(text_col).alias("n_chars"),
+        F.posexplode(
+            F.split(F.regexp_replace(F.col(text_col), "\n", " "), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    w = Window.partitionBy(key).orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            k, "n_chars",
+            F.concat_ws(" ", "tok", "nxt").alias("bg"),
+        )
+    )
+    bgc = bigrams.groupBy(key, "n_chars", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy(key).orderBy(F.desc("c"), F.asc("bg"))
+    top = (
+        bgc.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key,
+            F.col("bg").alias("top_bigram"),
+            (
+                F.col("c") * F.length("bg")
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).cast("double").alias("top_bigram_frac"),
+        )
+    )
+    return doc_lines.join(top, key, "left")

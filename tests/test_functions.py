@@ -270,3 +270,32 @@ class TestWikipages:
         assert r.on_node is True  # OR across languages (de said yes)
         assert r.on_way is True   # zz said yes
         assert r.n_pages == 3
+
+
+def test_repetition_stats_hand_computed(spark):
+    import pandas as pd
+
+    from sophox_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["a b\na b\nc d e",      # dup line + repeated bigram
+                     "unique line only"],    # no newlines, no repeats
+        })
+    )
+    out = {r.doc_id: r for r in
+           textstats.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1.n_lines == 3
+    assert r1.dup_line_frac == pytest.approx(1 / 3)
+    # 'a b' occurs twice: one repeat * 3 chars / (2*3 + 5) line chars
+    assert r1.dup_line_char_frac == pytest.approx(3 / 11)
+    # bigrams over newline-joined tokens: 'a b' twice, len 3, text 13
+    assert r1.top_bigram == "a b"
+    assert r1.top_bigram_frac == pytest.approx(6 / 13)
+    r2 = out[2]
+    assert r2.n_lines == 1 and r2.dup_line_frac == 0.0
+    assert r2.dup_line_char_frac == 0.0
+    # all bigrams count 1 -> lexicographic tie-break
+    assert r2.top_bigram == "line only"
