@@ -53,10 +53,11 @@ def decode(data: bytes) -> tuple[float, list[np.ndarray]]:
     width = height = None
     rate = scale = None
     mjpeg = False
+    cur_stream = None  # fcc of the strh owning the next strf
     frames: list[np.ndarray] = []
 
     def walk(pos, end):
-        nonlocal width, height, rate, scale, mjpeg
+        nonlocal width, height, rate, scale, mjpeg, cur_stream
         for cid, body, size in _chunks(data, pos, end):
             if cid == b"LIST":
                 walk(body + 4, body + size)  # skip the list type fourcc
@@ -66,6 +67,7 @@ def decode(data: bytes) -> tuple[float, list[np.ndarray]]:
                 width, height = struct.unpack_from("<II", data, body + 32)
             elif cid == b"strh":
                 fcc = data[body : body + 4]
+                cur_stream = fcc
                 if fcc == b"vids":
                     handler = data[body + 4 : body + 8]
                     if handler not in (b"DIB ", b"\x00\x00\x00\x00",
@@ -75,7 +77,10 @@ def decode(data: bytes) -> tuple[float, list[np.ndarray]]:
                         )
                     scale, rate = struct.unpack_from("<II", data, body + 20)
             elif cid == b"strf":
-                if size >= 16:
+                # strf layout depends on the owning strh: BITMAPINFOHEADER
+                # for 'vids', WAVEFORMATEX for 'auds' — only validate the
+                # video one (audio tracks pass through untouched).
+                if cur_stream == b"vids" and size >= 16:
                     comp = struct.unpack_from("<I", data, body + 16)[0]
                     bits = struct.unpack_from("<H", data, body + 14)[0]
                     if comp == _MJPG_FOURCC:

@@ -306,13 +306,20 @@ def decode(data: bytes, *, default_huff: bool = False) -> np.ndarray:
     while i < n:
         if data[i] != 0xFF:
             raise JpegFormatError(f"expected marker at {i}")
-        marker = data[i + 1]
-        i += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker.
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            raise JpegFormatError("truncated marker")
+        marker = data[i]
+        i += 1
         if marker == 0xD9:  # EOI
             saw_eoi = True
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
             continue
+        if i + 2 > n:
+            raise JpegFormatError("truncated segment length")
         (seglen,) = struct.unpack_from(">H", data, i)
         seg = data[i + 2 : i + seglen]
         if marker == 0xDB:  # DQT

@@ -141,9 +141,13 @@ def _walk_fields(data: bytes):
             yield num, data[i : i + ln]
             i += ln
         elif wire == 5:
+            if i + 4 > len(data):
+                raise MvtFormatError("truncated fixed32 field")
             yield num, data[i : i + 4]
             i += 4
         elif wire == 1:
+            if i + 8 > len(data):
+                raise MvtFormatError("truncated fixed64 field")
             yield num, data[i : i + 8]
             i += 8
         else:

@@ -1013,14 +1013,32 @@ class SparqlEngine:
                     finally:
                         self._gvar = saved_gvar
                 else:
+                    # Fixed-IRI GRAPH pins the active graph for the
+                    # whole inner group, even nested inside GRAPH ?var
+                    # — clear _gvar so scans read the restricted
+                    # triples, not the full quads store.
                     saved = self.triples
+                    saved_gvar = self._gvar
                     self.triples = self.quads.filter(
                         F.col("g") == g.text
                     ).select("s", "p", "o")
+                    self._gvar = None
                     try:
                         sub = self._group(block[2], None)
                     finally:
                         self.triples = saved
+                        self._gvar = saved_gvar
+                    if (
+                        saved_gvar is not None
+                        and saved_gvar not in sub.columns
+                    ):
+                        # GRAPH ?g { GRAPH <iri> { P } }: eval(P, iri)
+                        # is independent of ?g, so ?g ranges over every
+                        # named graph (spec §13.3 per-graph union).
+                        names = self.quads.select(
+                            F.col("g").alias(saved_gvar)
+                        ).distinct()
+                        sub = sub.crossJoin(F.broadcast(names))
                 cur = self._join(cur, sub, "inner")
             elif kind == "minus":
                 # SPARQL MINUS (spec §8.3.3): drop left solutions

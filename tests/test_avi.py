@@ -68,6 +68,34 @@ class TestDecodeHandAssembled:
         with pytest.raises(avi.AviFormatError, match="smaller than frame"):
             avi.decode(build_avi(2, 2, [bytes(4)]))
 
+    def test_audio_stream_strf_not_validated_as_video(self):
+        # an 'auds' strf is WAVEFORMATEX, whose offset-16 bytes are NOT
+        # biCompression — a second audio strl must not be rejected
+        frame = bytes([9, 8, 7, 0])  # 1x1 BGR + stride pad
+        avih = struct.pack("<IIIIIIIIII4I", 100000, 0, 0, 0, 1,
+                           0, 2, 0, 1, 1, 0, 0, 0, 0)
+        strh_v = b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, 0, 0, 0, 0)
+        strf_v = struct.pack("<IiiHHIIiiII",
+                             40, 1, 1, 1, 24, 0, 0, 0, 0, 0, 0)
+        # WAVEFORMATEX (PCM 16-bit stereo 44.1k) + cbSize + 2 extra
+        # bytes so offset 16 holds nonzero garbage if misread as video
+        strh_a = b"auds" + bytes(4) + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 44100, 0, 44100, 0, 0, 0, 0)
+        strf_a = struct.pack("<HHIIHHH", 1, 2, 44100, 176400, 4, 16, 2) \
+            + b"\xff\xee"
+        hdrl = lst(b"hdrl", chunk(b"avih", avih)
+                   + lst(b"strl", chunk(b"strh", strh_v)
+                         + chunk(b"strf", strf_v))
+                   + lst(b"strl", chunk(b"strh", strh_a)
+                         + chunk(b"strf", strf_a)))
+        movi = lst(b"movi", chunk(b"00db", frame))
+        body = b"AVI " + hdrl + movi
+        fps, frames = avi.decode(
+            b"RIFF" + struct.pack("<I", len(body)) + body)
+        assert len(frames) == 1
+        assert frames[0].tolist() == [[[7, 8, 9]]]
+
 
 class TestRoundtrip:
     def test_encode_decode_identity(self):

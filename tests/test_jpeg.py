@@ -181,6 +181,26 @@ class TestFailLoud:
         with pytest.raises(jpeg.JpegFormatError):
             jpeg.decode(s[: s.find(b"\xff\xda") + 8])
 
+    def test_fill_bytes_before_marker(self):
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker.
+        img = np.full((8, 8), 77, np.uint8)
+        s = bytes(jpeg.encode(img))
+        i = s.find(b"\xff\xdb")  # first DQT
+        padded = s[:i] + b"\xff" * 5 + s[i:]
+        assert np.array_equal(jpeg.decode(padded), jpeg.decode(s))
+
+    def test_truncated_after_fill_bytes_fails_loud(self):
+        s = bytes(self._stream())
+        i = s.find(b"\xff\xdb")
+        with pytest.raises(jpeg.JpegFormatError, match="truncated"):
+            jpeg.decode(s[:i] + b"\xff")  # payload ends right after 0xFF
+
+    def test_truncated_segment_length_fails_loud(self):
+        s = bytes(self._stream())
+        i = s.find(b"\xff\xdb")
+        with pytest.raises(jpeg.JpegFormatError, match="truncated"):
+            jpeg.decode(s[: i + 3])  # marker present, length cut short
+
 
 def test_multimodal_dispatch_jpeg():
     from sophox_spark.operators.multimodal import real_decode_image

@@ -89,6 +89,16 @@ class TestFailLoud:
         with pytest.raises(mvt.MvtFormatError):
             mvt.decode_tile(PINNED[:-4] + b"\xff")
 
+    def test_truncated_fixed32_field(self):
+        # field 15, wire type 5 (fixed32) with only 2 payload bytes
+        with pytest.raises(mvt.MvtFormatError, match="truncated fixed"):
+            list(mvt._walk_fields(bytes([0x7D, 0x01, 0x02])))
+
+    def test_truncated_fixed64_field(self):
+        # field 15, wire type 1 (fixed64) with only 3 payload bytes
+        with pytest.raises(mvt.MvtFormatError, match="truncated fixed"):
+            list(mvt._walk_fields(bytes([0x79, 0x01, 0x02, 0x03])))
+
 
 def test_tile_blobs_and_roundtrip_spark(spark):
     import pandas as pd

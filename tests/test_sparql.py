@@ -1182,6 +1182,16 @@ SELECT ?g WHERE { ?s p:u ?c . GRAPH ?g { ?s p:t ?o } }""")
         with pytest.raises(ValueError, match="quads"):
             _run(triples, "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }")
 
+    def test_graph_iri_nested_in_graph_var(self, quads):
+        # the inner fixed IRI pins the scanned graph (never the full
+        # quads store), while ?g still ranges over every named graph
+        # because the inner pattern is independent of the active graph
+        out = sparql.SparqlEngine(quads).select(
+            "SELECT ?g ?s WHERE { GRAPH ?g { GRAPH g:1 { ?s p:t ?o } } }")
+        got = sorted((r.g, r.s) for r in out.collect())
+        # x:2 only exists in g:2 — must NOT leak through the g:1 scan
+        assert got == [("g:1", "x:1"), ("g:2", "x:1")]
+
     def test_graph_var_same_as_pattern_var(self, quads):
         # repeated var across positions: g must equal o's binding —
         # no row has o == g here
