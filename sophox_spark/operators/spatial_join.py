@@ -43,6 +43,10 @@ from ..geometry.pip import PreparedPolygons
 
 DEFAULT_RES = 13  # ≈ 2.4 km cells (H3 res-7 analog, grid.H3_ANALOG_RES)
 
+# a polygon's WKB must exceed this (~8k vertices) before the
+# seed-parallel covering's reshuffle beats one-task-local recursion
+_SEED_PARALLEL_MIN_BYTES = 128 << 10
+
 
 def cell_expr(lon_col: str, lat_col: str, res: int):
     """NATIVE column expression for grid.encode — identical IEEE double
@@ -125,22 +129,58 @@ def build_polygon_cells_adaptive(
     geom_col: str = "geom",
     id_col: str = "polygon_id",
     num_partitions: int | None = None,
+    seed_parallel: bool = True,
 ) -> DataFrame:
     """Quadtree (multi-resolution) covering dim: O(perimeter) rows
     instead of O(area) — coarse fully-contained cells carry most of the
     polygon interior, fine cells trace the boundary. Same schema as
     ``build_polygon_cells``; cell ids self-describe their resolution.
 
-    SEED-PARALLEL: phase 1 fans each polygon out to its bbox cover at
-    ``res_min`` (one cheap pass); the (polygon, seed-cell) rows then
-    reshuffle so phase 2 refines every seed independently. One
-    country-sized polygon no longer serializes in a single task — its
-    quadtree spreads across the whole cluster, and output rows are
-    identical to the single-task recursion (each seed's subtree is
-    independent)."""
+    SEED-PARALLEL (``seed_parallel=True``): phase 1 fans each polygon
+    out to its bbox cover at ``res_min`` (one cheap pass); the
+    (polygon, seed-cell) rows then reshuffle so phase 2 refines every
+    seed independently. One country-sized polygon no longer serializes
+    in a single task — its quadtree spreads across the whole cluster,
+    and output rows are identical to the single-task recursion (each
+    seed's subtree is independent).
+
+    ``seed_parallel=False`` runs the whole quadtree per polygon in ONE
+    Arrow crossing (polygons spread across tasks, recursion local).
+    The seed reshuffle duplicates each polygon's WKB once per seed
+    cell, so for dims of small polygons the fan-out costs more than
+    the parallelism buys — ``point_in_polygon_join`` auto-selects the
+    single-pass path when the probed dim has no polygon large enough
+    to dominate a task (same auto-route philosophy as the broadcast
+    decision)."""
     out_schema = f"cell long, {id_col} long, fully_contained boolean"
     spark = polygons_df.sparkSession
     n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    if not seed_parallel:
+        def one_pass(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                packed = wkb.pack(pdf[geom_col].tolist())
+                pi, cells, full = cover.cover_polygons_adaptive(
+                    packed, res_min, res_max
+                )
+                yield pd.DataFrame(
+                    {
+                        "cell": cells,
+                        id_col: pdf[id_col].to_numpy()[pi],
+                        "fully_contained": full,
+                    }
+                )
+
+        cells_df = (
+            polygons_df.select(id_col, geom_col)
+            .repartition(n_slices)
+            .mapInPandas(one_pass, out_schema)
+        )
+        if num_partitions:
+            cells_df = cells_df.repartitionByRange(num_partitions, "cell")
+        return cells_df
 
     def seeds(batches):
         for pdf in batches:
@@ -204,28 +244,56 @@ def _broadcast_polygons(points_df: DataFrame, polygons_df, geom_col, id_col):
     return points_df.sparkSession.sparkContext.broadcast(mapping)
 
 
-def _probe_polygon_dim(polygons_df, geom_col, id_col, max_bytes):
-    """Byte-bounded auto-route probe: stream the polygon dim through
-    ``toLocalIterator`` accumulating the broadcast {id: wkb} map, and
-    ABORT the moment the byte budget is exceeded. One pass both
-    decides the route and (on the broadcast path) materializes the
-    map — no separate sizing aggregation, and a planet-scale dim is
-    read at most ``max_bytes`` + one partition deep instead of being
-    fully scanned just to be measured.
+_PROBE_ROWS = 4096  # row bound for the single-job fast probe
 
-    Returns (mapping, True) when the dim fits, (None, False) when it
-    doesn't."""
+
+def _probe_polygon_dim(polygons_df, geom_col, id_col, max_bytes):
+    """Byte-bounded auto-route probe. Two tiers:
+
+    FAST PATH (the common admin/region dim): one cheap column-pruned
+    job counts up to ``_PROBE_ROWS + 1`` ids; when the dim has at most
+    ``_PROBE_ROWS`` rows, a single ``collect`` both decides the route
+    and materializes the broadcast {id: wkb} map. ``toLocalIterator``
+    here would launch one sequential job per partition — measured as
+    the dominant constant cost of the sf0.1 flagship (32 near-empty
+    partitions for 60 polygons).
+
+    BIG-DIM PATH: stream through ``toLocalIterator`` accumulating the
+    map and ABORT the moment the byte budget is exceeded — a
+    planet-scale dim is read at most ``max_bytes`` + one partition
+    deep, never fully scanned or OOM-collected.
+
+    Returns (mapping, fits, max_polygon_bytes); ``mapping`` is None
+    when the dim doesn't fit, ``max_polygon_bytes`` covers only the
+    rows actually probed (exact whenever ``fits``)."""
+    dim = polygons_df.select(id_col, geom_col)
+    n_rows = dim.select(id_col).limit(_PROBE_ROWS + 1).count()
     mapping: dict = {}
     total = 0
-    for r in polygons_df.select(id_col, geom_col).toLocalIterator():
+    max_poly = 0
+    if n_rows <= _PROBE_ROWS:
+        # size executor-side first so an over-budget dim of few huge
+        # polygons is never collected to the driver
+        stats = dim.agg(
+            F.sum(F.length(geom_col)), F.max(F.length(geom_col))
+        ).first()
+        total, max_poly = int(stats[0] or 0), int(stats[1] or 0)
+        if total > max_bytes:
+            return None, False, max_poly
+        for r in dim.collect():
+            if r[1] is not None:
+                mapping[r[0]] = bytes(r[1])
+        return mapping, True, max_poly
+    for r in dim.toLocalIterator():
         g = r[1]
         if g is None:
             continue
         total += len(g)
+        max_poly = max(max_poly, len(g))
         if total > max_bytes:
-            return None, False
+            return None, False, max_poly
         mapping[r[0]] = bytes(g)
-    return mapping, True
+    return mapping, True, max_poly
 
 
 def point_in_polygon_join(
@@ -270,17 +338,24 @@ def point_in_polygon_join(
     the salt argument is therefore ignored.
     """
     poly_map = None
+    seed_parallel = True
     if broadcast_dim is None:
-        poly_map, broadcast_dim = _probe_polygon_dim(
+        poly_map, broadcast_dim, max_poly_bytes = _probe_polygon_dim(
             polygons_df, geom_col, id_col, broadcast_max_bytes
         )
+        # covering fan-out auto-route: the seed reshuffle only pays off
+        # when a single polygon's quadtree can dominate a task — for
+        # dims of small polygons the one-crossing local recursion wins
+        # (this was the sole r5 bench regression at sf0.1's 60 rects)
+        seed_parallel = not broadcast_dim or max_poly_bytes > _SEED_PARALLEL_MIN_BYTES
     if isinstance(res, tuple):
         res_min, res_max = res
         pcells = (
             polygon_cells_df
             if polygon_cells_df is not None
             else build_polygon_cells_adaptive(
-                polygons_df, res_min, res_max, geom_col, id_col
+                polygons_df, res_min, res_max, geom_col, id_col,
+                seed_parallel=seed_parallel,
             )
         )
         ancestors = F.array(

@@ -110,6 +110,14 @@ class TestPipJoin:
         got = {(r.pt_id, r.polygon_id) for r in out.collect()}
         assert got == oracle_pip(points.toPandas(), polygons.toPandas())
 
+    def test_adaptive_res_auto_route_matches_bruteforce(self, spark, points, polygons):
+        """Default auto-probe + quadtree covering (the flagship's exact
+        configuration): small-polygon dim routes to the single-crossing
+        covering and must still match the oracle."""
+        out = spatial_join.point_in_polygon_join(points, polygons, res=(8, 13))
+        got = {(r.pt_id, r.polygon_id) for r in out.collect()}
+        assert got == oracle_pip(points.toPandas(), polygons.toPandas())
+
     def test_fully_contained_short_circuits(self, spark, points, polygons):
         # the covering must classify a meaningful interior share for the
         # big city polygon — otherwise every pair pays Python refinement
@@ -118,6 +126,68 @@ class TestPipJoin:
             pc.groupBy().agg(F.avg(F.col("fully_contained").cast("double"))).collect()[0][0]
         )
         assert frac > 0.3
+
+
+class TestCoveringAutoRoute:
+    def test_single_pass_equals_seed_parallel(self, spark, polygons):
+        """seed_parallel=False (one Arrow crossing, local recursion) must
+        emit the IDENTICAL covering rows as the seed-parallel two-phase
+        fan-out — each seed's quadtree subtree is independent."""
+        a = spatial_join.build_polygon_cells_adaptive(
+            polygons, 8, 12, seed_parallel=True
+        )
+        b = spatial_join.build_polygon_cells_adaptive(
+            polygons, 8, 12, seed_parallel=False
+        )
+        ra = {(r.cell, r.polygon_id, r.fully_contained) for r in a.collect()}
+        rb = {(r.cell, r.polygon_id, r.fully_contained) for r in b.collect()}
+        assert ra == rb and len(ra) > 0
+
+    def test_probe_fast_path_small_dim(self, spark, polygons):
+        mapping, fits, max_poly = spatial_join._probe_polygon_dim(
+            polygons, "geom", "polygon_id", 64 << 20
+        )
+        assert fits
+        want = {
+            r.polygon_id: bytes(r.geom)
+            for r in polygons.collect()
+            if r.geom is not None
+        }
+        assert mapping == want
+        assert max_poly == max(len(g) for g in want.values())
+
+    def test_probe_fast_path_over_budget_no_collect(self, spark, polygons):
+        """A dim of few huge polygons over budget must be refused via the
+        executor-side sizing agg, never collected."""
+        mapping, fits, max_poly = spatial_join._probe_polygon_dim(
+            polygons, "geom", "polygon_id", 1
+        )
+        assert mapping is None and not fits and max_poly > 0
+
+    def test_probe_streams_big_dim(self, spark):
+        """> _PROBE_ROWS rows: the probe must fall back to the bounded
+        toLocalIterator stream and abort once over budget."""
+        n = spatial_join._PROBE_ROWS + 64
+        ii = np.arange(n)
+        blobs = [
+            wkb.polygon_wkb(
+                [np.array([[a, 0.0], [a + 0.4, 0.0], [a + 0.4, 0.4], [a, 0.4]])]
+            )
+            for a in (ii % 300) * 0.5 - 75.0
+        ]
+        polys = spark.createDataFrame(
+            pd.DataFrame({"polygon_id": ii, "geom": blobs}),
+            "polygon_id long, geom binary",
+        )
+        mapping, fits, _ = spatial_join._probe_polygon_dim(
+            polys, "geom", "polygon_id", 1024
+        )
+        assert mapping is None and not fits
+        mapping, fits, max_poly = spatial_join._probe_polygon_dim(
+            polys, "geom", "polygon_id", 64 << 20
+        )
+        assert fits and len(mapping) == n
+        assert max_poly == max(len(b) for b in blobs)
 
 
 class TestKnn:
