@@ -7,12 +7,18 @@ zlib inflate, and all five scanline filters (None/Sub/Up/Average/Paeth)
 — into an ``(h, w, c) uint8`` numpy array. ``encode(array)`` writes a
 valid non-interlaced PNG (filter 0 rows) for fixtures and sinks.
 
-Supported subset (fail-loud outside it): bit depth 8, color types
-0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Palette,
-16-bit, and Adam7 interlace raise ``PngFormatError`` — never a silent
-wrong image. The decoder is pinned in tests to chunk streams assembled
-directly from spec fields (not via ``encode``), so a symmetric
-encoder+decoder bug cannot cancel.
+Full spec-legal surface (fail-loud outside it): every color-type ×
+bit-depth combination the PNG spec allows — gray 1/2/4/8/16, palette
+1/2/4/8 (PLTE + optional tRNS alpha), RGB/gray+alpha/RGBA 8/16 — plus
+Adam7 interlacing and tRNS color-key transparency on gray/RGB. 16-bit
+images decode to ``uint16``; low-depth grays are bit-replicated to
+8-bit per the spec's sample-depth scaling; palette indices map through
+PLTE to RGB (RGBA when tRNS present). Unknown filters, bad CRCs,
+out-of-range palette indices, and illegal depth/color combinations
+raise ``PngFormatError`` — never a silent wrong image. The decoder is
+pinned in tests to chunk streams assembled directly from spec fields
+(not via ``encode``), so a symmetric encoder+decoder bug cannot
+cancel.
 
 Reference analog: the reference ships image handling only behind
 external libs; this is the container-native equivalent for the
@@ -27,7 +33,25 @@ import zlib
 import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# spec-legal bit depths per color type (PNG §11.2.2, table 11.1)
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 class PngFormatError(ValueError):
@@ -53,35 +77,17 @@ def _iter_chunks(data: bytes):
     raise PngFormatError("missing IEND chunk")
 
 
-def decode(data: bytes) -> np.ndarray:
-    """PNG bytes → (height, width, channels) uint8 array."""
-    if data[:8] != _SIGNATURE:
-        raise PngFormatError("not a PNG (bad signature)")
-    width = height = None
-    channels = 0
-    idat = bytearray()
-    for ctype, body in _iter_chunks(data):
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8:
-                raise PngFormatError(f"unsupported bit depth {depth} (only 8)")
-            if color not in _CHANNELS:
-                raise PngFormatError(
-                    f"unsupported color type {color} (palette not supported)"
-                )
-            if comp != 0 or filt != 0:
-                raise PngFormatError("unsupported compression/filter method")
-            if interlace != 0:
-                raise PngFormatError("Adam7 interlace not supported")
-            channels = _CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat += body
-    if width is None:
-        raise PngFormatError("missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
+def _scanline_bytes(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _decode_subimage(raw: np.ndarray, height, width, channels, depth) -> np.ndarray:
+    """One (sub-)image's filtered scanline bytes → (height, width*channels)
+    sample array (uint8, or uint16 at depth 16). Filtering operates on
+    BYTES with the left-neighbor offset ``bpp`` = ceil-to-1 bytes per
+    pixel (PNG §9.2); bit unpacking / 16-bit assembly happens after."""
+    stride = _scanline_bytes(width, channels, depth)
+    bpp = max(1, channels * depth // 8)
     if raw.size != height * (stride + 1):
         raise PngFormatError(
             f"IDAT size {raw.size} != {height}x({stride}+1) expected"
@@ -94,18 +100,132 @@ def decode(data: bytes) -> np.ndarray:
     if np.any(filters >= 3):
         # Average/Paeth present: anti-diagonal wavefront unfilter —
         # vectorized, h+w numpy steps instead of h×stride python ones
-        return _unfilter_wavefront(rows, height, width, channels)
-    return _unfilter_rowwise(rows, height, width, channels)
+        flat = _unfilter_wavefront(rows, height, stride, bpp)
+    else:
+        flat = _unfilter_rowwise(rows, height, stride, bpp)
+    if depth == 8:
+        return flat
+    if depth == 16:
+        return (flat[:, 0::2].astype(np.uint16) << 8) | flat[:, 1::2]
+    # sub-byte samples: big-endian bit packing, rows padded to whole
+    # bytes — unpack, regroup depth-bit fields, trim the pad samples
+    bits = np.unpackbits(flat, axis=1).reshape(height, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, : width * channels]
 
 
-def _unfilter_rowwise(rows, height, width, channels) -> np.ndarray:
-    """Reference row-at-a-time unfilter: filters 0/1/2 fully vectorized
-    per row; Average/Paeth as plain-int scalar recurrences. Kept both as
-    the no-3/4 fast path and as the independent oracle the wavefront
-    path is equivalence-tested against."""
-    stride = width * channels
+def decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (height, width, channels) array: uint8, or uint16 for
+    16-bit images. Palette images come back expanded through PLTE as
+    RGB (RGBA when tRNS is present); gray/RGB images with a tRNS color
+    key gain an alpha channel; low-depth grays are bit-replicated to
+    8-bit (0..255) per the spec's sample-depth scaling."""
+    if data[:8] != _SIGNATURE:
+        raise PngFormatError("not a PNG (bad signature)")
+    width = height = None
+    depth = color = interlace = 0
+    channels = 0
+    idat = bytearray()
+    plte = trns = None
+    for ctype, body in _iter_chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color not in _CHANNELS:
+                raise PngFormatError(f"unsupported color type {color}")
+            if depth not in _LEGAL_DEPTHS[color]:
+                raise PngFormatError(
+                    f"illegal bit depth {depth} for color type {color}"
+                )
+            if comp != 0 or filt != 0:
+                raise PngFormatError("unsupported compression/filter method")
+            if interlace not in (0, 1):
+                raise PngFormatError(f"unknown interlace method {interlace}")
+            channels = _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise PngFormatError(f"bad PLTE length {len(body)}")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = body
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None:
+        raise PngFormatError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        samples = _decode_subimage(raw, height, width, channels, depth)
+        out = samples.reshape(height, width, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images concatenated in
+        # the single zlib stream; scatter each pass onto its strided grid
+        out = np.zeros(
+            (height, width, channels),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (_scanline_bytes(pw, channels, depth) + 1)
+            sub = _decode_subimage(
+                raw[pos : pos + nbytes], ph, pw, channels, depth
+            )
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            pos += nbytes
+        if pos != raw.size:
+            raise PngFormatError(
+                f"IDAT size {raw.size} != {pos} expected across Adam7 passes"
+            )
+    if color == 3:
+        if plte is None:
+            raise PngFormatError("palette image missing PLTE chunk")
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise PngFormatError(
+                f"palette index {int(idx.max())} out of range "
+                f"(palette has {len(plte)} entries)"
+            )
+        rgb = plte[idx]
+        if trns is not None:
+            if len(trns) > len(plte):
+                raise PngFormatError("tRNS longer than palette")
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if color == 0 and depth < 8:
+        # bit replication: 255/(2^d - 1) is exact for d in {1, 2, 4}
+        out = (out * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if trns is not None:
+        if color in (4, 6):
+            raise PngFormatError("tRNS forbidden for alpha color types")
+        # color-key transparency: one 16-bit sample value per channel
+        if len(trns) != 2 * channels:
+            raise PngFormatError(f"bad tRNS length {len(trns)}")
+        key = np.array(
+            struct.unpack(f">{channels}H", trns), dtype=np.uint16
+        )
+        if color == 0 and depth < 8:
+            key = (key * (255 // ((1 << depth) - 1))).astype(np.uint16)
+        maxv = 65535 if depth == 16 else 255
+        transparent = np.all(out == key[None, None, :], axis=2)
+        alpha = np.where(transparent, 0, maxv).astype(out.dtype)
+        return np.concatenate([out, alpha[:, :, None]], axis=2)
+    return out
+
+
+def _unfilter_rowwise(rows, height, stride, bpp) -> np.ndarray:
+    """Reference row-at-a-time unfilter over raw scanline BYTES (left
+    neighbor at offset ``bpp``): filters 0/1/2 fully vectorized per row;
+    Average/Paeth as plain-int scalar recurrences. Kept both as the
+    no-3/4 fast path and as the independent oracle the wavefront path
+    is equivalence-tested against."""
     out = np.empty((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
         f = int(rows[y, 0])
         line = rows[y, 1:]
@@ -156,10 +276,10 @@ def _unfilter_rowwise(rows, height, width, channels) -> np.ndarray:
             out[y] = o
         else:
             raise PngFormatError(f"unknown scanline filter {f}")
-    return out.reshape(height, width, channels)
+    return out
 
 
-def _unfilter_wavefront(rows, height, width, channels) -> np.ndarray:
+def _unfilter_wavefront(rows, height, stride, bpp) -> np.ndarray:
     """Vectorized unfilter for images containing Average/Paeth rows.
 
     Every PNG filter's dependencies — left ``(y, u-1)``, up ``(y-1,
@@ -170,8 +290,10 @@ def _unfilter_wavefront(rows, height, width, channels) -> np.ndarray:
     included. ``h + w - 1`` vectorized steps replace ``h × stride``
     python-int iterations: ~20× on a 512² Paeth image, and the speedup
     grows with image size (the python loop is O(area), the wavefront's
-    python overhead is O(perimeter))."""
-    bpp = channels
+    python overhead is O(perimeter)). Operates on raw scanline BYTES in
+    ``bpp``-byte pixel units (stride must be a bpp multiple — true by
+    construction for every legal depth)."""
+    width = stride // bpp  # pixel units along the wavefront
     ln = rows[:, 1:].reshape(height, width, bpp)
     filt = rows[:, 0].astype(np.int64)  # per-row filter, constant along x
     # SKEWED layout: cell (y, u) lives at S[y + 1, y + u + 2] — one
@@ -232,7 +354,7 @@ def _unfilter_wavefront(rows, height, width, channels) -> np.ndarray:
     out = np.empty((height, width, bpp), dtype=np.uint8)
     for y in range(height):
         out[y] = S[y + 1, y + 2 : y + 2 + width]
-    return out.reshape(height, width, channels)
+    return out.reshape(height, stride)
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -244,17 +366,88 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode(img: np.ndarray, level: int = 6) -> bytes:
-    """(h, w) or (h, w, c) uint8 array → PNG bytes (filter 0 rows)."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, c = img.shape
-    color = {1: 0, 3: 2, 2: 4, 4: 6}.get(c)
-    if color is None:
-        raise PngFormatError(f"cannot encode {c}-channel image")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    flat = img.reshape(h, w * c)
-    scan = np.concatenate([np.zeros((h, 1), dtype=np.uint8), flat], axis=1)
-    idat = zlib.compress(scan.tobytes(), level)
-    return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+def encode(
+    img: np.ndarray,
+    level: int = 6,
+    palette: np.ndarray | None = None,
+    trns: bytes | None = None,
+    depth: int | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """Array → PNG bytes (filter 0 rows), covering the decoder's full
+    surface so fixtures exercise every path:
+
+    - ``img`` (h, w) or (h, w, c) uint8 → depth 8; uint16 → depth 16
+      (big-endian samples). ``depth`` of 1/2/4 packs RAW low-depth
+      gray samples (values < 2**depth, no replication scaling).
+    - ``palette``: (n, 3) uint8 PLTE entries — ``img`` is then a (h, w)
+      index array; ``depth`` may be 1/2/4/8. ``trns`` adds per-entry
+      alpha bytes.
+    - ``trns`` without ``palette``: a color-key body (2 bytes/channel,
+      big-endian) for gray/RGB.
+    - ``interlace=1`` writes Adam7: seven independently-filtered
+      sub-images in one zlib stream."""
+    img = np.asarray(img)
+    pal = None
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+            raise PngFormatError(f"bad palette shape {pal.shape}")
+        if img.ndim != 2:
+            raise PngFormatError("palette image must be a 2-D index array")
+        out_depth = depth or 8
+        color = 3
+        samples = img.astype(np.uint16)[:, :, None]
+        if int(samples.max(initial=0)) >= min(len(pal), 1 << out_depth):
+            raise PngFormatError("palette index out of range for encode")
+    else:
+        out_depth = depth or (16 if img.dtype == np.uint16 else 8)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        c = img.shape[2]
+        color = {1: 0, 3: 2, 2: 4, 4: 6}.get(c)
+        if color is None:
+            raise PngFormatError(f"cannot encode {c}-channel image")
+        samples = img.astype(np.uint16)
+    if out_depth not in _LEGAL_DEPTHS[color]:
+        raise PngFormatError(
+            f"illegal bit depth {out_depth} for color type {color}"
+        )
+    h, w, ch = samples.shape
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        ph, pw = sub.shape[:2]
+        rows2d = sub.reshape(ph, pw * ch)
+        if out_depth == 8:
+            payload = rows2d.astype(np.uint8)
+        elif out_depth == 16:
+            payload = rows2d.astype(">u2").view(np.uint8).reshape(ph, -1)
+        else:
+            shifts = np.arange(out_depth - 1, -1, -1)
+            bits = (
+                (rows2d[:, :, None] >> shifts) & 1
+            ).reshape(ph, -1).astype(np.uint8)
+            payload = np.packbits(bits, axis=1)  # right-pads rows, per spec
+        return b"".join(b"\x00" + r.tobytes() for r in payload)
+
+    if interlace:
+        body = b"".join(
+            scanlines(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if samples[y0::dy, x0::dx].size
+        )
+    else:
+        body = scanlines(samples)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, out_depth, color, 0, 0, 1 if interlace else 0
+    )
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if pal is not None:
+        out += _chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", bytes(trns))
+    return (
+        out
+        + _chunk(b"IDAT", zlib.compress(body, level))
+        + _chunk(b"IEND", b"")
+    )

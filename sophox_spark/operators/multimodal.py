@@ -41,9 +41,11 @@ def real_decode_image(payload: bytes) -> np.ndarray:
     (functions/png.py) and baseline JPEG via the from-scratch
     marker/Huffman/IDCT decoder (functions/jpeg.py — the format real
     crawls actually carry), falling back to the synthetic IMG1
-    container. Returns an (h, w, c) uint8 array; raises loudly on
-    malformed or out-of-subset input (palette/16-bit/interlaced PNG,
-    progressive/arithmetic JPEG) — never a silent wrong image."""
+    container. PNG covers the full spec-legal surface: palette
+    (PLTE/tRNS), every gray depth, 16-bit (returned as uint16), Adam7
+    interlace, color-key transparency. Returns an (h, w, c) uint8 —
+    or uint16 — array; raises loudly on malformed input or arithmetic
+    JPEG — never a silent wrong image."""
     from ..functions import jpeg, png
 
     b = bytes(payload)
@@ -85,7 +87,10 @@ def decode_images(media_df: DataFrame, id_col="media_id", payload_col="payload")
                     continue
                 h, w, c = px.shape
                 flat = px.reshape(-1).astype(np.int64)
-                hist = np.bincount(flat >> 4, minlength=16)[:16]
+                # bucket width scales with sample depth: 16 buckets
+                # across the full range for uint8 AND uint16 decodes
+                shift = 12 if px.dtype == np.uint16 else 4
+                hist = np.bincount(flat >> shift, minlength=16)[:16]
                 # exact rational mean: integer sum / count (one division)
                 mean = float(flat.sum()) / flat.size
                 rows.append((mid, w, h, c, mean, hist.tolist()))
