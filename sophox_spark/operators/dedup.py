@@ -341,12 +341,67 @@ def winnow_fingerprints(
 def winnow_candidates(
     df: DataFrame, key: str = "doc_id", text_col: str = "text",
     k: int = 20, w: int = 8, min_shared: int = 1,
+    mode: str = "pairs", chain_salt: int = 0,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing winnowed fingerprints —
     a (fp)-bucketed equi-join, never all-pairs (same shuffle shape as
-    LSH banding; a pathologically hot fingerprint would salt the same
-    way). Output: (a, b, n_shared) with a < b."""
+    LSH banding). Output: (a, b, n_shared) with a < b.
+
+    ``mode='pairs'`` emits every within-bucket pair with the shared-
+    fingerprint count — the per-pair verification surface, but
+    O(bucket²): a boilerplate-heavy corpus concentrates millions of
+    docs on a handful of fingerprints and the self-join blows up,
+    exactly like LSH all-pairs did in the sf1 soak.
+
+    ``mode='chain'`` sorts each fingerprint bucket by id and emits only
+    the n−1 CONSECUTIVE pairs (``n_shared`` = number of buckets that
+    chained the pair). Linear output, and connected components over
+    chains equal components over the full cliques — the
+    ``duplicate_clusters`` consumer gets identical clusters at any
+    scale. ``min_shared`` must stay 1 in chain mode (filtering chain
+    edges would break the component-equality guarantee).
+
+    ``chain_salt > 1`` splits each bucket into hash lanes chained
+    independently, bounding the largest single-task sort at
+    bucket/salt rows; the per-lane minima are chained across lanes so
+    the bucket stays one component (same construction as
+    ``minhash_lsh_pairs``)."""
+    if mode not in ("pairs", "chain"):
+        raise ValueError(f"unknown mode {mode!r}")
     fps = winnow_fingerprints(df, key, text_col, k, w)
+    if mode == "chain":
+        if min_shared != 1:
+            raise ValueError(
+                "min_shared must be 1 in chain mode — dropping chain "
+                "edges breaks component equality with pairs mode"
+            )
+        st = fps.select("fp", F.col(key).alias("d"))
+        if chain_salt > 1:
+            st = st.withColumn(
+                "__lane", F.pmod(F.xxhash64("d"), F.lit(chain_salt))
+            )
+            wl = Window.partitionBy("fp", "__lane").orderBy("d")
+            lane_pairs = (
+                st.withColumn("__prev", F.lag("d").over(wl))
+                .filter(F.col("__prev").isNotNull())
+                .select("fp", F.col("__prev").alias("a"), F.col("d").alias("b"))
+            )
+            mins = st.groupBy("fp", "__lane").agg(F.min("d").alias("__m"))
+            wm = Window.partitionBy("fp").orderBy("__m")
+            links = (
+                mins.withColumn("__prev", F.lag("__m").over(wm))
+                .filter(F.col("__prev").isNotNull())
+                .select("fp", F.col("__prev").alias("a"), F.col("__m").alias("b"))
+            )
+            chained = lane_pairs.unionByName(links)
+        else:
+            wspec = Window.partitionBy("fp").orderBy("d")
+            chained = (
+                st.withColumn("__prev", F.lag("d").over(wspec))
+                .filter(F.col("__prev").isNotNull())
+                .select("fp", F.col("__prev").alias("a"), F.col("d").alias("b"))
+            )
+        return chained.groupBy("a", "b").agg(F.count("*").alias("n_shared"))
     fa = fps.select("fp", F.col(key).alias("a"))
     fb = fps.select("fp", F.col(key).alias("b"))
     return (

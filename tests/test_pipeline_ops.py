@@ -402,3 +402,64 @@ def test_lsh_chain_salted_same_clusters(spark):
     assert {(i, 0) for i in range(20)} <= cs
     # salted pair volume stays linear-ish: lanes-1 links per bucket extra
     assert salted.count() <= plain.count() + 4 * 4 * 4  # bands*lanes slack
+
+
+def test_winnow_chain_mode_same_clusters_linear_pairs(spark):
+    """winnow_candidates chain mode: a boilerplate-heavy corpus (many
+    docs sharing one long template string → hot fingerprint buckets)
+    must produce linear pair volume and connected components IDENTICAL
+    to the quadratic all-pairs mode — the same O(bucket²) failure LSH
+    chain mode fixed in round 5."""
+    import pandas as pd
+
+    from sophox_spark.operators import dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template, "en") for i in range(15)]
+    distinct_texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+        "zinc copper nickel cobalt iron manganese chromium vanadium ore",
+        "sonata concerto symphony etude nocturne prelude fugue overture",
+    ]
+    rows += [(200 + i, t, "en") for i, t in enumerate(distinct_texts)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    all_pairs = dedup.winnow_candidates(docs, k=10, w=4)
+    chain = dedup.winnow_candidates(docs, k=10, w=4, mode="chain")
+    assert all_pairs.select("a", "b").distinct().count() == 15 * 14 // 2
+    assert chain.select("a", "b").distinct().count() == 14  # linear
+    ca = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(all_pairs).collect()}
+    cc = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(chain).collect()}
+    assert ca == cc == {(i, 0) for i in range(15)}
+
+
+def test_winnow_chain_salted_same_clusters(spark):
+    """Salted winnow chains: lanes chained independently, lane minima
+    linked — clusters identical to unsalted chain and all-pairs, pair
+    volume bounded."""
+    import pandas as pd
+
+    from sophox_spark.operators import dedup
+
+    template = "boilerplate footer text repeated across the entire site"
+    rows = [(i, template, "en") for i in range(24)]
+    rows += [(300, "standalone page content aa bb cc dd ee ff gg hh", "en")]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    plain = dedup.winnow_candidates(docs, k=10, w=4, mode="chain")
+    salted = dedup.winnow_candidates(
+        docs, k=10, w=4, mode="chain", chain_salt=4
+    )
+    cp = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(plain).collect()}
+    cs = {(r.x, r.cluster)
+          for r in dedup.duplicate_clusters(salted).collect()}
+    assert cp == cs
+    assert {(i, 0) for i in range(24)} <= cs
+    # per hot fp: (lanes-1) extra linking edges at most
+    n_fps = 20  # template winnow fps upper bound at this k/w
+    assert salted.select("a", "b").distinct().count() <= 23 + 4 * n_fps
+    with pytest.raises(ValueError, match="min_shared"):
+        dedup.winnow_candidates(docs, mode="chain", min_shared=2)
