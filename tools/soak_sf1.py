@@ -90,6 +90,77 @@ def main():
         dt = time.perf_counter() - t0
         out["queries"][name] = {"rows": n, "sec": round(dt, 2)}
         print(f"{name}: {n} rows in {dt:.1f}s", file=sys.stderr)
+
+    # winnowing at sf1 (round-5 verdict item #3 evidence): the 50k-doc
+    # table has heavy replica structure — the exact corpus shape that
+    # blows up the all-pairs bucket join. Chain+salt must keep pair
+    # volume linear-ish in doc count, not quadratic in bucket size.
+    from sophox_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+    t0 = time.perf_counter()
+    n_pairs = dedup.winnow_candidates(
+        docs, mode="chain", chain_salt=8
+    ).count()
+    dt = time.perf_counter() - t0
+    out["queries"]["winnow_chain_salted"] = {
+        "rows": n_pairs, "sec": round(dt, 2),
+        "docs": docs.count(),
+    }
+    print(f"winnow_chain_salted: {n_pairs} pairs in {dt:.1f}s",
+          file=sys.stderr)
+
+    # media decode at sf1 (round-5 verdict item #4): the mapInPandas
+    # JPEG path had only run at bench fixture sizes. 512 baseline
+    # 160x120 RGB JPEGs encoded executor-side, decoded through the
+    # from-scratch codec, reduced to pixel stats.
+    from pyspark.sql import functions as F
+
+    ids = spark.range(512).withColumnRenamed("id", "media_id") \
+        .repartition(32)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sophox_spark.functions import jpeg as _jpeg
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = 160, 120
+                v = (
+                    (3 + i % 4) * np.arange(w)[None, :, None]
+                    + (5 + i % 3) * np.arange(h)[:, None, None]
+                    + 7 * np.arange(3)[None, None, :]
+                    + i
+                ) % 256
+                payloads.append(
+                    _jpeg.encode(v.astype(np.uint8), "420")
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    from sophox_spark.operators import multimodal
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    t0 = time.perf_counter()
+    row = multimodal.decode_images(media).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("width") * F.col("height") * F.col("channels"))
+        .alias("px_bytes"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    out["queries"]["jpeg_decode_512"] = {
+        "rows": int(row["n"]), "sec": round(dt, 2),
+        "decoded_mb_per_sec": round(row["px_bytes"] / (1 << 20) / dt, 1),
+    }
+    print(f"jpeg_decode_512: {row['n']} images in {dt:.1f}s "
+          f"({out['queries']['jpeg_decode_512']['decoded_mb_per_sec']} "
+          f"decoded MB/s)", file=sys.stderr)
+
     out["jvm_peak_rss_mb"] = jvm_peak_rss_mb()
     print(json.dumps(out))
 
