@@ -1467,6 +1467,13 @@ def _q_way_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 fixpoint over the full synth OSM fixture, hash-exact vs the
+    inlined-fixture recursive oracle (``_rel_centroids_sql``). Raw
+    centroid doubles are compared at the harness's 9-decimal grid: the
+    6-decimal fixture coords put every exact mean ON that grid or (for
+    /3 and /6 member counts) 1.67e-10 from a boundary — both ≫ the
+    ~2e-13 sum-order ulp drift (probed offline, incl. the chain
+    rels)."""
     from sophox_spark.operators import osm_geometry
     from sophox_spark.streaming import incremental
 
@@ -1620,6 +1627,541 @@ def _q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental.apply_change_batches(spark, table, changes)
     return table.read().drop("tags")
 
+
+def _dq_double(v) -> str:
+    """Render a python float as an unambiguous DuckDB DOUBLE literal
+    (plain numeric literals like 13.0 parse as DECIMAL and would change
+    the compared dtype; NaN has no bare literal at all)."""
+    import math
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "CAST('nan' AS DOUBLE)"
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _incremental_upsert_sql() -> str:
+    """Oracle for the bucketed-delta snapshot table: the SAME synth
+    change stream (deterministic seed, inlined as VALUES) reduced by
+    plain last-writer-wins SQL — batch order by seqid, in-batch dedup
+    by (version, ts), deletes drop the key. The manifest/bucket/replay
+    machinery the Spark side exercises must be invisible in the final
+    state."""
+    from sophox_spark.sources import synth
+
+    ch = synth.changes_pdf(synth.osm_nodes_pdf(100), 5)
+    vals = ",\n".join(
+        f"({int(r.seqid)}, '{r.op}', {int(r.id)}, {int(r.version)}, "
+        f"'{r.user}', TIMESTAMP '{r.ts}', {_dq_double(r.lon)}, "
+        f"{_dq_double(r.lat)})"
+        for r in ch.itertuples()
+    )
+    return f"""
+WITH ch(seqid, op, id, version, "user", ts, lon, lat) AS (VALUES
+{vals}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+      ORDER BY seqid DESC, version DESC, ts DESC) AS rk
+  FROM ch
+)
+SELECT id, version, "user", ts, lon, lat
+FROM ranked WHERE rk = 1 AND op <> 'delete'
+"""
+
+
+def _osm_fixture_vals() -> tuple[str, str, str]:
+    """The deterministic synth OSM fixture (the exact frames
+    ``_osm_dfs`` feeds the engine) rendered as DuckDB VALUES rows:
+    (nodes, ways, relation-members)."""
+    from sophox_spark.sources import synth
+
+    nodes_pdf = synth.osm_nodes_pdf(300)
+    ways_pdf = synth.osm_ways_pdf(nodes_pdf, 80)
+    rels_pdf = synth.osm_relations_pdf(nodes_pdf, ways_pdf, 30)
+    node_vals = ",\n".join(
+        f"({int(r.id)}, {_dq_double(r.lon)}, {_dq_double(r.lat)})"
+        for r in nodes_pdf.itertuples()
+    )
+    way_vals = ",\n".join(
+        f"({int(r.id)}, [{', '.join(str(int(x)) for x in r.refs)}]"
+        f"::BIGINT[])"
+        for r in ways_pdf.itertuples()
+    )
+    memb_vals = ",\n".join(
+        f"({int(r.id)}, '{m['type']}', {int(m['ref'])})"
+        for r in rels_pdf.itertuples()
+        for m in r.members
+    )
+    return node_vals, way_vals, memb_vals
+
+
+def _way_locations_sql() -> str:
+    """Oracle for J1/A4 way assembly over the synth OSM fixture
+    (inlined as VALUES — the numpy seed makes it deterministic):
+    unnest refs with position, left-join node locations, and restate
+    n_resolved / loc_error / is_closed / middle-vertex rep point in
+    DuckDB list SQL. NaN node coords (the loc:error row) flow through
+    NaN-aware: COUNT() treats NaN as present on both engines, the
+    isnan() test feeds loc_error, and the pandas compare treats
+    NaN == NaN."""
+    node_vals, way_vals, _ = _osm_fixture_vals()
+    return f"""
+WITH nodes(id, lon, lat) AS (VALUES
+{node_vals}
+),
+ways(way_id, refs) AS (VALUES
+{way_vals}
+),
+refx AS (
+  SELECT way_id, CAST(t.i AS INT) AS pos, refs[CAST(t.i AS INT) + 1] AS node_id
+  FROM ways, UNNEST(range(len(refs))) AS t(i)
+),
+joined AS (
+  SELECT r.way_id, r.pos, r.node_id, n.lon, n.lat,
+         (n.id IS NULL OR n.lon IS NULL OR n.lat IS NULL
+          OR isnan(n.lon) OR isnan(n.lat)) AS bad
+  FROM refx r LEFT JOIN nodes n ON n.id = r.node_id
+),
+agg AS (
+  SELECT way_id,
+         CAST(COUNT(lon) AS BIGINT) AS n_resolved,
+         CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         list(lon ORDER BY pos) AS lons,
+         list(lat ORDER BY pos) AS lats
+  FROM joined GROUP BY way_id
+)
+SELECT w.way_id,
+       CAST(len(w.refs) AS INT) AS n_refs,
+       COALESCE(a.n_resolved, 0) AS n_resolved,
+       (len(w.refs) = 0 OR COALESCE(a.n_bad, 0) > 0
+        OR COALESCE(a.n_resolved, 0) < len(w.refs)) AS loc_error,
+       COALESCE(len(w.refs) > 0 AND w.refs[1] = w.refs[-1], FALSE)
+         AS is_closed,
+       a.lons[(len(w.refs) - 1) // 2 + 1] AS rep_lon,
+       a.lats[(len(w.refs) - 1) // 2 + 1] AS rep_lat
+FROM ways w LEFT JOIN agg a USING (way_id)
+"""
+
+
+def _rel_centroids_sql() -> str:
+    """Oracle for the ST7 relation-centroid fixpoint over the synth OSM
+    fixture (updateRelLoc.py:76-87 semantics): node/way member
+    locations are non-recursive lookups (ways via the same
+    middle-vertex rep-point restatement as ``_way_locations_sql``,
+    loc_error ways excluded); rel→rel members resolve through a
+    WITH RECURSIVE whose working table IS the engine's per-pass
+    newly-resolved set — sound here because the fixture's rel→rel
+    references form a single chain (each rel's rel-member resolves
+    exactly one pass earlier) plus a 2-cycle that never resolves in
+    either engine. ``iteration`` = resolution pass; centroids are raw
+    doubles — safe at the harness's 9-decimal compare grid (see the
+    query docstring)."""
+    node_vals, way_vals, memb_vals = _osm_fixture_vals()
+    return f"""
+WITH RECURSIVE
+nodes(id, lon, lat) AS (VALUES
+{node_vals}
+),
+ways(way_id, refs) AS (VALUES
+{way_vals}
+),
+memb(rel_id, mtype, mref) AS (VALUES
+{memb_vals}
+),
+refx AS (
+  SELECT way_id, CAST(t.i AS INT) AS pos, refs[CAST(t.i AS INT) + 1] AS node_id
+  FROM ways, UNNEST(range(len(refs))) AS t(i)
+),
+wjoined AS (
+  SELECT r.way_id, r.pos, n.lon, n.lat,
+         (n.id IS NULL OR n.lon IS NULL OR n.lat IS NULL
+          OR isnan(n.lon) OR isnan(n.lat)) AS bad
+  FROM refx r LEFT JOIN nodes n ON n.id = r.node_id
+),
+wagg AS (
+  SELECT way_id,
+         CAST(COUNT(lon) AS BIGINT) AS n_resolved,
+         CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         list(lon ORDER BY pos) AS lons,
+         list(lat ORDER BY pos) AS lats
+  FROM wjoined GROUP BY way_id
+),
+wloc AS (
+  SELECT w.way_id,
+         a.lons[(len(w.refs) - 1) // 2 + 1] AS rep_lon,
+         a.lats[(len(w.refs) - 1) // 2 + 1] AS rep_lat
+  FROM ways w LEFT JOIN wagg a USING (way_id)
+  WHERE NOT (len(w.refs) = 0 OR COALESCE(a.n_bad, 0) > 0
+             OR COALESCE(a.n_resolved, 0) < len(w.refs))
+),
+nloc AS (
+  SELECT id, lon, lat FROM nodes
+  WHERE lon IS NOT NULL AND NOT isnan(lon)
+    AND lat IS NOT NULL AND NOT isnan(lat)
+),
+base_locs AS (
+  SELECT m.rel_id, m.mtype, m.mref,
+         CASE WHEN m.mtype = 'n' THEN n.lon
+              WHEN m.mtype = 'w' THEN w.rep_lon END AS lon,
+         CASE WHEN m.mtype = 'n' THEN n.lat
+              WHEN m.mtype = 'w' THEN w.rep_lat END AS lat
+  FROM memb m
+  LEFT JOIN nloc n ON m.mtype = 'n' AND n.id = m.mref
+  LEFT JOIN wloc w ON m.mtype = 'w' AND w.way_id = m.mref
+),
+resolved(rel_id, lon, lat, n_members, iteration) AS (
+  SELECT rel_id, AVG(lon), AVG(lat), CAST(COUNT(*) AS BIGINT), 1
+  FROM base_locs
+  GROUP BY rel_id
+  HAVING SUM(CASE WHEN lon IS NULL THEN 1 ELSE 0 END) = 0
+  UNION
+  SELECT b.rel_id,
+         AVG(CASE WHEN b.mtype = 'r' THEN r.lon ELSE b.lon END),
+         AVG(CASE WHEN b.mtype = 'r' THEN r.lat ELSE b.lat END),
+         CAST(COUNT(*) AS BIGINT),
+         MAX(r.iteration) + 1
+  FROM base_locs b
+  LEFT JOIN resolved r ON b.mtype = 'r' AND r.rel_id = b.mref
+  GROUP BY b.rel_id
+  HAVING SUM(CASE WHEN b.mtype = 'r' THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN (b.mtype <> 'r' AND b.lon IS NULL)
+                    OR (b.mtype = 'r' AND r.rel_id IS NULL)
+                  THEN 1 ELSE 0 END) = 0
+)
+SELECT rel_id, lon, lat, n_members, CAST(iteration AS INT) AS iteration
+FROM resolved
+"""
+
+
+def _ttl_esc_sql(col: str) -> str:
+    """DuckDB restatement of ``ttl.stringify`` (json.dumps,
+    ensure_ascii=False) for the fixture's character repertoire:
+    backslash, double-quote, and TAB escapes (the only control char the
+    synth strings contain); non-ASCII passes through unescaped."""
+    return (
+        "'\"' || replace(replace(replace(" + col + ", chr(92), "
+        "chr(92) || chr(92)), '\"', chr(92) || '\"'), chr(9), "
+        "chr(92) || 't') || '\"'"
+    )
+
+
+def _ttl_tag_case_sql(key: str, value: str) -> str:
+    """DuckDB restatement of ``ttl.tag_statement`` (P3-P5): badkey
+    grammar gate, wikidata single/multi rewrite, wikipedia URL rewrite
+    (the fixture titles need no percent-encoding beyond space→_), else
+    quoted osmt: literal."""
+    key_re = "^[0-9a-zA-Z_]([-:0-9a-zA-Z_]{0,58}[0-9a-zA-Z_])?$"
+    wd_one = "^Q[1-9][0-9]{0,18}$"
+    wd_multi = "^Q[1-9][0-9]{0,18}(;Q[1-9][0-9]{0,18})+$"
+    wp = "^([-a-z]+):(.+)$"
+    return f"""CASE
+    WHEN NOT regexp_matches({key}, '{key_re}')
+      THEN 'osmm:badkey ' || {_ttl_esc_sql(key)}
+    WHEN {key} LIKE '%wikidata%' AND regexp_matches({value}, '{wd_one}')
+      THEN 'osmt:' || {key} || ' wd:' || {value}
+    WHEN {key} LIKE '%wikidata%' AND regexp_matches({value}, '{wd_multi}')
+      THEN 'osmt:' || {key} || ' wd:' || replace({value}, ';', ',wd:')
+    WHEN {key} LIKE '%wikipedia%' AND regexp_matches({value}, '{wp}')
+      THEN 'osmt:' || {key} || ' <https://'
+           || regexp_extract({value}, '{wp}', 1)
+           || '.wikipedia.org/wiki/'
+           || replace(regexp_extract({value}, '{wp}', 2), ' ', '_')
+           || '>'
+    ELSE 'osmt:' || {key} || ' ' || {_ttl_esc_sql(value)}
+  END"""
+
+
+def _osm_ttl_sql() -> str:
+    """Oracle for the full osm2ttl.convert composition over the synth
+    OSM fixture: inline every element (tags pre-filtered of created_by
+    with renumbered positions, exactly the engine's map_filter →
+    posexplode), restate the tag grammar / node skip + deleted rules /
+    way isClosed + middle-vertex rep point / relation member + role
+    statements / 5-lane metadata in SQL, and reassemble ordered Turtle
+    blocks with string_agg. Coordinate text relies on DuckDB's
+    shortest-roundtrip double→VARCHAR matching Python str() (probed
+    over the whole fixture incl. trailing-zero and exponent forms)."""
+    from sophox_spark.sources import synth
+
+    nodes_pdf = synth.osm_nodes_pdf(300)
+    ways_pdf = synth.osm_ways_pdf(nodes_pdf, 80)
+    rels_pdf = synth.osm_relations_pdf(nodes_pdf, ways_pdf, 30)
+
+    def s(x: str) -> str:
+        return x.replace("'", "''")
+
+    node_geo_vals = ",\n".join(
+        f"({int(r.id)}, {_dq_double(r.lon)}, {_dq_double(r.lat)})"
+        for r in nodes_pdf.itertuples()
+    )
+    nmeta, ntags = [], []
+    for r in nodes_pdf.itertuples():
+        kept = [(k, v) for k, v in r.tags.items() if k != "created_by"]
+        if r.deleted or not kept:
+            continue
+        nmeta.append(
+            f"({int(r.id)}, {int(r.version)}, '{s(r.user)}', "
+            f"TIMESTAMP '{r.ts}', {int(r.changeset)}, "
+            f"{_dq_double(r.lon)}, {_dq_double(r.lat)})"
+        )
+        ntags.extend(
+            f"({int(r.id)}, {p}, '{s(k)}', '{s(v)}')"
+            for p, (k, v) in enumerate(kept)
+        )
+    wmeta, wrefs, wtags = [], [], []
+    for r in ways_pdf.itertuples():
+        if r.deleted:
+            continue
+        wmeta.append(
+            f"({int(r.id)}, {int(r.version)}, '{s(r.user)}', "
+            f"TIMESTAMP '{r.ts}', {int(r.changeset)})"
+        )
+        wrefs.append(
+            f"({int(r.id)}, [{', '.join(str(int(x)) for x in r.refs)}]"
+            f"::BIGINT[])"
+        )
+        wtags.extend(
+            f"({int(r.id)}, {p}, '{s(k)}', '{s(v)}')"
+            for p, (k, v) in enumerate(
+                (k, v) for k, v in r.tags.items() if k != "created_by"
+            )
+        )
+    rmeta, rmemb, rtags = [], [], []
+    for r in rels_pdf.itertuples():
+        if r.deleted:
+            continue
+        rmeta.append(
+            f"({int(r.id)}, {int(r.version)}, '{s(r.user)}', "
+            f"TIMESTAMP '{r.ts}', {int(r.changeset)})"
+        )
+        rmemb.extend(
+            f"({int(r.id)}, {p}, '{m['type']}', {int(m['ref'])}, "
+            f"'{s(m['role'])}')"
+            for p, m in enumerate(r.members)
+        )
+        rtags.extend(
+            f"({int(r.id)}, {p}, '{s(k)}', '{s(v)}')"
+            for p, (k, v) in enumerate(
+                (k, v) for k, v in r.tags.items() if k != "created_by"
+            )
+        )
+
+    meta_lanes = []
+    for table, tchar in (("nmeta", "n"), ("wmeta", "w"), ("rmeta", "r")):
+        pfx = {"n": "osmnode:", "w": "osmway:", "r": "osmrel:"}[tchar]
+        meta_lanes.append(f"""
+  SELECT '{pfx}' || id AS subject, 3000000 AS ord,
+         'osmm:type "{tchar}"' AS stmt FROM {table}
+  UNION ALL
+  SELECT '{pfx}' || id, 3000001,
+         'osmm:version "' || version || '"^^xsd:integer' FROM {table}
+  UNION ALL
+  SELECT '{pfx}' || id, 3000002,
+         'osmm:user ' || {_ttl_esc_sql('"user"')} FROM {table}
+  UNION ALL
+  SELECT '{pfx}' || id, 3000003,
+         'osmm:timestamp "' || strftime(ts, '%Y-%m-%dT%H:%M:%S')
+         || 'Z"^^xsd:dateTime' FROM {table}
+  UNION ALL
+  SELECT '{pfx}' || id, 3000004,
+         'osmm:changeset "' || changeset || '"^^xsd:integer'
+  FROM {table}""")
+    meta_sql = "\n  UNION ALL".join(meta_lanes)
+    loc_err = "'osmm:loc:error \"Unable to parse location data\"'"
+    ref_pfx = (
+        "CASE mtype WHEN 'n' THEN 'osmnode:' WHEN 'w' THEN 'osmway:' "
+        "ELSE 'osmrel:' END || mref"
+    )
+    return f"""
+WITH
+nodes_geo(id, lon, lat) AS (VALUES
+{node_geo_vals}
+),
+nmeta(id, version, "user", ts, changeset, lon, lat) AS (VALUES
+{",".join(nmeta)}
+),
+ntags(id, pos, key, value) AS (VALUES
+{",".join(ntags)}
+),
+wmeta(id, version, "user", ts, changeset) AS (VALUES
+{",".join(wmeta)}
+),
+wrefs(way_id, refs) AS (VALUES
+{",".join(wrefs)}
+),
+wtags(id, pos, key, value) AS (VALUES
+{",".join(wtags)}
+),
+rmeta(id, version, "user", ts, changeset) AS (VALUES
+{",".join(rmeta)}
+),
+rmemb(rel_id, pos, mtype, mref, role) AS (VALUES
+{",".join(rmemb)}
+),
+rtags(id, pos, key, value) AS (VALUES
+{",".join(rtags)}
+),
+refx AS (
+  SELECT way_id, CAST(t.i AS INT) AS pos, refs[CAST(t.i AS INT) + 1] AS node_id
+  FROM wrefs, UNNEST(range(len(refs))) AS t(i)
+),
+wjoined AS (
+  SELECT r.way_id, r.pos, n.lon, n.lat,
+         (n.id IS NULL OR n.lon IS NULL OR n.lat IS NULL
+          OR isnan(n.lon) OR isnan(n.lat)) AS bad
+  FROM refx r LEFT JOIN nodes_geo n ON n.id = r.node_id
+),
+wagg AS (
+  SELECT way_id,
+         CAST(COUNT(lon) AS BIGINT) AS n_resolved,
+         CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         list(lon ORDER BY pos) AS lons,
+         list(lat ORDER BY pos) AS lats
+  FROM wjoined GROUP BY way_id
+),
+wgeo AS (
+  SELECT w.way_id,
+         COALESCE(len(w.refs) > 0 AND w.refs[1] = w.refs[-1], FALSE)
+           AS is_closed,
+         (len(w.refs) = 0 OR COALESCE(a.n_bad, 0) > 0
+          OR COALESCE(a.n_resolved, 0) < len(w.refs)) AS loc_error,
+         a.lons[(len(w.refs) - 1) // 2 + 1] AS rep_lon,
+         a.lats[(len(w.refs) - 1) // 2 + 1] AS rep_lat
+  FROM wrefs w LEFT JOIN wagg a USING (way_id)
+),
+stmts AS (
+  SELECT 'osmnode:' || id AS subject, pos AS ord,
+         {_ttl_tag_case_sql("key", "value")} AS stmt
+  FROM ntags
+  UNION ALL
+  SELECT 'osmway:' || id, pos, {_ttl_tag_case_sql("key", "value")}
+  FROM wtags
+  UNION ALL
+  SELECT 'osmrel:' || id, pos, {_ttl_tag_case_sql("key", "value")}
+  FROM rtags
+  UNION ALL
+  SELECT 'osmnode:' || id, 2000001,
+         CASE WHEN lon IS NULL OR lat IS NULL
+                   OR isnan(lon) OR isnan(lat) THEN {loc_err}
+              ELSE 'osmm:loc "Point(' || CAST(lon AS VARCHAR) || ' '
+                   || CAST(lat AS VARCHAR) || ')"^^geo:wktLiteral' END
+  FROM nmeta
+  UNION ALL
+  SELECT 'osmway:' || way_id, 2000000,
+         'osmm:isClosed "'
+         || CASE WHEN is_closed THEN 'true' ELSE 'false' END
+         || '"^^xsd:boolean'
+  FROM wgeo
+  UNION ALL
+  SELECT 'osmway:' || way_id, 2000001,
+         CASE WHEN loc_error THEN {loc_err}
+              ELSE 'osmm:loc "Point(' || CAST(rep_lon AS VARCHAR) || ' '
+                   || CAST(rep_lat AS VARCHAR) || ')"^^geo:wktLiteral'
+         END
+  FROM wgeo
+  UNION ALL
+  SELECT 'osmrel:' || rel_id, 1000000 + pos * 2,
+         'osmm:has ' || {ref_pfx}
+  FROM rmemb
+  UNION ALL
+  SELECT 'osmrel:' || rel_id, 1000000 + pos * 2 + 1,
+         {ref_pfx} || ' ' || {_ttl_esc_sql("role")}
+  FROM rmemb
+  UNION ALL{meta_sql}
+)
+SELECT subject,
+       subject || chr(10)
+       || string_agg(stmt, ';' || chr(10) ORDER BY ord)
+       || '.' || chr(10) || chr(10) AS block
+FROM stmts GROUP BY subject
+"""
+
+
+def _page_mentions_sql() -> str:
+    """Oracle for the mapInPandas mention extractor: inline the
+    deterministic synth pages (url, raw html decoded to text, pinned
+    extracted text) as VALUES and restate the six extraction rules as
+    DuckDB RE2 ``regexp_extract_all`` scans — meta geo.position / ICBM
+    with range-validation-to-NaN, free-text lat,lon pairs (validated
+    rows only), OSM node/way hrefs, wikidata=/wikipedia= tag strings.
+    The Python regexes use no backtracking-only constructs, so RE2
+    finds the identical leftmost non-overlapping matches."""
+    from sophox_spark.sources import synth
+
+    pdf = synth.pages_pdf(300)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n".join(
+        f"('{esc(r.url)}', '{esc(r.html.decode('utf-8'))}', '{esc(r.text)}')"
+        for r in pdf.itertuples()
+    )
+    geo_pat = (
+        r'(?i)<meta\s+name="geo\.position"\s+content='
+        r'"(-?\d+(?:\.\d+)?);(-?\d+(?:\.\d+)?)"'
+    )
+    icbm_pat = (
+        r'(?i)<meta\s+name="ICBM"\s+content='
+        r'"(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)"'
+    )
+    text_pat = r"(-?\d{1,2}\.\d{3,7}),\s(-?\d{1,3}\.\d{3,7})"
+    osm_pat = r"openstreetmap\.org/(node|way)/(\d+)"
+    wd_pat = r"wikidata=((?:Q[0-9]+)(?:;\s?Q[0-9]+)*)"
+    wp_pat = r'wikipedia=([-a-z]+:[^\s<"]+)'
+    return f"""
+WITH pages(url, html, text) AS (VALUES
+{vals}
+),
+meta_raw AS (
+  SELECT url, 'meta_geo' AS kind,
+         CAST(regexp_extract(m, '{geo_pat}', 1) AS DOUBLE) AS lat0,
+         CAST(regexp_extract(m, '{geo_pat}', 2) AS DOUBLE) AS lon0
+  FROM pages, UNNEST(regexp_extract_all(html, '{geo_pat}', 0)) AS t(m)
+  UNION ALL
+  SELECT url, 'meta_icbm' AS kind,
+         CAST(regexp_extract(m, '{icbm_pat}', 1) AS DOUBLE) AS lat0,
+         CAST(regexp_extract(m, '{icbm_pat}', 2) AS DOUBLE) AS lon0
+  FROM pages, UNNEST(regexp_extract_all(html, '{icbm_pat}', 0)) AS t(m)
+),
+text_raw AS (
+  SELECT url, 'text_latlon' AS kind,
+         CAST(regexp_extract(m, '{text_pat}', 1) AS DOUBLE) AS lat0,
+         CAST(regexp_extract(m, '{text_pat}', 2) AS DOUBLE) AS lon0
+  FROM pages, UNNEST(regexp_extract_all(text, '{text_pat}', 0)) AS t(m)
+),
+coords AS (
+  SELECT url, kind,
+         CASE WHEN ok THEN lat0 ELSE CAST('nan' AS DOUBLE) END AS lat,
+         CASE WHEN ok THEN lon0 ELSE CAST('nan' AS DOUBLE) END AS lon
+  FROM (SELECT *, lat0 BETWEEN -90 AND 90 AND lon0 BETWEEN -180 AND 180
+            AS ok
+        FROM meta_raw)
+  UNION ALL
+  SELECT url, kind, lat0 AS lat, lon0 AS lon
+  FROM (SELECT *, lat0 BETWEEN -90 AND 90 AND lon0 BETWEEN -180 AND 180
+            AS ok
+        FROM text_raw)
+  WHERE ok
+)
+SELECT url, kind, lat, lon,
+       CAST(NULL AS VARCHAR) AS osm_type, CAST(NULL AS BIGINT) AS osm_id,
+       CAST(NULL AS VARCHAR) AS entity
+FROM coords
+UNION ALL
+SELECT url, 'osm_ref', CAST('nan' AS DOUBLE), CAST('nan' AS DOUBLE),
+       regexp_extract(m, '{osm_pat}', 1),
+       CAST(regexp_extract(m, '{osm_pat}', 2) AS BIGINT), NULL
+FROM pages, UNNEST(regexp_extract_all(html, '{osm_pat}', 0)) AS t(m)
+UNION ALL
+SELECT url, 'wikidata', CAST('nan' AS DOUBLE), CAST('nan' AS DOUBLE),
+       NULL, NULL, e
+FROM pages, UNNEST(regexp_extract_all(html, '{wd_pat}', 1)) AS t(e)
+UNION ALL
+SELECT url, 'wikipedia', CAST('nan' AS DOUBLE), CAST('nan' AS DOUBLE),
+       NULL, NULL, e
+FROM pages, UNNEST(regexp_extract_all(html, '{wp_pat}', 1)) AS t(e)
+"""
 
 
 # S5/J10/SO3: taginfo-style JSON stats — lines derived portably from
@@ -3858,6 +4400,11 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_maintenance": _sparql_maintenance_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),
+        "q_incremental_upsert": _incremental_upsert_sql(),
+        "q_page_mentions": _page_mentions_sql(),
+        "q_osm_way_locations": _way_locations_sql(),
+        "q_rel_centroids_fixpoint": _rel_centroids_sql(),
+        "q_osm_ttl": _osm_ttl_sql(),
         "q_dedup_exact": DEDUP_EXACT_SQL_DUCK,
         "q_minhash_signatures": _minhash_sql("duckdb"),
         "q_lsh_buckets": _lsh_sql("duckdb"),
