@@ -4244,6 +4244,196 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# metabot cache layer (DataItems.py / WikiPageTitles.py): the engine
+# parses a synthesized JSON-Lines item dump / page table; the oracle
+# reconstructs the expected lookups from the same arithmetic without
+# touching JSON.  Identical SQL text runs in Spark and DuckDB.
+WIKI_ITEMS_LINES = """
+WITH d AS (SELECT DISTINCT doc_id % 48 AS i FROM documents),
+b AS (SELECT i, 'Q' || CAST(200 + i AS STRING) AS qid, i % 6 AS c FROM d)
+SELECT '{"id":"' || qid || '","labels":{' ||
+  CASE WHEN i % 5 = 0 THEN '"de":"nur ' || CAST(i AS STRING) || '"'
+       ELSE '"en":"label ' || CAST(i AS STRING) || '"' ||
+         CASE WHEN i % 2 = 0
+              THEN ',"de":"etikett ' || CAST(i AS STRING) || '"'
+              ELSE '' END
+  END || '},"aliases":{' ||
+  CASE WHEN i % 3 = 0
+       THEN '"en":["Alias ' || CAST(i AS STRING) ||
+            '","ALIAS2 ' || CAST(i AS STRING) || '"]'
+       ELSE '' END ||
+  '},"claims":{"P2":[' ||
+  CASE c WHEN 2 THEN '"Q2"' WHEN 3 THEN '"Q6"' WHEN 4 THEN '"Q4667"'
+         WHEN 5 THEN '"Q6999"' ELSE '"Q7"' END ||
+  CASE WHEN i % 24 = 13 THEN ',"Q2"' ELSE '' END || ']' ||
+  CASE WHEN c IN (0, 1) AND i % 4 <> 1
+       THEN ',"P16":["k' || CAST(i % 9 AS STRING) || '"]'
+       WHEN c = 2 THEN ',"P19":["' ||
+         CASE i % 4 WHEN 0 THEN 'amenity=fast food'
+                    WHEN 1 THEN 'amenity=ice cream'
+                    WHEN 2 THEN 'flat steps'
+                    ELSE 'tag_' || CAST(i % 7 AS STRING) END || '"]'
+       WHEN c = 3 THEN ',"P41":["rel_' || CAST(i % 5 AS STRING) || '"]'
+       WHEN c = 4 THEN ',"P21":["role_' || CAST(i % 5 AS STRING) || '"]'
+       WHEN c = 5 THEN ',"P32":["' ||
+         CASE i % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'fr'
+                    WHEN 2 THEN 'es' ELSE 'ja' END || '"]'
+       ELSE '' END ||
+  '},"sitelink":' ||
+  CASE WHEN c = 0 THEN '"Key:k' || CAST(i % 9 AS STRING) || '"'
+       ELSE 'null' END || '}' AS value
+FROM b
+UNION ALL
+SELECT '{"id":"Q3","labels":{"en":"node"},"aliases":{},' ||
+       '"claims":{"P2":["Q2"]},"sitelink":null}'
+UNION ALL
+SELECT '{"id":"Q4","labels":{"en":"way"},"aliases":{},' ||
+       '"claims":{"P2":["Q2"]},"sitelink":null}'
+"""
+
+
+def _q_item_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot DataItemDescByQid (DataItems.py:58-70) over a parsed
+    JSON-Lines dump."""
+    from sophox_spark.operators import wiki_items as wi
+
+    _load(spark, sf_dir, "documents")
+    items = wi.items_from_jsonl(spark.sql(WIKI_ITEMS_LINES))
+    return wi.item_descriptions(items)
+
+
+def _item_descriptions_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 48 AS i FROM documents)
+SELECT 'Q' || CAST(200 + i AS STRING) AS qid,
+       CASE WHEN i % 5 = 0 THEN 'nur ' ELSE 'label ' END ||
+         CAST(i AS STRING) ||
+         ' (Q' || CAST(200 + i AS STRING) || ')' AS description
+FROM d
+UNION ALL SELECT 'Q3', 'node'
+UNION ALL SELECT 'Q4', 'way'
+"""
+
+
+def _q_items_by_strid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot DataItemsKeysByStrid (DataItems.py:84-110) with the
+    duplicate-strid report as columns; solved_ambiguous rewrites
+    applied (utils.py:141-149)."""
+    from sophox_spark.operators import wiki_items as wi
+
+    _load(spark, sf_dir, "documents")
+    items = wi.items_from_jsonl(spark.sql(WIKI_ITEMS_LINES))
+    out = wi.keys_by_strid(items)
+    return out.select(
+        "strid_type", "strid", "qid", "n_claimants",
+        F.array_join("claimants", ",").alias("claimants_csv"),
+    )
+
+
+def _items_by_strid_sql() -> str:
+    # restate strid assignment from the generator arithmetic: class from
+    # i%6, id claim unless i%4==1 (label fallback for keys/tags), the
+    # multi-P2 rows (i%24==13) and the no-en label-fallback rows drop out
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 48 AS i FROM documents),
+s AS (
+  SELECT 'Q' || CAST(200 + i AS STRING) AS qid,
+         CASE WHEN i % 6 IN (0, 1) THEN 'Key'
+              WHEN i % 6 = 2 THEN 'Tag'
+              WHEN i % 6 = 3 THEN 'Relation'
+              WHEN i % 6 = 4 THEN 'Role'
+              ELSE 'Locale' END AS strid_type,
+         CASE WHEN i % 6 IN (0, 1) THEN
+                CASE WHEN i % 4 <> 1 THEN 'k' || CAST(i % 9 AS STRING)
+                     WHEN i % 5 <> 0 THEN 'label ' || CAST(i AS STRING)
+                     ELSE NULL END
+              WHEN i % 6 = 2 THEN
+                CASE i % 4 WHEN 0 THEN 'amenity=fast_food'
+                           WHEN 1 THEN 'amenity=ice_cream'
+                           WHEN 2 THEN 'flat_steps'
+                           ELSE 'tag_' || CAST(i % 7 AS STRING) END
+              WHEN i % 6 = 3 THEN 'rel_' || CAST(i % 5 AS STRING)
+              WHEN i % 6 = 4 THEN 'role_' || CAST(i % 5 AS STRING)
+              ELSE CASE i % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'fr'
+                              WHEN 2 THEN 'es' ELSE 'ja' END END AS strid
+  FROM d WHERE i % 24 <> 13
+  UNION ALL SELECT 'Q3', 'Tag', 'node'
+  UNION ALL SELECT 'Q4', 'Tag', 'way'
+)
+SELECT strid_type, strid, MIN(qid) AS qid,
+       COUNT(*) AS n_claimants,
+       ARRAY_TO_STRING(ARRAY_AGG(qid ORDER BY qid), ',') AS claimants_csv
+FROM s WHERE strid IS NOT NULL
+GROUP BY strid_type, strid
+"""
+
+
+WIKI_PAGE_ROWS = """
+WITH d AS (SELECT DISTINCT doc_id % 30 AS i FROM documents)
+SELECT CASE WHEN i % 5 = 1 THEN 200 ELSE 0 END AS ns,
+       CASE WHEN i % 5 = 0 THEN 'Key:k' || CAST(i AS STRING)
+            WHEN i % 5 = 1 THEN 'DE:Key:k' || CAST(i - 1 AS STRING)
+            WHEN i % 5 = 2 THEN 'fr:Key:k' || CAST(i - 2 AS STRING)
+            WHEN i % 5 = 3 THEN 'Key:old_' || CAST(i AS STRING)
+            ELSE 'Key:older_' || CAST(i AS STRING) END AS title,
+       i % 5 >= 3 AS is_redirect
+FROM d
+UNION ALL SELECT 0, 'Key:loop_a', true
+UNION ALL SELECT 0, 'Key:loop_b', true
+UNION ALL SELECT 0, 'Random page', false
+"""
+
+WIKI_REDIRECT_EDGES = """
+WITH d AS (SELECT DISTINCT doc_id % 30 AS i FROM documents)
+SELECT CASE WHEN i % 5 = 3 THEN 'Key:old_' || CAST(i AS STRING)
+            ELSE 'Key:older_' || CAST(i AS STRING) END AS from_title,
+       CASE WHEN i % 5 = 3 THEN 'Key:k' || CAST(i - 3 AS STRING)
+            ELSE 'Key:old_' || CAST(i - 1 AS STRING) END AS to_title
+FROM d WHERE i % 5 >= 3
+UNION ALL SELECT 'Key:loop_a', 'Key:loop_b'
+UNION ALL SELECT 'Key:loop_b', 'Key:loop_a'
+"""
+
+
+def _q_page_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot WikiPageTitles (WikiPageTitles.py:18-104): title-grammar
+    parse, canonical page per (sitelink, lang), transitive redirect
+    resolution with cycle -> NULL."""
+    from sophox_spark.operators import wiki_items as wi
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(WIKI_PAGE_ROWS)
+    edges = spark.sql(WIKI_REDIRECT_EDGES)
+    return wi.wiki_page_titles(pages, edges)
+
+
+def _page_titles_sql() -> str:
+    # closed-form restatement: every fixture group is single-candidate;
+    # 1-hop redirects land on the live page, 2-hop chains pass through
+    # old_(i-1) -> k(i-4); the loop pair resolves to NULL
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 30 AS i FROM documents)
+SELECT CASE WHEN i % 5 = 0 THEN 'Key:k' || CAST(i AS STRING)
+            WHEN i % 5 = 1 THEN 'Key:k' || CAST(i - 1 AS STRING)
+            WHEN i % 5 = 2 THEN 'Key:k' || CAST(i - 2 AS STRING)
+            WHEN i % 5 = 3 THEN 'Key:old ' || CAST(i AS STRING)
+            ELSE 'Key:older ' || CAST(i AS STRING) END AS sitelink,
+       CASE WHEN i % 5 = 1 THEN 'de'
+            WHEN i % 5 = 2 THEN 'fr' ELSE 'en' END AS lang,
+       CASE WHEN i % 5 = 0 THEN 'Key:k' || CAST(i AS STRING)
+            WHEN i % 5 = 1 THEN 'DE:Key:k' || CAST(i - 1 AS STRING)
+            WHEN i % 5 = 2 THEN 'fr:Key:k' || CAST(i - 2 AS STRING)
+            WHEN i % 5 = 3 THEN 'Key:old_' || CAST(i AS STRING)
+            ELSE 'Key:older_' || CAST(i AS STRING) END AS title,
+       CASE WHEN i % 5 = 3 THEN 'Key:k' || CAST(i - 3 AS STRING)
+            WHEN i % 5 = 4 THEN 'Key:k' || CAST(i - 4 AS STRING)
+            ELSE NULL END AS redirect_target
+FROM d
+UNION ALL SELECT 'Key:loop a', 'en', 'Key:loop_a', NULL
+UNION ALL SELECT 'Key:loop b', 'en', 'Key:loop_b', NULL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS THE GATE ROTATION: the driver's CORRECTNESS snapshot
     # runs the FIRST 50 entries of this dict (observed rounds 1-5), so
@@ -4288,6 +4478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_bind": _q_sparql_bind,
         "q_sparql_update": _q_sparql_update,
         "q_sparql_maintenance": _q_sparql_maintenance,
+        # metabot cache layer (round 6)
+        "q_item_descriptions": _q_item_descriptions,
+        "q_items_by_strid": _q_items_by_strid,
+        "q_page_titles": _q_page_titles,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -4398,6 +4592,9 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_bind": _sparql_bind_sql(),
         "q_sparql_update": _sparql_update_sql(),
         "q_sparql_maintenance": _sparql_maintenance_sql(),
+        "q_item_descriptions": _item_descriptions_sql(),
+        "q_items_by_strid": _items_by_strid_sql(),
+        "q_page_titles": _page_titles_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),
         "q_delta_upsert": _delta_upsert_sql(),
         "q_incremental_upsert": _incremental_upsert_sql(),
