@@ -555,26 +555,24 @@ def _scan_dc_refine(frame, entries, ux, uy, segs, ri, al):
     block; OR-ing bit<<Al is exact two's-complement refinement of the
     arithmetic-shift point transform."""
     p1 = 1 << al
-    hit = [[] for _ in range(len(frame.comps))]
     n_units = ux * uy
-    si = 0
-    w, total = _seg_for(segs, 0)
-    pos = 0
-    for m in range(n_units):
-        if ri and m and m % ri == 0:
-            si += 1
-            w, total = _seg_for(segs, si)
-            pos = 0
-        muy, mux = divmod(m, ux)
-        for ci, a, b, c0, _td, _ta in entries:
-            if (w[pos >> 3] >> (31 - (pos & 7))) & 1:
-                hit[ci].append(muy * a + mux * b + c0)
-            pos += 1
-        if pos > total:
+    ne = len(entries)
+    step = ri if ri else n_units
+    for si, m0 in enumerate(range(0, n_units, step)):
+        if si >= len(segs):
+            raise JpegFormatError("missing restart segment")
+        m1 = min(m0 + step, n_units)
+        need = (m1 - m0) * ne
+        bits = np.unpackbits(np.frombuffer(segs[si], np.uint8))
+        if need > bits.size:
             raise JpegFormatError("entropy data exhausted")
-    for ci, idx in enumerate(hit):
-        if idx:
-            frame.coef[ci][np.asarray(idx, np.int64)] |= p1
+        take = bits[:need].reshape(m1 - m0, ne)
+        ms = np.arange(m0, m1, dtype=np.int64)
+        muy, mux = ms // ux, ms % ux
+        for e, (ci, a, b, c0, _td, _ta) in enumerate(entries):
+            sel = take[:, e] == 1
+            if sel.any():
+                frame.coef[ci][muy[sel] * a + mux[sel] * b + c0] |= p1
 
 
 def _scan_ac_first(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
@@ -641,131 +639,195 @@ def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
     """Progressive AC refinement (T.81 G.1.2.3): newly significant
     coefficients arrive as (run, 1) symbols whose run counts ZERO-
     HISTORY positions; every already-nonzero coefficient passed over —
-    including those inside an EOB run — reads one correction bit."""
+    including those inside an EOB run — reads one correction bit.
+
+    Fully batched: the scan's band matrix, its nonzero/zero position
+    indexes and prefix counts are gathered ONCE up front, so each
+    Huffman symbol advances by O(1) ordinal arithmetic instead of a
+    per-coefficient loop, EOB runs consume whole ordinal ranges, and
+    the correction/sign bits — whose stream offsets are known as soon
+    as the counts are — are read and applied in one vectorized pass per
+    restart segment.  Bit-identical to the per-coefficient reference
+    loop (pinned by decode(progressive)==decode(baseline) tests)."""
     p1 = 1 << al
     kmax = se - ss
     a, b, c0 = entry[1], entry[2], entry[3]
+    n_units = ux * uy
+    munits = np.arange(n_units, dtype=np.int64)
+    bfs = (munits // ux) * a + (munits % ux) * b + c0 + ss
+    bands = coef[bfs[:, None] + np.arange(kmax + 1)]
+    nzmask = bands != 0
+    # row-major nonzero ordinals: every correction group below is a
+    # contiguous [o1, o2) slice of this order
+    nz_rows, nz_cols_all = np.nonzero(nzmask)
+    nz_flat = bfs[nz_rows] + nz_cols_all
+    nz_vals = bands[nzmask]
+    nz_counts = nzmask.sum(1)
+    nz_off_l = np.concatenate(([0], np.cumsum(nz_counts))).tolist()
+    nz_counts_l = nz_counts.tolist()
+    # zero-history positions per row; kept as a numpy array (scalar-
+    # indexed per symbol, far cheaper than materializing python lists).
+    # No cumulative-nz matrix is needed: the (zi+r)-th zero of a row
+    # sits at column zt with exactly zi+r+1 zeros at or before it, so
+    # the nz count through zt is zt - zi - r by construction.
+    z_cols = np.nonzero(~nzmask)[1]
+    z_counts_l = ((kmax + 1) - nz_counts).tolist()
+    z_off_l = [0]
+    acc = 0
+    for zc in z_counts_l:
+        acc += zc
+        z_off_l.append(acc)
+
+    def flush(si_bytes, go1, go2, gstart, ins_pos, ins_bit):
+        """Apply one segment's deferred correction + sign bits."""
+        bits_np = np.unpackbits(np.frombuffer(si_bytes, np.uint8))
+        if go1:
+            o1 = np.asarray(go1, np.int64)
+            o2 = np.asarray(go2, np.int64)
+            cnts = o2 - o1
+            total_c = int(cnts.sum())
+            if total_c:
+                starts = np.asarray(gstart, np.int64)
+                before = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+                rel = np.arange(total_c, dtype=np.int64) - np.repeat(
+                    before, cnts
+                )
+                offs = np.repeat(starts, cnts) + rel
+                sel = np.repeat(o1, cnts) + rel
+                bits = bits_np[offs]
+                vals = nz_vals[sel]
+                apply = (bits == 1) & ((vals & p1) == 0)
+                if apply.any():
+                    va = vals[apply]
+                    coef[nz_flat[sel[apply]]] = np.where(
+                        va > 0, va + p1, va - p1
+                    )
+        if ins_pos:
+            bits = bits_np[np.asarray(ins_bit, np.int64)]
+            coef[np.asarray(ins_pos, np.int64)] = np.where(
+                bits == 1, p1, -p1
+            ).astype(np.int32)
+
     eobrun = 0
     si = 0
     w, total = _seg_for(segs, 0)
-    bits_np = None  # per-segment unpacked bit array, built lazily
     pos = 0
-    n_units = ux * uy
+    go1, go2, gstart = [], [], []
+    ins_pos, ins_bit = [], []
+    ga1, ga2, gas = go1.append, go2.append, gstart.append
+    ia, ib = ins_pos.append, ins_bit.append
+    ext_mask = _EXT_MASK
     m = 0
     while m < n_units:
         if ri and m and m % ri == 0:
+            flush(segs[si], go1, go2, gstart, ins_pos, ins_bit)
+            go1, go2, gstart = [], [], []
+            ins_pos, ins_bit = [], []
+            ga1, ga2, gas = go1.append, go2.append, gstart.append
+            ia, ib = ins_pos.append, ins_bit.append
             si += 1
             w, total = _seg_for(segs, si)
-            bits_np = None
             pos = 0
             eobrun = 0
         if eobrun:
-            # BATCH the pure run blocks (no symbols, only correction
-            # bits on already-nonzero coefficients): gather their
-            # bands, read one bit per nonzero in flat order — the
-            # dominant phase of sparse refinement scans, vectorized
+            # whole-run blocks: no symbols, one correction bit per
+            # nonzero-history coefficient in flat row-major order
             lim = n_units - m
             if ri:
                 lim = min(lim, ri - (m % ri))
             take = min(eobrun, lim)
-            ms = np.arange(m, m + take, dtype=np.int64)
-            bfs = (ms // ux) * a + (ms % ux) * b + c0 + ss
-            bands = coef[bfs[:, None] + np.arange(kmax + 1)]
-            nzr, nzc = np.nonzero(bands)
-            cnt = nzr.size
+            cnt = nz_off_l[m + take] - nz_off_l[m]
             if cnt:
                 if pos + cnt > total:
                     raise JpegFormatError("entropy data exhausted")
-                if bits_np is None:
-                    bits_np = np.unpackbits(
-                        np.frombuffer(segs[si], np.uint8)
-                    )
-                cb = bits_np[pos : pos + cnt]
+                ga1(nz_off_l[m])
+                ga2(nz_off_l[m + take])
+                gas(pos)
                 pos += cnt
-                vals = bands[nzr, nzc]
-                apply = (cb == 1) & ((vals & p1) == 0)
-                if apply.any():
-                    coef[bfs[nzr[apply]] + nzc[apply]] = np.where(
-                        vals[apply] > 0, vals[apply] + p1, vals[apply] - p1
-                    )
             eobrun -= take
             m += take
             continue
-        muy, mux = divmod(m, ux)
-        bf = muy * a + mux * b + c0 + ss
-        band = coef[bf : bf + kmax + 1].tolist()
-        changed = False
+        bf = int(bfs[m])
+        row_nz0 = nz_off_l[m]
+        row_nz_n = nz_counts_l[m]
+        zrow0 = z_off_l[m]
+        zrow_n = z_counts_l[m]
+        zi = 0
         k = 0
-        if eobrun == 0:  # always true here; keeps the symbol loop scoped
-            while k <= kmax:
-                e = aclut[(w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
-                ln = e & 31
-                if ln == 0:
-                    raise JpegFormatError("invalid Huffman code in scan")
-                pos += ln
-                rs = e >> 5
-                s = rs & 15
-                r = rs >> 4
-                newval = 0
-                if s == 0:
-                    if r != 15:  # EOBn
-                        eobrun = 1 << r
-                        if r:
-                            eobrun += (
-                                w[pos >> 3] >> (32 - (pos & 7) - r)
-                            ) & _EXT_MASK[r]
-                            pos += r
-                        break
-                    # r == 15: ZRL — skip 16 zero-history positions
-                elif s == 1:
-                    newval = (
-                        p1 if (w[pos >> 3] >> (31 - (pos & 7))) & 1 else -p1
-                    )
-                    pos += 1
-                else:
-                    raise JpegFormatError(
-                        "refinement magnitude must be 1"
-                    )
-                # advance: corrections on nonzero-history coefficients,
-                # run countdown on zero-history ones
-                while k <= kmax:
-                    c = band[k]
-                    if c:
-                        bit = (w[pos >> 3] >> (31 - (pos & 7))) & 1
-                        pos += 1
-                        if bit and not (c & p1):
-                            band[k] = c + p1 if c > 0 else c - p1
-                            changed = True
-                    else:
-                        r -= 1
-                        if r < 0:
-                            break
-                    k += 1
-                if s and k <= kmax:
-                    band[k] = newval
-                    changed = True
-                k += 1
-                if pos > total:
-                    raise JpegFormatError("entropy data exhausted")
-        if eobrun:
-            # the EOBn block itself still reads correction bits for its
-            # remaining nonzero coefficients (following run blocks go
-            # through the batch path above)
-            while k <= kmax:
-                c = band[k]
-                if c:
-                    bit = (w[pos >> 3] >> (31 - (pos & 7))) & 1
-                    pos += 1
-                    if bit and not (c & p1):
-                        band[k] = c + p1 if c > 0 else c - p1
-                        changed = True
-                k += 1
-            eobrun -= 1
-        if changed:
-            coef[bf : bf + kmax + 1] = band
+        o1 = 0  # running nz ordinal before k; each advance sets o1 = o2
+        while k <= kmax:
+            e = aclut[(w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+            ln = e & 31
+            if ln == 0:
+                raise JpegFormatError("invalid Huffman code in scan")
+            pos += ln
+            rs = e >> 5
+            s = rs & 15
+            r = rs >> 4
+            if s == 0:
+                if r != 15:  # EOBn: run length, then this block's tail
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += (
+                            w[pos >> 3] >> (32 - (pos & 7) - r)
+                        ) & ext_mask[r]
+                        pos += r
+                    cnt = row_nz_n - o1
+                    if cnt:
+                        ga1(row_nz0 + o1)
+                        ga2(row_nz0 + row_nz_n)
+                        gas(pos)
+                        pos += cnt
+                    eobrun -= 1
+                    k = kmax + 1
+                    break
+                # ZRL: skip 16 zero-history positions (nz through the
+                # 16th zero zt = zt - zi - 15, by zero-count identity)
+                if zi + 15 < zrow_n:
+                    zt = int(z_cols[zrow0 + zi + 15])
+                    o2 = zt - zi - 15
+                    zi += 16
+                    k = zt + 1
+                else:  # run exceeds the band: cross remaining nz, stop
+                    o2 = row_nz_n
+                    zi = zrow_n
+                    k = kmax + 1
+                cnt = o2 - o1
+                if cnt:
+                    ga1(row_nz0 + o1)
+                    ga2(row_nz0 + o2)
+                    gas(pos)
+                    pos += cnt
+                o1 = o2
+            elif s == 1:
+                sign_pos = pos  # sign bit precedes the crossed corrections
+                pos += 1
+                if zi + r < zrow_n:
+                    zt = int(z_cols[zrow0 + zi + r])
+                    o2 = zt - zi - r
+                    zi += r + 1
+                    k = zt + 1
+                    ia(bf + zt)
+                    ib(sign_pos)
+                else:  # run past band end: corrections only, no insert
+                    o2 = row_nz_n
+                    zi = zrow_n
+                    k = kmax + 1
+                cnt = o2 - o1
+                if cnt:
+                    ga1(row_nz0 + o1)
+                    ga2(row_nz0 + o2)
+                    gas(pos)
+                    pos += cnt
+                o1 = o2
+            else:
+                raise JpegFormatError("refinement magnitude must be 1")
+            if pos > total:
+                raise JpegFormatError("entropy data exhausted")
         if pos > total:
             raise JpegFormatError("entropy data exhausted")
         m += 1
+    flush(segs[si], go1, go2, gstart, ins_pos, ins_bit)
 
 
 _T32 = None  # float32 DCT basis, built lazily (module init order)
@@ -786,12 +848,13 @@ def _assemble(frame, qt):
     for ci, c in enumerate(frame.comps):
         if c["tq"] not in qt:
             raise JpegFormatError(f"missing quant table {c['tq']}")
-        q = qt[c["tq"]].reshape(-1)[ZIGZAG]  # zigzag-order quant steps
+        # float32 quant steps: keeps the dequant product + unzigzag
+        # gather in narrow dtype (int64 temporaries double the traffic)
+        q = qt[c["tq"]].reshape(-1)[ZIGZAG].astype(np.float32)
         ny, nx = c["rows"], c["cols"]
         blocks = (
             (frame.coef[ci].reshape(-1, 64) * q)[:, UNZIGZAG]
             .reshape(-1, 8, 8)
-            .astype(np.float32)
         )
         # IDCT = T^T F T as two batched matmuls
         pix = (_T32.T @ blocks) @ _T32
@@ -806,18 +869,28 @@ def _assemble(frame, qt):
             np.repeat(plane, hmax // c["h"], axis=1), vmax // c["v"], axis=0
         )
         planes.append(plane[: h, : w])
+    # channel-major staging buffer: every arithmetic op runs over
+    # contiguous planes; the single strided pass is the final uint8
+    # cast (np.stack into (h,w,3) float32 would pay the interleave on
+    # 4-byte lanes AND an extra copy)
+    arr = np.empty((len(planes), h, w), np.float32)
     if len(planes) == 3:  # JFIF YCbCr → RGB (BT.601, full range)
         y, cb, cr = planes
         cb = cb - np.float32(128.0)
         cr = cr - np.float32(128.0)
-        planes = [
-            y + np.float32(1.402) * cr,
-            y - np.float32(0.344136) * cb - np.float32(0.714136) * cr,
-            y + np.float32(1.772) * cb,
-        ]
-    out = np.stack(planes, axis=-1)
-    np.rint(out, out=out)
-    return np.clip(out, 0, 255, out=out).astype(np.uint8)
+        np.multiply(cr, np.float32(1.402), out=arr[0])
+        arr[0] += y
+        np.multiply(cb, np.float32(-0.344136), out=arr[1])
+        arr[1] -= np.float32(0.714136) * cr
+        arr[1] += y
+        np.multiply(cb, np.float32(1.772), out=arr[2])
+        arr[2] += y
+    else:
+        for i, p in enumerate(planes):
+            arr[i] = p
+    np.rint(arr, out=arr)
+    np.clip(arr, 0, 255, out=arr)
+    return arr.transpose(1, 2, 0).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
