@@ -2968,10 +2968,56 @@ def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> typed metadata + content feature through
+    the Arrow-batched container parse; the fixture content is
+    closed-form arithmetic, so the mean-pixel / mean-|sample| features
+    now have an exact SQL oracle (previously rows-only)."""
     from sophox_spark.operators import multimodal
 
-    media = multimodal.synth_media_df(spark, 64)
+    media = multimodal.synth_media_det_df(spark, 64)
     return multimodal.decode_media_meta(media)
+
+
+def _multimodal_meta_sql() -> str:
+    # replay the deterministic generators: images i%3!=2 are w*h*3
+    # bytes of (j*31+i)%256 behind a 13-byte header; audio i%3==2 is
+    # 100+(i*53)%1900 samples of (j*97+i)%65535-32767 behind 12 bytes
+    return """
+WITH ids AS (SELECT i FROM range(64) t(i)),
+img AS (
+  SELECT i, 8 + i % 56 AS w, 8 + (i * 7) % 56 AS h
+  FROM ids WHERE i % 3 <> 2
+),
+imeta AS (
+  SELECT img.i, MIN(w) AS w, MIN(h) AS h,
+         AVG(CAST((j * 31 + img.i) % 256 AS DOUBLE)) AS mv
+  FROM img CROSS JOIN range(12288) r(j)
+  WHERE j < w * h * 3
+  GROUP BY img.i
+),
+aud AS (
+  SELECT i, 100 + (i * 53) % 1900 AS ns FROM ids WHERE i % 3 = 2
+),
+ameta AS (
+  SELECT aud.i, MIN(ns) AS ns,
+         AVG(CAST(ABS((j * 97 + aud.i) % 65535 - 32767) AS DOUBLE)) AS mv
+  FROM aud CROSS JOIN range(2000) r(j)
+  WHERE j < ns
+  GROUP BY aud.i
+)
+SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind,
+       CAST(13 + w * h * 3 AS BIGINT) AS byte_len,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(NULL AS BIGINT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS n_samples,
+       mv AS mean_value
+FROM imeta
+UNION ALL
+SELECT CAST(i AS BIGINT), 'audio', CAST(12 + ns * 2 AS BIGINT),
+       NULL, NULL, NULL, CAST(16000 AS BIGINT), CAST(ns AS BIGINT), mv
+FROM ameta
+"""
 
 
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4592,6 +4638,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_bind": _sparql_bind_sql(),
         "q_sparql_update": _sparql_update_sql(),
         "q_sparql_maintenance": _sparql_maintenance_sql(),
+        "q_multimodal_meta": _multimodal_meta_sql(),
         "q_item_descriptions": _item_descriptions_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

@@ -295,6 +295,41 @@ def resize_images(media_df: DataFrame, out_w: int, out_h: int,
     ).mapInPandas(gen, "media_id long, payload binary")
 
 
+def make_image_payload_det(width: int, height: int, channels: int = 3,
+                           salt: int = 0) -> bytes:
+    """Deterministic IMG1 payload: pixel[j] = (j*31 + salt) % 256 —
+    closed-form content an SQL oracle can replay (gcd(31,256)=1 walks
+    every level)."""
+    n = width * height * channels
+    px = ((np.arange(n, dtype=np.int64) * 31 + salt) % 256).astype(np.uint8)
+    return b"IMG1" + struct.pack("<IIB", width, height, channels) + px.tobytes()
+
+
+def make_audio_payload_det(rate: int, n_samples: int, salt: int = 0) -> bytes:
+    """Deterministic AUD1 payload: pcm[j] = (j*97 + salt) % 65535 -
+    32767, spanning [-32767, 32767] — INT16_MIN is deliberately
+    excluded so |pcm| stays exact in int16 (np.abs(-32768) overflows)."""
+    pcm = (
+        (np.arange(n_samples, dtype=np.int64) * 97 + salt) % 65535 - 32767
+    ).astype(np.int16)
+    return b"AUD1" + struct.pack("<II", rate, n_samples) + pcm.tobytes()
+
+
+def synth_media_det_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table (binary column + arithmetic content):
+    every byte is a closed-form function of (media_id, offset), so the
+    decoded metadata — including the mean-pixel / mean-|sample| content
+    features — has an exact SQL restatement."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            rows.append((i, make_audio_payload_det(16000, 100 + (i * 53) % 1900, salt=i)))
+        else:
+            rows.append((i, make_image_payload_det(8 + i % 56, 8 + (i * 7) % 56, 3, salt=i)))
+    pdf = pd.DataFrame(rows, columns=["media_id", "payload"])
+    return spark.createDataFrame(pdf, "media_id long, payload binary")
+
+
 def synth_media_df(spark, n: int = 64) -> DataFrame:
     rng = np.random.default_rng(42)
     rows = []

@@ -164,6 +164,21 @@ class TestMultimodal:
         assert (aud["n_samples"] * 2 + 12 == aud["byte_len"]).all()
         assert out["mean_value"].notna().all()
 
+    def test_det_payloads_closed_form(self):
+        """Deterministic fixture content matches its closed form and
+        never emits INT16_MIN (whose np.abs overflows int16)."""
+        import numpy as np
+        import struct
+
+        b = multimodal.make_image_payload_det(5, 4, 3, salt=9)
+        assert struct.unpack_from("<IIB", b, 4) == (5, 4, 3)
+        px = np.frombuffer(b, np.uint8, offset=13)
+        assert px.tolist() == [(j * 31 + 9) % 256 for j in range(60)]
+        a = multimodal.make_audio_payload_det(16000, 300, salt=2)
+        pcm = np.frombuffer(a, np.int16, offset=12)
+        assert pcm.min() >= -32767
+        assert pcm.tolist() == [(j * 97 + 2) % 65535 - 32767 for j in range(300)]
+
     def test_resize_roundtrip(self, spark):
         media = multimodal.synth_media_df(spark, 12)
         resized = multimodal.resize_images(media, 16, 16)
