@@ -4480,6 +4480,139 @@ UNION ALL SELECT 'Key:loop b', 'en', 'Key:loop_b', NULL
 """
 
 
+# metabot TagInfoDb: enum-typed keys x taginfo tags table -> candidate
+# enum values.  Items arrive as JSON-Lines (engine parses); tags rows
+# are portable arithmetic; the oracle restates split/sum/filter in SQL.
+ENUM_ITEMS_LINES = """
+WITH d AS (SELECT DISTINCT doc_id % 16 AS i FROM documents)
+SELECT '{"id":"Q' || CAST(300 + i AS STRING) ||
+       '","labels":{"en":"k"},"aliases":{},"claims":{"P2":["Q7"],"P9":["' ||
+       CASE WHEN i % 3 = 0 THEN 'Q8' ELSE 'Q9' END ||
+       '"],"P16":["' ||
+       CASE WHEN i % 5 = 4 THEN 'name' ELSE 'ek' || CAST(i AS STRING) END ||
+       '"]},"sitelink":null}' AS value
+FROM d
+"""
+
+ENUM_TAGS_ROWS = """
+SELECT 'ek' || CAST(doc_id % 16 AS STRING) AS key,
+       CASE doc_id % 5 WHEN 0 THEN 'alpha'
+                       WHEN 1 THEN 'alpha;beta'
+                       WHEN 2 THEN 'Bad Value'
+                       WHEN 3 THEN 'v' || CAST(doc_id % 7 AS STRING)
+                       ELSE 'rare' || CAST(doc_id AS STRING) END AS value,
+       CAST(20 + (doc_id % 30) * 9 AS BIGINT) AS count_all
+FROM documents
+"""
+
+
+def _q_enum_key_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot TagInfoDb.generate (TagInfoDb.py:18-48): enum-key
+    selection from the item dump, ;-packed value explode, count
+    re-aggregation, and the >5000 / wellformed->50 acceptance filter."""
+    from sophox_spark.operators import wiki_items as wi
+    from sophox_spark.sources import taginfo
+
+    _load(spark, sf_dir, "documents")
+    items = wi.items_from_jsonl(spark.sql(ENUM_ITEMS_LINES))
+    tags = spark.sql(ENUM_TAGS_ROWS)
+    return taginfo.enum_key_values(items, tags)
+
+
+def _enum_key_values_sql() -> str:
+    # enum keys: i%3=0 minus the i%5=4 'name' row (known non-enum)
+    return """
+WITH tags AS (
+  SELECT 'ek' || CAST(doc_id % 16 AS STRING) AS key,
+         CASE doc_id % 5 WHEN 0 THEN 'alpha'
+                         WHEN 1 THEN 'alpha;beta'
+                         WHEN 2 THEN 'Bad Value'
+                         WHEN 3 THEN 'v' || CAST(doc_id % 7 AS STRING)
+                         ELSE 'rare' || CAST(doc_id AS STRING) END AS value,
+         CAST(20 + (doc_id % 30) * 9 AS BIGINT) AS count_all
+  FROM documents
+),
+ek AS (SELECT DISTINCT 'ek' || CAST(doc_id % 16 AS STRING) AS key
+       FROM documents
+       WHERE doc_id % 16 % 3 = 0 AND doc_id % 16 % 5 <> 4),
+split AS (
+  SELECT key, unnest(string_split(value, ';')) AS v, count_all AS c
+  FROM tags WHERE key IN (SELECT key FROM ek)
+)
+SELECT key AS k, v, CAST(SUM(c) AS BIGINT) AS c
+FROM split GROUP BY key, v
+HAVING SUM(c) > 5000
+    OR (SUM(c) > 50 AND regexp_matches(v, '^[a-z0-9]+([-:_.][a-z0-9]+)*$'))
+"""
+
+
+WIKI_CENSUS_PAGES = """
+WITH d AS (SELECT DISTINCT doc_id % 24 AS i FROM documents)
+SELECT CASE i % 6 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 10
+                  WHEN 4 THEN 200 ELSE 0 END AS ns,
+       CASE WHEN i % 6 = 3 THEN
+              CASE WHEN i % 12 = 3 THEN 'Template:KeyDescription/doc'
+                   ELSE 'Template:Other' || CAST(i AS STRING) END
+            ELSE 'Page' || CAST(i AS STRING) END AS title,
+       'Lead {{KeyDescription|key=k' || CAST(i AS STRING) ||
+       '|description=D' || CAST(i AS STRING) ||
+       ' {{Tag|highway|x' || CAST(i AS STRING) ||
+       '}} end}} mid {{ValueDescription|v' || CAST(i AS STRING) ||
+       '|status=ok}} {{Unrelated|1}}' AS wikitext
+FROM d
+"""
+
+
+def _q_pages_with_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metabot WikiPagesWithTemplate (WikiPagesWithTemplate.py:26-100):
+    title-exclusion rules + full nested template extraction + filter-set
+    match; params rendered as a sorted csv for the hash compare."""
+    from sophox_spark.sources import wikipages
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(WIKI_CENSUS_PAGES)
+    out = wikipages.pages_with_template(
+        pages,
+        template=("Template:KeyDescription",),
+        template_filters=("KeyDescription", "ValueDescription"),
+    )
+    params_csv = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("params"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ";",
+    )
+    return out.select("ns", "title", "template", params_csv.alias("params_csv"))
+
+
+def _pages_with_template_sql() -> str:
+    # survivors: ns in (0, 200, 10-non-subpage); talk (i%6=1) and user
+    # (i%6=2) pages drop, Template:KeyDescription/doc (i%12=3) drops;
+    # each survivor yields its KeyDescription + ValueDescription rows
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 24 AS i FROM documents),
+pages AS (
+  SELECT i,
+         CASE i % 6 WHEN 3 THEN 10 WHEN 4 THEN 200 ELSE 0 END AS ns,
+         CASE WHEN i % 6 = 3 THEN 'Template:Other' || CAST(i AS STRING)
+              ELSE 'Page' || CAST(i AS STRING) END AS title
+  FROM d WHERE i % 6 NOT IN (1, 2) AND i % 12 <> 3
+)
+SELECT ns, title, 'KeyDescription' AS template,
+       'description=D' || CAST(i AS STRING) || ' {{Tag|highway|x' ||
+       CAST(i AS STRING) || '}} end;key=k' || CAST(i AS STRING)
+         AS params_csv
+FROM pages
+UNION ALL
+SELECT ns, title, 'ValueDescription',
+       '1=v' || CAST(i AS STRING) || ';status=ok'
+FROM pages
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS THE GATE ROTATION: the driver's CORRECTNESS snapshot
     # runs the FIRST 50 entries of this dict (observed rounds 1-5), so
@@ -4528,6 +4661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_item_descriptions": _q_item_descriptions,
         "q_items_by_strid": _q_items_by_strid,
         "q_page_titles": _q_page_titles,
+        "q_enum_key_values": _q_enum_key_values,
+        "q_pages_with_template": _q_pages_with_template,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -4640,6 +4775,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_maintenance": _sparql_maintenance_sql(),
         "q_multimodal_meta": _multimodal_meta_sql(),
         "q_item_descriptions": _item_descriptions_sql(),
+        "q_enum_key_values": _enum_key_values_sql(),
+        "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),
         "q_regions_geojson_rects": _regions_geojson_rects_sql(),

@@ -231,3 +231,118 @@ def merge_language_claims(
         F.count("*").alias("n_pages"),
         F.sum("n_tag_refs").alias("n_tag_refs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# generic template census (reference metabot/metabot/WikiPagesWithTemplate.py)
+# ---------------------------------------------------------------------------
+
+_RE_HTML_COMMENT = re.compile(r"<!--.*?-->", re.S)
+
+NS_USER = 2
+NS_TEMPLATE = 10
+
+
+def extract_all_templates(text: str) -> list[tuple[str, dict]]:
+    """Every ``{{Name|...}}`` occurrence in document order, nested calls
+    included as separate entries (pywikibot
+    ``textlib.extract_templates_and_params(..., True, True)``
+    semantics, which the reference consumes at
+    WikiPagesWithTemplate.py:81): HTML comments are removed first,
+    positional params get keys ``1``, ``2``, …, named params are split
+    on the first top-level ``=`` and whitespace-stripped; nested
+    template text stays verbatim inside the outer template's values."""
+    text = _RE_HTML_COMMENT.sub("", text)
+    spans: list[tuple[int, int]] = []
+    stack: list[int] = []
+    i, n = 0, len(text)
+    while i < n - 1:
+        two = text[i : i + 2]
+        if two == "{{":
+            stack.append(i)
+            i += 2
+        elif two == "}}":
+            if stack:
+                spans.append((stack.pop(), i + 2))
+            i += 2
+        else:
+            i += 1
+    spans.sort()
+    out: list[tuple[str, dict]] = []
+    for s, e in spans:
+        parts = _split_top_level(text[s + 2 : e - 2])
+        name = parts[0].strip()
+        if not name:
+            continue
+        params: dict[str, str] = {}
+        pos = 0
+        for part in parts[1:]:
+            eq = -1
+            depth = 0
+            for j in range(len(part)):
+                two = part[j : j + 2]
+                if two in ("{{", "[["):
+                    depth += 1
+                elif two in ("}}", "]]"):
+                    depth -= 1
+                elif part[j] == "=" and depth == 0:
+                    eq = j
+                    break
+            if eq >= 0:
+                params[part[:eq].strip()] = part[eq + 1 :].strip()
+            else:
+                pos += 1
+                params[str(pos)] = part.strip()
+        out.append((name, params))
+    return out
+
+
+def pages_with_template(
+    pages_df: DataFrame,
+    template: tuple[str, ...],
+    template_filters: tuple[str, ...],
+    text_col: str = "wikitext",
+) -> DataFrame:
+    """Template census over a page table
+    (WikiPagesWithTemplate.py:26-100 minus the MediaWiki API paging):
+    one output row per matching template occurrence per page.
+
+    Mirrors the reference's set algebra exactly: the MATCH set is the
+    lowercased filters plus their ``Template:``-prefixed forms
+    (:17-24 — the ``template`` names are used for transcluded-in
+    discovery and title exclusion, not matching); the title IGNORE
+    rules drop talk pages (odd ns), user pages, and template-namespace
+    pages whose title equals or is a subpage of an excluded template
+    (:94-100).  Pages where no filter template occurs are dropped,
+    like the reference's warn-and-skip branch.
+    """
+    filters = set(template_filters)
+    ignore = {"Template:" + f for f in template_filters}
+    match = {v.lower() for v in filters | ignore}
+    ignore = ignore | set(template)
+    ignore_t = tuple(sorted(ignore))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ns, title, text in zip(
+                pdf["ns"], pdf["title"], pdf[text_col]
+            ):
+                ns = int(ns)
+                if ns % 2 == 1 or ns == NS_USER:
+                    continue
+                if ns == NS_TEMPLATE and any(
+                    title == f or title.startswith(f + "/")
+                    for f in ignore_t
+                ):
+                    continue
+                for name, params in extract_all_templates(str(text)):
+                    if name.lower() in match:
+                        rows.append((ns, title, name, params))
+            yield pd.DataFrame(
+                rows, columns=["ns", "title", "template", "params"]
+            )
+
+    return pages_df.select("ns", "title", text_col).mapInPandas(
+        gen, "ns int, title string, template string, params map<string,string>"
+    )
