@@ -4267,6 +4267,61 @@ FROM e WHERE i % 4 = 0 AND i % 2 = 0
 """
 
 
+_SERVICE_LOCAL_SPARK = """
+WITH e AS (SELECT DISTINCT event_id % 120 AS i FROM events)
+SELECT 'q:' || CAST(i % 40 AS STRING) AS s, 'p:key' AS p,
+       '"k' || CAST(i % 13 AS STRING) || '"' AS o
+FROM e
+"""
+
+_SERVICE_REMOTE_SPARK = """
+WITH e AS (SELECT DISTINCT event_id % 120 AS i FROM events)
+SELECT 'q:' || CAST(i % 55 AS STRING) AS s, 'p:pop' AS p,
+       '"' || CAST((i % 55) * 7 AS STRING) || '"' AS o
+FROM e WHERE i % 3 = 0
+"""
+
+
+def _q_sparql_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Federated Query: SERVICE <iri> { ... } evaluates
+    against a registered endpoint dataset and joins the outer bindings;
+    a SERVICE SILENT branch against an unknown endpoint degrades to the
+    join identity (spec §2.3). Oracle replays the federation join in
+    SQL over the two generator formulas."""
+    from sophox_spark.operators import sparql
+
+    _load(spark, sf_dir, "events")
+    local = spark.sql(_SERVICE_LOCAL_SPARK)
+    remote = spark.sql(_SERVICE_REMOTE_SPARK)
+    eng = sparql.SparqlEngine(
+        local, endpoints={"http://wd.example/sparql": remote}
+    )
+    return eng.select("""
+SELECT ?s ?key ?pop WHERE {
+  ?s p:key ?key .
+  SERVICE <http://wd.example/sparql> { ?s p:pop ?pop . }
+  SERVICE SILENT <http://gone.example/> { ?s p:never ?x . }
+}""").select("s", "key", "pop")
+
+
+def _sparql_service_sql() -> str:
+    return """
+WITH e AS (SELECT DISTINCT event_id % 120 AS i FROM events),
+local AS (
+  SELECT DISTINCT 'q:' || CAST(i % 40 AS STRING) AS s,
+         '"k' || CAST(i % 13 AS STRING) || '"' AS key
+  FROM e
+),
+remote AS (
+  SELECT DISTINCT 'q:' || CAST(i % 55 AS STRING) AS s,
+         '"' || CAST((i % 55) * 7 AS STRING) || '"' AS pop
+  FROM e WHERE i % 3 = 0
+)
+SELECT local.s AS s, key, pop
+FROM local JOIN remote ON local.s = remote.s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -4663,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_titles": _q_page_titles,
         "q_enum_key_values": _q_enum_key_values,
         "q_pages_with_template": _q_pages_with_template,
+        "q_sparql_service": _q_sparql_service,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -4776,6 +4832,7 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_meta": _multimodal_meta_sql(),
         "q_item_descriptions": _item_descriptions_sql(),
         "q_enum_key_values": _enum_key_values_sql(),
+        "q_sparql_service": _sparql_service_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

@@ -353,6 +353,14 @@ class _Parser:
                 k2, _v2 = self.peek()
                 g = Var(self.next()[1][1:]) if k2 == "var" else self._term()
                 blocks.append(("graph", g, self.parse_group()))
+            elif kind == "word" and val.upper() == "SERVICE":
+                # federated query (SPARQL 1.1 Federation §2): SERVICE
+                # [SILENT] <endpoint> { group }
+                self.next()
+                silent = bool(self.eat_word("SILENT"))
+                k2, _v2 = self.peek()
+                ep = Var(self.next()[1][1:]) if k2 == "var" else self._term()
+                blocks.append(("service", silent, ep, self.parse_group()))
             else:
                 # triples-same-subject: ``?s p1 o1, o2; p2 o3 .`` — ';'
                 # repeats the subject for another predicate-object pair,
@@ -685,7 +693,7 @@ def parse_select(query: str) -> dict:
 class SparqlEngine:
     """Executes the parsed subset against a (s, p, o) triples DataFrame."""
 
-    def __init__(self, triples: DataFrame):
+    def __init__(self, triples: DataFrame, endpoints: dict | None = None):
         # optional named-graph column: a (s, p, o, g) quads store
         # enables GRAPH <iri> / GRAPH ?var; the default graph is the
         # DISTINCT union of all named graphs (documented subset)
@@ -696,6 +704,14 @@ class SparqlEngine:
             self.quads = None
             self.triples = triples.select("s", "p", "o")
         self._gvar: str | None = None
+        # SERVICE endpoint registry: iri -> SparqlEngine or triples
+        # DataFrame (federation spec §2.2; transport is out of scope in
+        # this engine — an endpoint IS another dataset)
+        self.endpoints: dict[str, SparqlEngine] = {}
+        for iri, ep in (endpoints or {}).items():
+            self.endpoints[iri] = (
+                ep if isinstance(ep, SparqlEngine) else SparqlEngine(ep)
+            )
 
     def select(self, query: str) -> DataFrame:
         return self._run_core(parse_select(query))
@@ -1039,6 +1055,30 @@ class SparqlEngine:
                             F.col("g").alias(saved_gvar)
                         ).distinct()
                         sub = sub.crossJoin(F.broadcast(names))
+                cur = self._join(cur, sub, "inner")
+            elif kind == "service":
+                # Federation §2.2: evaluate the group against the named
+                # endpoint's dataset, then join with the outer bindings
+                # (bottom-up semantics). §2.3 SILENT: any failure —
+                # unknown endpoint or evaluation error — degrades to the
+                # single empty solution, i.e. the join identity.
+                _, silent, ep, body = block
+                if isinstance(ep, Var):
+                    raise ValueError(
+                        "SERVICE with a variable endpoint is unsupported"
+                    )
+                iri = ep.text.strip("<>")
+                eng = self.endpoints.get(iri)
+                if eng is None:
+                    if silent:
+                        continue
+                    raise ValueError(f"unknown SERVICE endpoint {iri}")
+                try:
+                    sub = eng._group(body, None)
+                except Exception:
+                    if not silent:
+                        raise
+                    continue
                 cur = self._join(cur, sub, "inner")
             elif kind == "minus":
                 # SPARQL MINUS (spec §8.3.3): drop left solutions

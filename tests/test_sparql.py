@@ -1198,3 +1198,53 @@ SELECT ?g WHERE { ?s p:u ?c . GRAPH ?g { ?s p:t ?o } }""")
         out = sparql.SparqlEngine(quads).select(
             "SELECT ?g WHERE { GRAPH ?g { ?s p:t ?g } }")
         assert out.count() == 0
+
+
+class TestService:
+    """SPARQL 1.1 Federated Query (SERVICE) — the endpoint registry
+    maps IRIs to other datasets; transport is out of scope."""
+
+    @pytest.fixture()
+    def fed(self, spark, triples):
+        remote = spark.createDataFrame(
+            [
+                ("osmd:Q103", "wdt:pop", '"100"'),
+                ("osmd:Q104", "wdt:pop", '"200"'),
+                ("osmd:Q999", "wdt:pop", '"300"'),
+            ],
+            "s string, p string, o string",
+        )
+        return sparql.SparqlEngine(
+            triples, endpoints={"http://remote/sparql": remote}
+        )
+
+    def test_service_joins_remote_bindings(self, fed):
+        out = fed.select("""
+SELECT ?item ?key ?pop WHERE {
+  ?item osmdt:P16 ?key .
+  SERVICE <http://remote/sparql> { ?item wdt:pop ?pop . }
+}""").collect()
+        got = {(r["key"], r["pop"]) for r in out}
+        # Q105/Q999 drop: present on only one side of the federation
+        assert got == {('"highway"', '"100"'), ('"building"', '"200"')}
+
+    def test_service_silent_unknown_endpoint(self, fed):
+        out = fed.select("""
+SELECT ?key WHERE {
+  osmd:Q103 osmdt:P16 ?key .
+  SERVICE SILENT <http://gone/sparql> { ?x wdt:nope ?y . }
+}""").collect()
+        # SILENT failure = single empty solution: outer rows survive
+        assert [r["key"] for r in out] == ['"highway"']
+
+    def test_service_unknown_endpoint_raises(self, fed):
+        with pytest.raises(ValueError, match="unknown SERVICE endpoint"):
+            fed.select(
+                "SELECT ?x WHERE { SERVICE <http://gone/> { ?x ?p ?o . } }"
+            ).collect()
+
+    def test_service_variable_endpoint_refused(self, fed):
+        with pytest.raises(ValueError, match="variable endpoint"):
+            fed.select(
+                "SELECT ?x WHERE { SERVICE ?ep { ?x ?p ?o . } }"
+            ).collect()
