@@ -4322,6 +4322,45 @@ FROM local JOIN remote ON local.s = remote.s
 """
 
 
+# CCNet-style corpus-level line dedup: boilerplate lines shared across
+# documents drop, per-document lines survive in order
+LINE_DEDUP_DOCS = """
+WITH d AS (SELECT DISTINCT doc_id % 40 AS i FROM documents)
+SELECT i AS doc_id,
+       'HEADER BOILERPLATE' || chr(10) ||
+       'unique line ' || CAST(i AS STRING) || chr(10) ||
+       CASE WHEN i % 2 = 0 THEN 'COOKIE NOTICE'
+            ELSE 'second unique ' || CAST(i AS STRING) END || chr(10) ||
+       'tail ' || CAST(i % 5 AS STRING) AS text
+FROM d
+"""
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet boilerplate removal): lines
+    occurring in >1 documents drop; hash-keyed count + anti-join, both
+    shuffles co-partitioned on the line hash."""
+    from sophox_spark.operators import dedup
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(LINE_DEDUP_DOCS)
+    return dedup.line_dedup(docs, key="doc_id", max_repeats=1)
+
+
+def _line_dedup_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 40 AS i FROM documents)
+SELECT i AS doc_id,
+       'unique line ' || CAST(i AS STRING) ||
+       CASE WHEN i % 2 = 1
+            THEN chr(10) || 'second unique ' || CAST(i AS STRING)
+            ELSE '' END AS text,
+       CAST(4 AS BIGINT) AS n_lines,
+       CAST(CASE WHEN i % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_dropped
+FROM d
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -4719,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_enum_key_values": _q_enum_key_values,
         "q_pages_with_template": _q_pages_with_template,
         "q_sparql_service": _q_sparql_service,
+        "q_line_dedup": _q_line_dedup,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -4833,6 +4873,7 @@ def oracle_sql() -> dict[str, str]:
         "q_item_descriptions": _item_descriptions_sql(),
         "q_enum_key_values": _enum_key_values_sql(),
         "q_sparql_service": _sparql_service_sql(),
+        "q_line_dedup": _line_dedup_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

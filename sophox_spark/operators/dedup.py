@@ -411,3 +411,65 @@ def winnow_candidates(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_repeats: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-level line deduplication: drop every line
+    whose (normalized) text occurs in more than ``max_repeats``
+    documents across the corpus — the standard boilerplate killer
+    (nav bars, cookie banners, license footers) for web-crawl
+    training data.
+
+    Shape at scale: lines explode with their positions, the repeated-
+    line table is built by one count aggregation over the line hash
+    (64-bit xxhash, no raw-line shuffle payload), and the anti-join
+    back is keyed on the same hash, so both shuffles co-partition on
+    the hash column; document reassembly groups on the doc key only.
+    Line identity uses the whitespace-trimmed line, like CCNet's
+    normalization; empty lines never count as duplicates (they are
+    structure, not content) and are preserved verbatim.
+
+    Output: (key, text, n_lines, n_dropped) with surviving lines
+    joined back in original order.
+    """
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64(F.trim(F.col("line"))))
+    nonempty = F.trim(F.col("line")) != ""
+    hot = (
+        lines.where(nonempty)
+        .groupBy("lh")
+        .agg(F.count_distinct(key).alias("n_docs"))
+        .where(F.col("n_docs") > max_repeats)
+        .select("lh")
+    )
+    kept = lines.join(
+        hot.withColumn("_hot", F.lit(True)), "lh", "left"
+    ).withColumn("_drop", nonempty & F.col("_hot").isNotNull())
+    return (
+        kept.groupBy(key)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+        )
+    )

@@ -478,3 +478,37 @@ def test_winnow_chain_salted_same_clusters(spark):
     assert salted.select("a", "b").distinct().count() <= 23 + 4 * n_fps
     with pytest.raises(ValueError, match="min_shared"):
         dedup.winnow_candidates(docs, mode="chain", min_shared=2)
+
+
+class TestLineDedup:
+    def test_boilerplate_drops_uniques_survive(self, spark):
+        from sophox_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "SHARED\nonly in one\n\nSHARED TAIL"),
+                (2, "SHARED\nmine alone\n\nSHARED TAIL"),
+                (3, "  SHARED  \nthird doc\nSHARED TAIL"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+        # trimmed-line identity: "  SHARED  " dedups with "SHARED";
+        # empty lines are structure, never dropped
+        assert out[1]["text"] == "only in one\n"
+        assert out[2]["text"] == "mine alone\n"
+        assert out[3]["text"] == "third doc"
+        assert out[1]["n_lines"] == 4 and out[1]["n_dropped"] == 2
+        assert out[3]["n_dropped"] == 2
+
+    def test_max_repeats_threshold(self, spark):
+        from sophox_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "twice\nx"), (2, "twice\ny"), (3, "z")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["text"]
+               for r in dedup.line_dedup(docs, max_repeats=2).collect()}
+        # 2 occurrences <= max_repeats: kept everywhere
+        assert out == {1: "twice\nx", 2: "twice\ny", 3: "z"}
