@@ -4361,6 +4361,104 @@ FROM d
 """
 
 
+# PII scrubbing: typed placeholders + per-category counts
+PII_DOCS = """
+WITH d AS (SELECT DISTINCT doc_id % 48 AS i FROM documents)
+SELECT i AS doc_id,
+       'Reach ' ||
+       CASE WHEN i % 2 = 0
+            THEN 'u' || CAST(i AS STRING) || '@ex' ||
+                 CAST(i % 7 AS STRING) || '.org'
+            ELSE 'nobody' END ||
+       ' at 10.' || CAST(i % 200 AS STRING) || '.0.' ||
+       CAST(i % 250 AS STRING) ||
+       CASE WHEN i % 3 = 0
+            THEN ' tel +49-30-1234-567' || CAST(i % 10 AS STRING)
+            ELSE '' END || ' bye' AS text
+FROM d
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: emails / IPv4 / phones -> typed placeholders
+    with auditable per-category counts, all JVM-side regex."""
+    from sophox_spark.functions import textstats
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(PII_DOCS)
+    out, counts = textstats.scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id", out.alias("text"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 48 AS i FROM documents)
+SELECT i AS doc_id,
+       'Reach ' ||
+       CASE WHEN i % 2 = 0 THEN '<EMAIL>' ELSE 'nobody' END ||
+       ' at <IP>' ||
+       CASE WHEN i % 3 = 0 THEN ' tel <PHONE>' ELSE '' END ||
+       ' bye' AS text,
+       CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_email,
+       CAST(1 AS INT) AS n_ip,
+       CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_phone
+FROM d
+"""
+
+
+# benchmark decontamination: token streams are strided modular
+# sequences, so 13-gram identity reduces to its start value (i*23+j)%97
+# and the oracle needs no string ops at all
+DECON_DOCS = """
+WITH d AS (SELECT DISTINCT doc_id % 40 AS i FROM documents)
+SELECT i AS doc_id,
+       array_join(transform(sequence(0, 19),
+                  j -> 't' || CAST((i * 23 + j) % 97 AS STRING)), ' ') AS text
+FROM d
+"""
+
+DECON_BENCH = """
+SELECT array_join(transform(sequence(0, 19),
+              j -> 't' || CAST((b * 23 + j) % 97 AS STRING)), ' ') AS text
+FROM (SELECT 0 AS b UNION ALL SELECT 5)
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram overlap rule): corpus docs
+    sharing word 13-grams with the eval set are flagged with their
+    match count; the benchmark n-gram hash set broadcasts, the 100-TB
+    side never shuffles."""
+    from sophox_spark.operators import dedup
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(DECON_DOCS)
+    bench = spark.sql(DECON_BENCH)
+    return dedup.decontaminate(docs, bench, n=13)
+
+
+def _decontaminate_sql() -> str:
+    # doc i's 13-gram starts are (i*23+j)%97 for j in 0..7; the two
+    # benchmark docs cover starts {0..7} and {(115+j)%97} = {18..25}
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 40 AS i FROM documents),
+g AS (
+  SELECT i, (i * 23 + j) % 97 AS s
+  FROM d CROSS JOIN range(0, 8) t(j)
+)
+SELECT i AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM g
+WHERE s IN (0,1,2,3,4,5,6,7,18,19,20,21,22,23,24,25)
+GROUP BY i
+HAVING COUNT(*) >= 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -4759,6 +4857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pages_with_template": _q_pages_with_template,
         "q_sparql_service": _q_sparql_service,
         "q_line_dedup": _q_line_dedup,
+        "q_pii_scrub": _q_pii_scrub,
+        "q_decontaminate": _q_decontaminate,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -4874,6 +4974,8 @@ def oracle_sql() -> dict[str, str]:
         "q_enum_key_values": _enum_key_values_sql(),
         "q_sparql_service": _sparql_service_sql(),
         "q_line_dedup": _line_dedup_sql(),
+        "q_pii_scrub": _pii_scrub_sql(),
+        "q_decontaminate": _decontaminate_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

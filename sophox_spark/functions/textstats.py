@@ -155,3 +155,34 @@ def repetition_stats(df, key: str = "doc_id", text_col: str = "text"):
         )
     )
     return doc_lines.join(top, key, "left")
+
+
+# PII scrubbing: standard hygiene pass before a crawl corpus becomes
+# training data. Patterns are deliberately conservative (precision
+# over recall) and every replacement is a typed placeholder so counts
+# stay auditable. Pure regexp_replace/regexp_count — JVM-side.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (category, regex, placeholder)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4",
+     r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+     r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+     "<IP>"),
+    ("phone",
+     r"(?<![0-9])\+?[0-9]{1,3}[-. ]\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}"
+     r"[-. ][0-9]{3,4}(?![0-9])",
+     "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(scrubbed text, {category: match count}) — emails, IPv4
+    addresses, and separator-delimited phone numbers become typed
+    placeholders. Passes run email -> ip -> phone on the running
+    text, so each character is claimed by at most one category."""
+    counts = {}
+    out = text
+    for cat, pat, repl in PII_PATTERNS:
+        counts[cat] = F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, repl)
+    return out, counts

@@ -473,3 +473,48 @@ def line_dedup(
             F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least ``min_shared`` word ``n``-grams with an eval/benchmark
+    corpus (the 13-gram overlap rule popularized by the GPT-3 appendix
+    and standard in training-data pipelines since).
+
+    Scale shape: the benchmark side is tiny next to the corpus, so its
+    n-gram hash set aggregates to a distinct table and BROADCASTS; the
+    corpus side streams through one hash-equi-join — no shuffle of the
+    100-TB side. Hashes are 64-bit over the lowercased space-joined
+    n-gram. Output: (key, n_contaminated) for flagged docs only.
+    """
+    def gram_hashes(col):
+        toks = F.split(F.lower(F.col(col)), r"\s+")
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+        )
+
+    bench = (
+        benchmark.select(F.explode(gram_hashes(bench_text_col)).alias("gh"))
+        .distinct()
+    )
+    corpus = df.select(
+        key, F.explode(gram_hashes(text_col)).alias("gh")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gh", "left_semi")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_contaminated"))
+        .where(F.col("n_contaminated") >= min_shared)
+    )

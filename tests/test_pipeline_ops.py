@@ -512,3 +512,62 @@ class TestLineDedup:
                for r in dedup.line_dedup(docs, max_repeats=2).collect()}
         # 2 occurrences <= max_repeats: kept everywhere
         assert out == {1: "twice\nx", 2: "twice\ny", 3: "z"}
+
+
+class TestPiiAndDecontamination:
+    def test_scrub_pii(self, spark):
+        from sophox_spark.functions import textstats
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob@x.org or bob.smith+a@sub.ex.co.uk now"),
+                (2, "server 192.168.0.1 and 999.1.1.1 stay partial"),
+                (3, "call +44-20-7946-0958 ok"),
+                (4, "user@10.0.0.1 bare-IP mail hosts scrub as IP"),
+                (5, "clean text"),
+            ],
+            ["doc_id", "text"],
+        )
+        out, counts = textstats.scrub_pii(F.col("text"))
+        got = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", out.alias("t"),
+                counts["email"].alias("ne"),
+                counts["ipv4"].alias("ni"),
+                counts["phone"].alias("np"),
+            ).collect()
+        }
+        assert got[1]["t"] == "mail <EMAIL> or <EMAIL> now"
+        assert got[1]["ne"] == 2
+        # 999 is not a valid octet: only the real IP scrubs
+        assert got[2]["t"] == "server <IP> and 999.1.1.1 stay partial"
+        assert got[3]["t"] == "call <PHONE> ok"
+        # conservative email pattern needs an alpha TLD, so the
+        # bare-IP mail host is caught by the IP pass instead
+        assert got[4]["t"] == "user@<IP> bare-IP mail hosts scrub as IP"
+        assert (got[4]["ne"], got[4]["ni"]) == (0, 1)
+        assert got[5]["t"] == "clean text"
+
+    def test_decontaminate_13gram(self, spark):
+        from sophox_spark.operators import dedup
+
+        words = [f"w{k}" for k in range(40)]
+        bench_txt = " ".join(words[10:25])          # 15 tokens -> 3 13-grams
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(words[0:30])),          # contains all 3
+                (2, " ".join(words[12:26])),         # 14 tokens, 2 windows
+                (3, " ".join(reversed(words))),      # same vocab, no gram
+                (4, "short doc"),                    # < n tokens
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(bench_txt,)], ["text"])
+        got = {r["doc_id"]: r["n_contaminated"]
+               for r in dedup.decontaminate(docs, bench, n=13).collect()}
+        assert got[1] == 3
+        # only the w12..w24 window matches (the w13 window needs w25,
+        # past the benchmark's last gram)
+        assert got[2] == 1
+        assert 3 not in got and 4 not in got
