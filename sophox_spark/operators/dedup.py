@@ -495,23 +495,27 @@ def decontaminate(
     100-TB side. Hashes are 64-bit over the lowercased space-joined
     n-gram. Output: (key, n_contaminated) for flagged docs only.
     """
-    def gram_hashes(col):
-        toks = F.split(F.lower(F.col(col)), r"\s+")
+    def gram_rows(frame, cols, col):
+        # tokens MUST be a materialized column: referencing the split()
+        # expression inside the transform lambda re-evaluates it per
+        # position (no common-subexpression elimination inside
+        # higher-order functions), turning gram generation O(T^2) per
+        # document — the sf1 soak caught this as a wedged stage
+        toked = frame.select(
+            *cols, F.split(F.lower(F.col(col)), r"\s+").alias("_toks")
+        )
+        toks = F.col("_toks")
         idx = F.when(
             F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
         ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
+        grams = F.transform(
             idx,
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
         )
+        return toked.select(*cols, F.explode(grams).alias("gh"))
 
-    bench = (
-        benchmark.select(F.explode(gram_hashes(bench_text_col)).alias("gh"))
-        .distinct()
-    )
-    corpus = df.select(
-        key, F.explode(gram_hashes(text_col)).alias("gh")
-    )
+    bench = gram_rows(benchmark, [], bench_text_col).distinct()
+    corpus = gram_rows(df, [key], text_col)
     return (
         corpus.join(F.broadcast(bench), "gh", "left_semi")
         .groupBy(key)

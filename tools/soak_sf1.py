@@ -161,6 +161,34 @@ def main():
           f"({out['queries']['jpeg_decode_512']['decoded_mb_per_sec']} "
           f"decoded MB/s)", file=sys.stderr)
 
+    # corpus-hygiene stages at sf1 (round 6): line dedup and 13-gram
+    # decontamination over the full 50k-doc table — the hash-keyed
+    # count/semi-join shapes whose scale story the small-SF oracles
+    # can't exercise. The replica suffixes make most lines corpus-wide
+    # duplicates, the worst case for the repeated-line table.
+    t0 = time.perf_counter()
+    ld = dedup.line_dedup(docs).agg(
+        F.count("*").alias("n"),
+        F.sum("n_dropped").alias("dropped"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    out["queries"]["line_dedup"] = {
+        "rows": int(ld["n"]), "sec": round(dt, 2),
+        "lines_dropped": int(ld["dropped"]),
+    }
+    print(f"line_dedup: {ld['n']} docs in {dt:.1f}s "
+          f"({ld['dropped']} lines dropped)", file=sys.stderr)
+
+    bench = docs.where("doc_id % 5000 = 7").select("text")
+    t0 = time.perf_counter()
+    n_flagged = dedup.decontaminate(docs, bench, n=13).count()
+    dt = time.perf_counter() - t0
+    out["queries"]["decontaminate_13gram"] = {
+        "rows": n_flagged, "sec": round(dt, 2),
+    }
+    print(f"decontaminate_13gram: {n_flagged} docs flagged in {dt:.1f}s",
+          file=sys.stderr)
+
     out["jvm_peak_rss_mb"] = jvm_peak_rss_mb()
     print(json.dumps(out))
 
