@@ -281,3 +281,84 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    mode: str = "lsh",
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUPLICATE pairs: every (a, b) with a < b
+    and cosine(v_a, v_b) >= threshold — the embedding-space analog of
+    MinHash near-dup (semantic duplicates survive paraphrase, where
+    shingle methods need lexical overlap). The natural last step is
+    ``dedup.duplicate_clusters(pairs, "a", "b")`` for per-doc cluster
+    assignment.
+
+    mode='exact' — broadcast self-join over the full corpus: the
+    labeled exactness baseline / oracle path, same framing as
+    ``cosine_topk`` (quadratic; small inputs or verification only).
+
+    mode='lsh' — the scale path: multi-table random-hyperplane buckets
+    (seeded, deterministic); vectors sharing any (table, bucket) key
+    meet in ONE narrow equi-join carrying only (id, bucket) — the
+    vectors rejoin by id afterwards, so the bucket shuffle never moves
+    embedding payloads. The exact cosine filter then keeps only true
+    near-dups: NO false positives ever; recall is the LSH collision
+    probability 1 - (1 - (1-θ/π)^planes)^tables, which for near-dup
+    angles (θ → 0) is ~1 (measured in tests). Candidate volume per
+    bucket is O(occupancy²) — occupancy halves per plane, so n_planes
+    sizes buckets; a pathological mass-duplicate corpus wants the same
+    chain/salt escape hatch as ``dedup.minhash_lsh_pairs`` because
+    cluster assignment needs connectivity, not every pair.
+    Output: (a, b, cosine).
+    """
+    base = df.select(
+        F.col(key).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__n", _norm_expr("__v"))
+    va = base.select(
+        F.col("__id").alias("a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    vb = base.select(
+        F.col("__id").alias("b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    if mode == "exact":
+        cand = va.crossJoin(F.broadcast(vb)).filter(F.col("a") < F.col("b"))
+    elif mode == "lsh":
+        if dim is None:
+            first = df.select(vec_col).first()
+            if first is None:
+                return va.join(vb, F.lit(False)).select(
+                    "a", "b", F.lit(0.0).alias("cosine")
+                )
+            dim = len(first[0])
+        ids = df.select(
+            F.col(key).alias("__id"),
+            F.explode(
+                multitable_signature_col(vec_col, dim, n_planes, n_tables, seed)
+            ).alias("__bucket"),
+        )
+        cand = (
+            ids.select(F.col("__id").alias("a"), "__bucket")
+            .join(ids.select(F.col("__id").alias("b"), "__bucket"), "__bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()  # union over tables
+            .join(va, "a")
+            .join(vb, "b")
+        )
+    else:
+        raise ValueError(f"unknown cosine_dup_pairs mode {mode!r}")
+    return (
+        cand.withColumn(
+            "cosine", _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("a", "b", "cosine")
+    )

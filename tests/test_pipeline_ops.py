@@ -153,6 +153,97 @@ class TestSimilarity:
         assert sizes.max() < 100
 
 
+class TestCosineDup:
+    """Embedding-cosine near-dup: exact baseline, LSH scale path,
+    cluster assignment. The uniform synthetic embeddings have no
+    natural near-dups (max random cosine ~0.51), so duplicates are
+    planted as small deterministic perturbations."""
+
+    def _fixture(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        emb.filter("vec_id < 100").createOrReplaceTempView("__emb_base")
+        return spark.sql(
+            """
+            SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS embedding
+            FROM __emb_base
+            UNION ALL
+            SELECT vec_id + 1000,
+                   transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+                     + CASE WHEN i % 16 = 0 THEN 0.05e0 ELSE 0.0e0 END)
+            FROM __emb_base WHERE vec_id < 30
+            UNION ALL
+            SELECT vec_id + 2000,
+                   transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+                     + CASE WHEN i % 16 = 0 THEN 0.1e0 ELSE 0.0e0 END)
+            FROM __emb_base WHERE vec_id < 10
+            """
+        )
+
+    def test_exact_pairs_vs_numpy(self, spark):
+        fix = self._fixture(spark).toPandas()
+        got = similarity.cosine_dup_pairs(
+            self._fixture(spark), threshold=0.8, mode="exact"
+        ).toPandas()
+        mat = np.stack(fix["embedding"].to_numpy()).astype(np.float64)
+        ids = fix["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), k=1)
+        want = {
+            tuple(sorted((int(ids[i]), int(ids[j]))))
+            for i, j in zip(*iu)
+            if cos[i, j] >= 0.8
+        }
+        assert {tuple(sorted((r.a, r.b))) for r in got.itertuples()} == want
+        # the planted structure: 30 first-degree + 10 second-degree
+        # copies + 10 copy1-copy2 edges
+        assert len(want) == 50
+
+    def test_lsh_pairs_subset_and_recall(self, spark):
+        fix = self._fixture(spark)
+        exact = {
+            (r.a, r.b)
+            for r in similarity.cosine_dup_pairs(
+                fix, threshold=0.8, mode="exact"
+            ).collect()
+        }
+        lsh = {
+            (r.a, r.b)
+            for r in similarity.cosine_dup_pairs(
+                fix, threshold=0.8, mode="lsh", dim=64, n_planes=6, n_tables=8
+            ).collect()
+        }
+        # the cosine filter is exact, so LSH can NEVER add a pair
+        assert lsh <= exact
+        # near-dup angles are tiny -> collision probability ~1
+        assert len(lsh) / len(exact) >= 0.95
+
+    def test_clusters_match_exact_components(self, spark):
+        fix = self._fixture(spark)
+        lsh_pairs = similarity.cosine_dup_pairs(
+            fix, threshold=0.8, mode="lsh", dim=64, n_planes=6, n_tables=8
+        )
+        exact_pairs = similarity.cosine_dup_pairs(fix, threshold=0.8, mode="exact")
+        got = sorted(map(tuple, dedup.duplicate_clusters(lsh_pairs, "a", "b").collect()))
+        want = sorted(map(tuple, dedup.duplicate_clusters(exact_pairs, "a", "b").collect()))
+        assert got == want
+        # triangle components collapse to the base id
+        clusters = dict(got)
+        assert clusters[2000] == 0 and clusters[1000] == 0
+
+    def test_lsh_empty_input(self, spark):
+        fix = self._fixture(spark).filter("vec_id < 0")
+        out = similarity.cosine_dup_pairs(fix, mode="lsh")
+        assert out.count() == 0
+        assert out.columns == ["a", "b", "cosine"]
+
+    def test_unknown_mode_raises(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            similarity.cosine_dup_pairs(self._fixture(spark), mode="bogus")
+
+
 class TestMultimodal:
     def test_decode_meta(self, spark):
         media = multimodal.synth_media_df(spark, 30)
