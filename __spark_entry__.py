@@ -4459,6 +4459,249 @@ HAVING COUNT(*) >= 1
 """
 
 
+# Embedding-cosine near-dup: the synthetic embeddings are uniform
+# (max random cosine 0.51 at these SFs), so near-duplicates are PLANTED
+# deterministically — each vec_id < 60 gains a copy perturbed by +0.05
+# on every 16th element (cosine ≈ 0.995 to its base) and vec_id < 25 a
+# second copy at +0.1 (triangle components). Threshold 0.8 sits in a
+# vast margin (planted pairs ≥ 0.9797, random pairs ≤ 0.5129, both
+# measured), so float-summation-order differences between engines can
+# never flip a membership. Spark lambda indexes are 0-based, DuckDB's
+# 1-based — hence the two dialects.
+EMB_DUP_SPARK = """
+SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 100000 AS vec_id,
+       transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+         + CASE WHEN i % 16 = 0 THEN 0.05e0 ELSE 0.0e0 END) AS embedding
+FROM embeddings WHERE vec_id < 60
+UNION ALL
+SELECT vec_id + 200000 AS vec_id,
+       transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+         + CASE WHEN i % 16 = 0 THEN 0.1e0 ELSE 0.0e0 END) AS embedding
+FROM embeddings WHERE vec_id < 25
+"""
+
+EMB_DUP_DUCK = """
+SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 100000 AS vec_id,
+       list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+         + CASE WHEN (i - 1) % 16 = 0 THEN 0.05e0 ELSE 0.0e0 END) AS embedding
+FROM embeddings WHERE vec_id < 60
+UNION ALL
+SELECT vec_id + 200000 AS vec_id,
+       list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+         + CASE WHEN (i - 1) % 16 = 0 THEN 0.1e0 ELSE 0.0e0 END) AS embedding
+FROM embeddings WHERE vec_id < 25
+"""
+
+
+def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS over the planted fixture —
+    exact mode (the labeled exactness baseline, same framing as
+    q_embedding_cosine_topk; the LSH scale path is q_cosine_dup_clusters
+    + the measured-recall pytest)."""
+    from sophox_spark.operators import similarity
+
+    _load(spark, sf_dir, "embeddings")
+    fix = spark.sql(EMB_DUP_SPARK)
+    out = similarity.cosine_dup_pairs(fix, threshold=0.8, mode="exact")
+    return out.select("a", "b")
+
+
+def _cosine_dup_pairs_sql() -> str:
+    return f"""
+WITH fix AS ({EMB_DUP_DUCK})
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM fix x JOIN fix y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.8
+"""
+
+
+def _q_cosine_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment through the SCALE path: multi-table
+    hyperplane LSH bucket join -> exact cosine filter -> min-label
+    connected components. Hash-exact vs the oracle's closure over
+    brute-force pairs because (a) the cosine filter is exact, so LSH
+    can never add an edge, and (b) with 6 planes x 8 tables the
+    per-pair collision miss rate at near-dup angles is ~1e-4, and a
+    missed edge only matters if it DISCONNECTS a component — verified
+    identical components at all shipped SFs (deterministic: seeded
+    planes, fixed data)."""
+    from sophox_spark.operators import dedup, similarity
+
+    _load(spark, sf_dir, "embeddings")
+    fix = spark.sql(EMB_DUP_SPARK)
+    pairs = similarity.cosine_dup_pairs(
+        fix, threshold=0.8, mode="lsh", dim=64, n_planes=6, n_tables=8
+    )
+    cl = dedup.duplicate_clusters(pairs, "a", "b")
+    sizes = cl.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return cl.join(sizes, "cluster").select(
+        F.col("x").alias("vec_id"), "cluster", "cluster_size"
+    )
+
+
+def _cosine_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE fix AS ({EMB_DUP_DUCK}),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM fix x JOIN fix y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.8),
+edges AS (SELECT a AS x, b AS y FROM pairs
+          UNION SELECT b AS x, a AS y FROM pairs),
+reach(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, reach.r FROM edges e JOIN reach ON reach.x = e.y),
+labels AS (SELECT x AS vec_id, MIN(r) AS cluster FROM reach GROUP BY x),
+sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+SELECT l.vec_id, l.cluster, s.cluster_size
+FROM labels l JOIN sizes s ON s.cluster = l.cluster
+"""
+
+
+# Gopher / C4 document-quality filters: the synthetic documents are
+# single-line word soup, so rule-rich docs are synthesized from doc_id
+# arithmetic (same convention as LINE_DEDUP_DOCS). The fixture SQL text
+# is dialect-shared; the oracle REPLAYS the rules with DuckDB list
+# lambdas (regexp_replace needs the explicit 'g' flag there — Spark's
+# is global by default).
+GOPHER_DOCS = """
+WITH d AS (SELECT DISTINCT doc_id % 48 AS i FROM documents)
+SELECT i AS doc_id,
+  trim(repeat('alpha beta gamma delta ', 12 + i % 9))
+  || CASE WHEN i % 3 <> 0
+          THEN chr(10) || 'the fox and that have with of to be'
+          ELSE '' END
+  || CASE WHEN i % 4 = 0
+          THEN chr(10) || '• bullet one' || chr(10) || '• bullet two'
+          ELSE '' END
+  || CASE WHEN i % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+  || CASE WHEN i % 7 = 0
+          THEN chr(10) || trim(repeat('# ', 12)) || ' hash line'
+          ELSE '' END AS text
+FROM d
+"""
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter signals (Rae et al. 2021 A1.1): word/line
+    statistics + stopword hits + the pass verdict, all higher-order
+    exprs over one materialized word array and one line array — zero
+    shuffle, zero Python."""
+    from sophox_spark.functions import textstats
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(GOPHER_DOCS)
+    return textstats.gopher_rules(docs)
+
+
+def _gopher_rules_sql() -> str:
+    return f"""
+WITH fixture AS ({GOPHER_DOCS}),
+w AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0)
+      AS words,
+    string_split(text, chr(10)) AS lines,
+    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS padded
+  FROM fixture),
+s AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+      / greatest(len(words), 1) AS mean_word_len,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+      AS DOUBLE) / greatest(len(words), 1) AS alpha_word_frac,
+    CAST((length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3
+      AS DOUBLE) / greatest(len(words), 1) AS symbol_word_ratio,
+    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '•')
+        OR starts_with(ltrim(l), '- '))) AS DOUBLE)
+      / greatest(len(lines), 1) AS bullet_line_frac,
+    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+      AS DOUBLE) / greatest(len(lines), 1) AS ellipsis_line_frac,
+    CAST(contains(padded, ' the ') AS INT) + CAST(contains(padded, ' be ') AS INT)
+      + CAST(contains(padded, ' to ') AS INT) + CAST(contains(padded, ' of ') AS INT)
+      + CAST(contains(padded, ' and ') AS INT) + CAST(contains(padded, ' that ') AS INT)
+      + CAST(contains(padded, ' have ') AS INT) + CAST(contains(padded, ' with ') AS INT)
+      AS stop_hits
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+  symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, stop_hits,
+  CAST(n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0
+    AND alpha_word_frac >= 0.8e0 AND symbol_word_ratio <= 0.1e0
+    AND bullet_line_frac <= 0.9e0 AND ellipsis_line_frac <= 0.3e0
+    AND stop_hits >= 2 AS INT) AS passes
+FROM s
+"""
+
+
+C4_DOCS = """
+WITH d AS (SELECT DISTINCT doc_id % 48 AS i FROM documents)
+SELECT i AS doc_id,
+  trim(repeat('This kept sentence stays right here.' || chr(10), 3 + i % 6))
+  || chr(10) || 'short line.'
+  || chr(10) || 'no terminal punctuation on this line'
+  || CASE WHEN i % 6 = 0
+          THEN chr(10) || 'Please enable javascript to view this page.'
+          ELSE '' END
+  || CASE WHEN i % 5 = 0
+          THEN chr(10) || 'Filler lorem ipsum dolor sit amet.'
+          ELSE '' END
+  || CASE WHEN i % 7 = 0
+          THEN chr(10) || 'function f() { return 1; }'
+          ELSE '' END AS text
+FROM d
+"""
+
+
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct /
+    >=3-word / no-javascript line retention + lorem-ipsum / curly-brace
+    / 5-sentence document verdict."""
+    from sophox_spark.functions import textstats
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(C4_DOCS)
+    return textstats.c4_filters(docs)
+
+
+def _c4_filters_sql() -> str:
+    return f"""
+WITH fixture AS ({C4_DOCS}),
+w AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM fixture),
+k AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, l ->
+      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        OR ends_with(trim(l), '?') OR ends_with(trim(l), '."'))
+      AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                          x -> length(x) > 0)) >= 3
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM w),
+c AS (
+  SELECT doc_id, text, lines, kept,
+    array_to_string(list_transform(kept, l -> trim(l)), chr(10)) AS clean_text
+  FROM k)
+SELECT doc_id, clean_text,
+  CAST(len(kept) AS INT) AS n_kept,
+  CAST(len(lines) - len(kept) AS INT) AS n_dropped,
+  CAST(NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{{') AND NOT contains(text, '}}')
+    AND (length(clean_text) - length(replace(clean_text, '.', '')))
+      + (length(clean_text) - length(replace(clean_text, '!', '')))
+      + (length(clean_text) - length(replace(clean_text, '?', ''))) >= 5
+    AS INT) AS keep_doc
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -4859,6 +5102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": _q_line_dedup,
         "q_pii_scrub": _q_pii_scrub,
         "q_decontaminate": _q_decontaminate,
+        "q_cosine_dup_pairs": _q_cosine_dup_pairs,
+        "q_cosine_dup_clusters": _q_cosine_dup_clusters,
+        "q_gopher_rules": _q_gopher_rules,
+        "q_c4_filters": _q_c4_filters,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -4976,6 +5223,10 @@ def oracle_sql() -> dict[str, str]:
         "q_line_dedup": _line_dedup_sql(),
         "q_pii_scrub": _pii_scrub_sql(),
         "q_decontaminate": _decontaminate_sql(),
+        "q_cosine_dup_pairs": _cosine_dup_pairs_sql(),
+        "q_cosine_dup_clusters": _cosine_dup_clusters_sql(),
+        "q_gopher_rules": _gopher_rules_sql(),
+        "q_c4_filters": _c4_filters_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

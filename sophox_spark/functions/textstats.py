@@ -186,3 +186,158 @@ def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
         counts[cat] = F.regexp_count(out, F.lit(pat))
         out = F.regexp_replace(out, pat, repl)
     return out, counts
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+# appendix A1.1 — the standard crawl-filter recipe): document-level
+# signal columns + the pass/fail conjunction. Everything is a
+# higher-order-function expression over ONE materialized word array and
+# ONE materialized line array — zero shuffle, zero Python, linear scan
+# per document, so the operator is embarrassingly parallel at 100 TB.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(df, key: str = "doc_id", text_col: str = "text"):
+    """Per-document Gopher filter signals and verdict:
+
+    * ``n_words`` / ``mean_word_len`` — whitespace words; rule bands
+      50..100000 and 3..10
+    * ``alpha_word_frac`` — words containing an alphabetic char; >= 0.8
+    * ``symbol_word_ratio`` — '#' and '...' occurrences per word; <= 0.1
+    * ``bullet_line_frac`` — lines starting with a bullet; <= 0.9
+    * ``ellipsis_line_frac`` — lines ending in '...'; <= 0.3
+    * ``stop_hits`` — distinct Gopher stopwords present; >= 2
+    * ``passes`` — the conjunction (1/0)
+
+    The word/line arrays are projected ONCE in a first select and only
+    then referenced by lambdas — referencing a computed split() inside
+    a higher-order function re-evaluates it per element (no CSE inside
+    lambdas), which is the O(n^2) trap the sf1 soak caught in
+    decontaminate."""
+    t = F.col(text_col)
+    d = df.select(
+        F.col(key),
+        t.alias("__t"),
+        F.filter(
+            F.split(t, r"\s+"), lambda w: F.length(w) > 0
+        ).alias("__words"),
+        F.split(t, "\n").alias("__lines"),
+    )
+    words = F.col("__words")
+    lines = F.col("__lines")
+    nw = F.greatest(F.size(words), F.lit(1))
+    nl = F.greatest(F.size(lines), F.lit(1))
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col("__t")), r"\s+", " "),
+        F.lit(" "),
+    )
+    stop_hits = sum(
+        F.contains(padded, F.lit(f" {w} ")).cast("int")
+        for w in GOPHER_STOPWORDS
+    )
+    out = d.select(
+        F.col(key),
+        F.size(words).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(words, lambda w: F.length(w).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            / nw
+        ).cast("double").alias("mean_word_len"),
+        (
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw
+        ).cast("double").alias("alpha_word_frac"),
+        (
+            (
+                occurrence_count(F.col("__t"), "#")
+                + occurrence_count(F.col("__t"), "...")
+            )
+            / nw
+        ).cast("double").alias("symbol_word_ratio"),
+        (
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.startswith(F.ltrim(l), F.lit("•"))
+                    | F.startswith(F.ltrim(l), F.lit("- ")),
+                )
+            )
+            / nl
+        ).cast("double").alias("bullet_line_frac"),
+        (
+            F.size(F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("..."))))
+            / nl
+        ).cast("double").alias("ellipsis_line_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes", passes.cast("int"))
+
+
+def c4_filters(df, key: str = "doc_id", text_col: str = "text"):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line-level — keep
+    only lines ending in terminal punctuation, with at least 3 words,
+    and not mentioning javascript; document-level — drop pages
+    containing 'lorem ipsum' or a curly brace, or whose retained text
+    has fewer than 5 sentences (terminal-punctuation count as the
+    sentence proxy).
+
+    Same execution shape as gopher_rules: the line array materializes
+    once, every rule is a lambda over it, the cleaned text reassembles
+    with array_join — no shuffle, no Python. Output: (key, clean_text,
+    n_kept, n_dropped, keep_doc 1/0)."""
+    t = F.col(text_col)
+    d = df.select(
+        F.col(key), t.alias("__t"), F.split(t, "\n").alias("__lines")
+    )
+    lines = F.col("__lines")
+
+    def _line_ok(l):
+        trimmed = F.trim(l)
+        words = F.filter(F.split(trimmed, r"\s+"), lambda w: F.length(w) > 0)
+        return (
+            (
+                F.endswith(trimmed, F.lit("."))
+                | F.endswith(trimmed, F.lit("!"))
+                | F.endswith(trimmed, F.lit("?"))
+                | F.endswith(trimmed, F.lit('."'))
+            )
+            & (F.size(words) >= 3)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    out = d.select(
+        F.col(key),
+        clean.alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_dropped"),
+        (
+            ~F.contains(F.lower(F.col("__t")), F.lit("lorem ipsum"))
+            & ~F.contains(F.col("__t"), F.lit("{"))
+            & ~F.contains(F.col("__t"), F.lit("}"))
+            & (
+                occurrence_count(clean, ".")
+                + occurrence_count(clean, "!")
+                + occurrence_count(clean, "?")
+                >= 5
+            )
+        ).cast("int").alias("keep_doc"),
+    )
+    return out

@@ -299,3 +299,91 @@ def test_repetition_stats_hand_computed(spark):
     assert r2.dup_line_char_frac == 0.0
     # all bigrams count 1 -> lexicographic tie-break
     assert r2.top_bigram == "line only"
+
+
+def test_gopher_rules_hand_computed(spark):
+    import pandas as pd
+
+    from sophox_spark.functions import textstats
+
+    good = " ".join(["word"] * 52) + " the of and that"
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                good,                                  # passes everything
+                "tiny text",                           # word count fails
+                "• one two\n• three\nthe end of it...",  # bullet+ellipsis
+                good + " " + " ".join(["#"] * 7),      # symbol ratio fails
+            ],
+        })
+    )
+    out = {r.doc_id: r for r in textstats.gopher_rules(docs).collect()}
+    r1 = out[1]
+    assert r1.n_words == 56
+    assert r1.mean_word_len == pytest.approx((52 * 4 + 12) / 56)
+    assert r1.alpha_word_frac == 1.0
+    assert r1.symbol_word_ratio == 0.0
+    assert r1.stop_hits == 4
+    assert r1.passes == 1
+    r2 = out[2]
+    assert r2.n_words == 2 and r2.passes == 0
+    r3 = out[3]
+    assert r3.bullet_line_frac == pytest.approx(2 / 3)
+    assert r3.ellipsis_line_frac == pytest.approx(1 / 3)
+    assert r3.passes == 0  # ellipsis > 0.3 (and word count)
+    r4 = out[4]
+    # '#' words carry no alpha char
+    assert r4.n_words == 63
+    assert r4.symbol_word_ratio == pytest.approx(7 / 63)
+    assert r4.alpha_word_frac == pytest.approx(56 / 63)
+    assert r4.passes == 0  # symbol ratio > 0.1
+
+
+def test_c4_filters_hand_computed(spark):
+    import pandas as pd
+
+    from sophox_spark.functions import textstats
+
+    keepers = "\n".join(
+        f"Keeper sentence number {w} stays." for w in ("one", "two", "three", "four", "five")
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                keepers,                                     # clean: keep_doc
+                "One two three four.\nshort.\nno punct here\n"
+                "Use javascript now.\n" + keepers,           # lorem-free but js line
+                keepers + "\nlorem ipsum paragraph here.",   # lorem kills doc
+            ],
+        })
+    )
+    out = {r.doc_id: r for r in textstats.c4_filters(docs).collect()}
+    r1 = out[1]
+    assert r1.n_kept == 5 and r1.n_dropped == 0 and r1.keep_doc == 1
+    assert r1.clean_text == keepers
+    r2 = out[2]
+    # 'short.' (1 word), 'no punct here' (no terminal), javascript line drop
+    assert r2.n_kept == 6 and r2.n_dropped == 3
+    assert "javascript" not in r2.clean_text
+    assert r2.keep_doc == 1  # 6 sentences, no lorem/brace
+    r3 = out[3]
+    # the lorem line itself is a valid line (kept in clean_text) but
+    # the DOCUMENT verdict is drop
+    assert r3.n_kept == 6 and r3.keep_doc == 0
+
+
+def test_c4_filters_curly_brace_doc(spark):
+    import pandas as pd
+
+    from sophox_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1],
+            "text": ["Good line one stays here.\n" * 6 + "f() { return; }"],
+        })
+    )
+    r = textstats.c4_filters(docs).collect()[0]
+    assert r.keep_doc == 0 and r.n_kept == 6
