@@ -402,7 +402,14 @@ def resolve_redirects(
             F.col("nxt").alias("head"),
             F.col("seen2").alias("seen"),
         )
-    return out
+    # chains still unresolved after max_hops are unresolvable too —
+    # they must surface as NULL rows, not silently vanish from the
+    # output (every input (sitelink, lang) appears exactly once)
+    leftover = work.select(
+        "sitelink", "lang", "title",
+        F.lit(None).cast("string").alias("redirect_target"),
+    )
+    return out.unionByName(leftover)
 
 
 def wiki_page_titles(

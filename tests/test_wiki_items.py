@@ -185,3 +185,27 @@ def test_canonical_and_redirects(spark, pages, edges):
     assert rows[("Key:loop a", "en")]["redirect_target"] is None
     # multiple en candidates drop the group (live + redirect, lang==en)
     assert ("Key:surface one", "en") not in rows
+
+
+def test_redirect_chain_longer_than_max_hops_yields_null_row(spark):
+    # a chain deeper than max_hops must still produce its (sitelink,
+    # lang) row — with a NULL target — not silently vanish
+    pages = spark.createDataFrame(
+        [(0, "Key:deep_a", True)], ["ns", "title", "is_redirect"]
+    )
+    edges = spark.createDataFrame(
+        [
+            ("Key:deep_a", "Key:deep_b"),
+            ("Key:deep_b", "Key:deep_c"),
+            ("Key:deep_c", "Key:deep_d"),
+        ],
+        ["from_title", "to_title"],
+    )
+    chosen = wi.canonical_page_titles(wi.parse_page_titles(pages))
+    out = wi.resolve_redirects(chosen, edges, max_hops=2).collect()
+    assert len(out) == 1
+    assert out[0]["sitelink"] == "Key:deep a"
+    assert out[0]["redirect_target"] is None
+    # and with enough hops the same chain resolves
+    ok = wi.resolve_redirects(chosen, edges, max_hops=4).collect()
+    assert ok[0]["redirect_target"] == "Key:deep_d"
