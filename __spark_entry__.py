@@ -4702,6 +4702,48 @@ FROM c
 """
 
 
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace vs BPE-style pre-tokenizer counts
+    per language (the brief's 'whitespace + BPE-ish regex' pair) —
+    both pure JVM regex, aggregated map-side."""
+    from sophox_spark.functions import textstats
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return (
+        docs.select(
+            "lang",
+            textstats.token_count(F.col("text")).alias("ws"),
+            textstats.pretoken_count(F.col("text")).alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            (F.sum("bpe") / F.sum("ws")).cast("double").alias("bpe_per_ws"),
+        )
+    )
+
+
+def _token_stats_sql() -> str:
+    from sophox_spark.functions.textstats import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    ws = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(regexp_extract_all(trim(text), '\\s+')) + 1 END"
+    )
+    return f"""
+SELECT lang,
+  CAST(SUM({ws}) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS bpe_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS DOUBLE)
+    / SUM({ws}) AS bpe_per_ws
+FROM documents
+GROUP BY lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -5106,6 +5148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_dup_clusters": _q_cosine_dup_clusters,
         "q_gopher_rules": _q_gopher_rules,
         "q_c4_filters": _q_c4_filters,
+        "q_token_stats": _q_token_stats,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -5227,6 +5270,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_dup_clusters": _cosine_dup_clusters_sql(),
         "q_gopher_rules": _gopher_rules_sql(),
         "q_c4_filters": _c4_filters_sql(),
+        "q_token_stats": _token_stats_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

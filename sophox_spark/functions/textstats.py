@@ -341,3 +341,21 @@ def c4_filters(df, key: str = "doc_id", text_col: str = "text"):
         ).cast("int").alias("keep_doc"),
     )
     return out
+
+
+# BPE-style pre-tokenizer (the GPT-2 pattern family): contraction
+# suffixes, optionally-space-prefixed letter runs / digit runs /
+# punctuation runs, residual whitespace. Deliberately restated without
+# the original's `\s+(?!\S)` lookahead so the SAME pattern runs under
+# Java regex (Spark, leftmost-first) and RE2 (DuckDB oracle, no
+# lookahead support) with identical match counts — verified across the
+# documents corpus and adversarial unicode/contraction strings.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def pretoken_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments. The
+    standard cheap proxy for LLM token budgets (BPE merges only ever
+    split WITHIN a pre-token, so this lower-bounds and tightly tracks
+    the true BPE count). Pure JVM regexp_count — no Python, no UDF."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE)).cast("long")

@@ -387,3 +387,36 @@ def test_c4_filters_curly_brace_doc(spark):
     )
     r = textstats.c4_filters(docs).collect()[0]
     assert r.keep_doc == 0 and r.n_kept == 6
+
+
+def test_pretoken_count_hand_computed(spark):
+    import pandas as pd
+
+    from sophox_spark.functions import textstats
+
+    cases = {
+        # "don't stop": [don]["'t"][ stop] = 3
+        "don't stop": 3,
+        # [it]['s][ 42][.][5][%][ off][!] = 8
+        "it's 42.5% off!": 8,
+        "": 0,
+        # ["  "][leading][ spaces]: the ' ?\p{L}+' branch needs a letter
+        # right after its single optional space, so the leading run
+        # falls to '\s+' as one segment
+        "  leading spaces": 3,
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"i": range(len(cases)), "text": list(cases.keys())}
+        )
+    )
+    from pyspark.sql import functions as F2
+
+    out = {
+        r.i: r.n
+        for r in docs.select(
+            "i", textstats.pretoken_count(F2.col("text")).alias("n")
+        ).collect()
+    }
+    for i, want in enumerate(cases.values()):
+        assert out[i] == want, (i, list(cases)[i], out[i], want)
