@@ -4744,6 +4744,113 @@ GROUP BY lang
 """
 
 
+def _q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2022 ExactSubstr): every
+    maximal token span whose 13-token windows repeat corpus-wide, via
+    window hashing + interval union — runs on the REAL documents table
+    (the synthetic corpus carries ~900 naturally duplicated windows at
+    sf0.01), and the oracle replays the identical algorithm in DuckDB
+    (hash functions differ but only hash EQUALITY matters; spans are
+    pure positions)."""
+    from sophox_spark.operators import dedup
+
+    _load(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(
+        spark.table("documents"), k=13, min_count=2
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+_SUBSTR_WIN_DUCK = """
+toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+win AS (
+  SELECT doc_id, t.pos AS pos,
+         hash(array_to_string(toks[t.pos+1:t.pos+13], ' ')) AS wh
+  FROM toked, unnest(range(0, greatest(len(toks)-12, 0))) AS t(pos)
+),
+hot AS (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM win w JOIN hot USING (wh)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos+13) OVER prev IS NULL
+                OR pos > max(pos+13) OVER prev
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos)+13 AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+
+def _substr_spans_sql() -> str:
+    return f"WITH {_SUBSTR_WIN_DUCK} SELECT * FROM spans"
+
+
+def _q_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup action: duplicated spans removed from the
+    text, whitespace-normalized reassembly (real documents table)."""
+    from sophox_spark.operators import dedup
+
+    _load(spark, sf_dir, "documents")
+    return dedup.strip_duplicated_spans(
+        spark.table("documents"), k=13, min_count=2
+    )
+
+
+def _substr_strip_sql() -> str:
+    return f"""
+WITH {_SUBSTR_WIN_DUCK},
+tokpos AS (
+  SELECT doc_id, t.i AS i, toks[t.i+1] AS tok
+  FROM toked, unnest(range(0, CASE WHEN array_to_string(toks, '') = ''
+                                   THEN 0 ELSE len(toks) END)) AS t(i)
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM tokpos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i >= s.span_start AND p.i < s.span_end
+  )
+),
+keptagg AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+ntok AS (
+  SELECT doc_id,
+         CASE WHEN array_to_string(toks, '') = '' THEN 0
+              ELSE len(toks) END AS n_tokens
+  FROM toked
+)
+SELECT n.doc_id,
+       coalesce(k.text, '') AS text,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM ntok n LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -5149,6 +5256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": _q_gopher_rules,
         "q_c4_filters": _q_c4_filters,
         "q_token_stats": _q_token_stats,
+        "q_substr_spans": _q_substr_spans,
+        "q_substr_strip": _q_substr_strip,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -5271,6 +5380,8 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": _gopher_rules_sql(),
         "q_c4_filters": _c4_filters_sql(),
         "q_token_stats": _token_stats_sql(),
+        "q_substr_spans": _substr_spans_sql(),
+        "q_substr_strip": _substr_strip_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

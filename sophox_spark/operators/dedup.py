@@ -522,3 +522,130 @@ def decontaminate(
         .agg(F.count("*").alias("n_contaminated"))
         .where(F.col("n_contaminated") >= min_shared)
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    token span whose ``k``-token windows all occur at least
+    ``min_count`` times corpus-wide. The paper builds a suffix array;
+    the order-free equivalent on Spark is window hashing — every
+    length-``k`` token window is hashed, windows whose hash repeats
+    (across documents OR within one) are duplicated, and per-document
+    runs of duplicated windows merge into maximal spans by interval
+    union.
+
+    Scale shape: the window explode carries (key, pos, hash) only —
+    never window text — so the corpus-wide count aggregation and the
+    repeated-hash semi-join both co-partition on the 64-bit hash; the
+    span merge is a per-document window function over only the
+    duplicated subset. Zero Python.
+
+    Tokens are ``\\s+`` splits of the trimmed text (empty text → no
+    windows; docs shorter than ``k`` tokens → no windows). Output:
+    (key, span_start, span_end, n_windows) with token-index spans,
+    end exclusive.
+    """
+    toked = df.select(
+        F.col(key), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
+    # materialized-column rule (see decontaminate): _toks is a real
+    # column so the lambda below does not re-split per position
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")).alias("wh"),
+        ),
+    )
+    windows = toked.select(
+        F.col(key), F.explode(grams).alias("g")
+    ).select(key, F.col("g.pos").alias("pos"), F.col("g.wh").alias("wh"))
+    hot = (
+        windows.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("wh")
+    )
+    dup = windows.join(hot, "wh", "left_semi")
+    w = Window.partitionBy(key).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = dup.withColumn(
+        "_new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("long")
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        starts.groupBy(key, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(key, "span_start", "span_end", "n_windows")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every duplicated span found by :func:`duplicated_spans`
+    from the document text (the paper's ExactSubstr dedup action).
+
+    The span table collects to one array per affected document and
+    left-joins back — documents with no duplicated spans stream
+    through untouched (null span array). Reconstruction keeps tokens
+    whose index falls in no span and rejoins with single spaces, so
+    the output text is whitespace-normalized on both the engine and
+    oracle sides. Output: (key, text, n_tokens, n_removed).
+    """
+    spans = (
+        duplicated_spans(df, key, text_col, k, min_count)
+        .groupBy(key)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    toked = df.select(
+        F.col(key), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    ).join(spans, key, "left")
+    toks, sp = F.col("_toks"), F.col("_spans")
+    pos_toks = F.when(F.length(F.array_join(toks, "")) == 0,
+                      F.array().cast("array<struct<i:int,t:string>>")
+    ).otherwise(
+        F.transform(toks, lambda t, i: F.struct(i.alias("i"), t.alias("t")))
+    )
+    kept = F.when(sp.isNull(), pos_toks).otherwise(
+        F.filter(
+            pos_toks,
+            lambda s: ~F.exists(
+                sp,
+                lambda r: (s["i"] >= r["span_start"]) & (s["i"] < r["span_end"]),
+            ),
+        )
+    )
+    out = toked.select(
+        F.col(key),
+        kept.alias("_kept"),
+        F.size(pos_toks).alias("n_tokens"),
+    )
+    return out.select(
+        key,
+        F.array_join(F.transform(F.col("_kept"), lambda s: s["t"]), " ").alias(text_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.size(F.col("_kept"))).cast("long").alias("n_removed"),
+    )

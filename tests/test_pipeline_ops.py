@@ -662,3 +662,65 @@ class TestPiiAndDecontamination:
         # past the benchmark's last gram)
         assert got[2] == 1
         assert 3 not in got and 4 not in got
+
+
+class TestExactSubstr:
+    def test_shared_passage_spans(self, spark):
+        shared = " ".join(f"s{i}" for i in range(15))
+        docs = spark.createDataFrame(
+            [
+                (0, "a0 b0 c0 " + shared + " z0 y0"),
+                (1, "a1 b1 " + shared + " q1"),
+                (2, "all tokens here are unique " + " ".join(f"u{i}" for i in range(20))),
+                (3, ""),
+                (4, shared),
+            ],
+            ["doc_id", "text"],
+        )
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+            for r in dedup.duplicated_spans(docs, k=13).collect()
+        }
+        # the 15-token passage = 3 overlapping 13-windows, merged
+        assert spans == {0: (3, 18, 3), 1: (2, 17, 3), 4: (0, 15, 3)}
+
+    def test_within_doc_repetition_counts(self, spark):
+        gram = " ".join(f"g{i}" for i in range(13))
+        docs = spark.createDataFrame(
+            [(7, gram + " mid1 mid2 mid3 " + gram)],
+            ["doc_id", "text"],
+        )
+        # both in-document occurrences are duplicated windows
+        spans = dedup.duplicated_spans(docs, k=13).orderBy("span_start").collect()
+        assert [(r["span_start"], r["span_end"]) for r in spans] == [(0, 13), (16, 29)]
+
+    def test_strip_reassembly(self, spark):
+        shared = " ".join(f"s{i}" for i in range(15))
+        docs = spark.createDataFrame(
+            [
+                (0, "a0 b0 c0 " + shared + " z0 y0"),
+                (1, "a1  b1\t" + shared + "\nq1"),
+                (3, "   "),
+                (4, shared),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in dedup.strip_duplicated_spans(docs, k=13).collect()}
+        assert out[0]["text"] == "a0 b0 c0 z0 y0"
+        assert (out[0]["n_tokens"], out[0]["n_removed"]) == (20, 15)
+        # mixed whitespace tokenizes like single spaces
+        assert out[1]["text"] == "a1 b1 q1"
+        # whitespace-only doc: zero tokens, nothing removed
+        assert (out[3]["text"], out[3]["n_tokens"], out[3]["n_removed"]) == ("", 0, 0)
+        # fully-duplicated doc strips to empty
+        assert (out[4]["text"], out[4]["n_removed"]) == ("", 15)
+
+    def test_min_count_threshold(self, spark):
+        gram = " ".join(f"h{i}" for i in range(13))
+        docs = spark.createDataFrame(
+            [(1, gram + " a"), (2, gram + " b"), (3, gram + " c")],
+            ["doc_id", "text"],
+        )
+        # appears 3 times; min_count=4 finds nothing
+        assert dedup.duplicated_spans(docs, k=13, min_count=4).count() == 0
+        assert dedup.duplicated_spans(docs, k=13, min_count=3).count() == 3
