@@ -4851,6 +4851,54 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: bigram LM with add-0.5 smoothing
+    trained on the doc_id%10==0 reference shard, per-document mean
+    log-prob + perplexity over the rest. Count tables broadcast; the
+    corpus side never shuffles. Oracle: full DuckDB replay."""
+    from sophox_spark.functions import lm
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    model = lm.train_bigram_lm(docs.where(F.col("doc_id") % 10 == 0))
+    return lm.perplexity(docs.where(F.col("doc_id") % 10 != 0), model)
+
+
+def _lm_perplexity_sql() -> str:
+    return """
+WITH rt AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id % 10 = 0 AND trim(text) <> ''
+),
+uni AS (
+  SELECT u.w1, count(*) AS c1 FROM rt, unnest(toks) AS u(w1) GROUP BY u.w1
+),
+bi AS (
+  SELECT toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS c12
+  FROM rt, unnest(range(0, greatest(len(toks)-1, 0))) AS t(i)
+  GROUP BY 1, 2
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uni),
+corpus AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id % 10 <> 0 AND trim(text) <> ''
+),
+cb AS (
+  SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+  FROM corpus, unnest(range(0, greatest(len(toks)-1, 0))) AS t(i)
+),
+lp AS (
+  SELECT cb.doc_id,
+         ln((coalesce(bi.c12, 0) + 0.5e0)
+            / (coalesce(uni.c1, 0) + 0.5e0 * v.V)) AS lp
+  FROM cb LEFT JOIN uni USING (w1) LEFT JOIN bi USING (w1, w2) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       avg(lp) AS avg_logprob, exp(-avg(lp)) AS perplexity
+FROM lp GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end spatial pipeline at sf0.001 — derive
     skewed geo points from the events table, PIP-join them (cell-cover
@@ -5258,6 +5306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": _q_token_stats,
         "q_substr_spans": _q_substr_spans,
         "q_substr_strip": _q_substr_strip,
+        "q_lm_perplexity": _q_lm_perplexity,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -5382,6 +5431,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_stats": _token_stats_sql(),
         "q_substr_spans": _substr_spans_sql(),
         "q_substr_strip": _substr_strip_sql(),
+        "q_lm_perplexity": _lm_perplexity_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

@@ -724,3 +724,41 @@ class TestExactSubstr:
         # appears 3 times; min_count=4 finds nothing
         assert dedup.duplicated_spans(docs, k=13, min_count=4).count() == 0
         assert dedup.duplicated_spans(docs, k=13, min_count=3).count() == 3
+
+
+class TestBigramLM:
+    def test_hand_computed_probs(self, spark):
+        import math
+
+        from sophox_spark.functions import lm
+
+        ref = spark.createDataFrame([(0, "a b a b")], ["doc_id", "text"])
+        model = lm.train_bigram_lm(ref)
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "b b"), (3, "z z"), (4, "solo"), (5, " ")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in lm.perplexity(docs, model).collect()}
+        # V=2; c(a)=c(b)=2; c(a,b)=2, c(b,a)=1
+        assert out[1]["n_bigrams"] == 1
+        assert abs(out[1]["perplexity"] - 3.0 / 2.5) < 1e-12
+        assert abs(out[2]["perplexity"] - 6.0) < 1e-12          # unseen bigram, seen w1
+        assert abs(out[3]["perplexity"] - 2.0) < 1e-12          # fully OOV: (0+.5)/(0+1)
+        assert abs(out[1]["avg_logprob"] - math.log(2.5 / 3.0)) < 1e-12
+        # <2 tokens or empty: no bigrams, absent from output
+        assert 4 not in out and 5 not in out
+
+    def test_reference_like_scores_lower(self, spark):
+        from sophox_spark.functions import lm
+
+        ref = spark.createDataFrame(
+            [(i, "the cat sat on the mat and the dog ran") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        model = lm.train_bigram_lm(ref)
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "mat the ran dog cat the")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["perplexity"] for r in lm.perplexity(docs, model).collect()}
+        assert out[1] < out[2]
