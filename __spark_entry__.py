@@ -4851,6 +4851,82 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023) over the planted-duplicate
+    embedding fixture: deterministic-seeded spherical k-means (2 Lloyd
+    iterations, replayed UNROLLED in the oracle) bounds the pairwise
+    cosine search to within-cluster; near-dup components drop to their
+    min-key representative. Assignment margins (~1e-2) and the tau
+    margin (>=0.18, measured for this fixture) dwarf cross-engine
+    float-summation noise, so the integer outputs are stable."""
+    from sophox_spark.operators import similarity
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.sql(EMB_DUP_SPARK)
+    return similarity.semantic_dedup(emb, n_clusters=8, iters=2, tau=0.8)
+
+
+def _semantic_dedup_sql() -> str:
+    assign = (
+        "SELECT pid, cluster FROM ("
+        "SELECT p.pid, c.cluster, row_number() OVER ("
+        "PARTITION BY p.pid ORDER BY list_inner_product(p.pn, c.cn) DESC, "
+        "c.cluster ASC) AS rk FROM p CROSS JOIN {cent} c) WHERE rk = 1"
+    )
+    update = """
+m{n} AS (
+  SELECT cluster, i, avg(v) AS mv FROM (
+    SELECT a{n}.cluster, generate_subscripts(p.pn, 1) AS i, unnest(p.pn) AS v
+    FROM a{n} JOIN p USING (pid))
+  GROUP BY cluster, i
+),
+mv{n} AS (SELECT cluster, list(mv ORDER BY i) AS mvec FROM m{n} GROUP BY cluster),
+c{n} AS (
+  SELECT cp.cluster,
+         CASE WHEN mv{n}.mvec IS NULL THEN cp.cn
+              ELSE list_transform(mv{n}.mvec,
+                     x -> x / greatest(sqrt(list_inner_product(mv{n}.mvec,
+                                                               mv{n}.mvec)),
+                                       1e-12)) END AS cn
+  FROM c{p} cp LEFT JOIN mv{n} USING (cluster)
+)"""
+    return f"""
+WITH RECURSIVE emb AS ({EMB_DUP_DUCK}),
+p AS (
+  SELECT pid, list_transform(embedding, x -> x / n) AS pn
+  FROM (SELECT vec_id AS pid, embedding,
+               greatest(sqrt(list_inner_product(embedding, embedding)),
+                        1e-12) AS n
+        FROM emb)
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY pid) - 1 AS cluster, pn AS cn
+  FROM (SELECT pid, pn FROM p ORDER BY pid LIMIT 8)
+),
+a1 AS ({assign.format(cent="c0")}),
+{update.format(n=1, p=0).strip()},
+a2 AS ({assign.format(cent="c1")}),
+{update.format(n=2, p=1).strip()},
+af AS ({assign.format(cent="c2")}),
+pc AS (
+  SELECT x.pid AS a, y.pid AS b
+  FROM af x JOIN af y ON x.cluster = y.cluster AND x.pid < y.pid
+  JOIN p pa ON pa.pid = x.pid JOIN p pb ON pb.pid = y.pid
+  WHERE list_inner_product(pa.pn, pb.pn) >= 0.8e0
+),
+edges AS (SELECT a AS x, b AS y FROM pc UNION SELECT b AS x, a AS y FROM pc),
+reach(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, reach.r FROM edges e JOIN reach ON reach.x = e.y),
+labels AS (SELECT x, MIN(r) AS rep FROM reach GROUP BY x)
+SELECT af.pid AS vec_id, af.cluster AS kcluster,
+       coalesce(l.rep, af.pid) AS rep,
+       coalesce(l.rep, af.pid) <> af.pid AS dropped
+FROM af LEFT JOIN labels l ON l.x = af.pid
+"""
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: bigram LM with add-0.5 smoothing
     trained on the doc_id%10==0 reference shard, per-document mean
@@ -5307,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substr_spans": _q_substr_spans,
         "q_substr_strip": _q_substr_strip,
         "q_lm_perplexity": _q_lm_perplexity,
+        "q_semantic_dedup": _q_semantic_dedup,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -5432,6 +5509,7 @@ def oracle_sql() -> dict[str, str]:
         "q_substr_spans": _substr_spans_sql(),
         "q_substr_strip": _substr_strip_sql(),
         "q_lm_perplexity": _lm_perplexity_sql(),
+        "q_semantic_dedup": _semantic_dedup_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

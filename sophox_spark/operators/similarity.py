@@ -362,3 +362,148 @@ def cosine_dup_pairs(
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("a", "b", "cosine")
     )
+
+
+def _normalized_points(df: DataFrame, key: str, vec_col: str) -> DataFrame:
+    pts = df.select(
+        F.col(key).alias("pid"), F.col(vec_col).cast("array<double>").alias("pv")
+    )
+    # norm materializes BEFORE the lambda (higher-order functions get no
+    # CSE: an inline norm would re-reduce the vector once per element)
+    return pts.select(
+        "pid", "pv", F.greatest(_norm_expr("pv"), F.lit(1e-12)).alias("_nrm")
+    ).select(
+        "pid",
+        F.transform(F.col("pv"), lambda x: x / F.col("_nrm")).alias("pn"),
+    )
+
+
+def _kmeans_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(pid, cluster): argmax dot(pn, cn), ties to the smaller cluster
+    id. The centroid side is k rows — always broadcast."""
+    dots = pts.crossJoin(F.broadcast(cent)).select(
+        "pid",
+        "cluster",
+        F.aggregate(
+            F.zip_with(F.col("pn"), F.col("cn"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("dot").desc(), F.col("cluster").asc())
+    return (
+        dots.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("pid", "cluster")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    tau: float = 0.8,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then near-duplicate-prune WITHIN each cluster — the
+    clustering bounds the pairwise search so the quadratic step runs
+    on n/k-sized partitions instead of the corpus.
+
+    Everything is DataFrame ops so the exact pipeline replays in SQL:
+    seeds are the ``n_clusters`` smallest keys' vectors (deterministic,
+    no RNG), ``iters`` spherical Lloyd updates run as
+    broadcast-assign + per-dimension mean aggregations (an empty
+    cluster keeps its previous centroid), and the final within-cluster
+    self-join keeps pairs with cosine >= ``tau``; components take the
+    min-key representative via :func:`dedup.duplicate_clusters`.
+
+    Scale shape: the centroid table is k rows (always broadcast); per
+    iteration the corpus crosses it with a scalar dot per row and one
+    (cluster, dim) aggregation — no corpus self-shuffle until the
+    within-cluster join, which is the point of clustering first.
+    Output: (key, kcluster, rep, dropped) — ``rep`` the component
+    representative, ``dropped`` true for every non-representative
+    member of a near-dup component.
+    """
+    from sophox_spark.operators import dedup as _dedup
+
+    pts = _normalized_points(df, key, vec_col).localCheckpoint()
+    wseed = Window.orderBy("pid")
+    cent = (
+        pts.orderBy("pid")
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(wseed) - 1).alias("cluster"),
+            F.col("pn").alias("cn"),
+        )
+    )
+    for _ in range(iters):
+        assign = _kmeans_assign(pts, cent)
+        members = assign.join(pts, "pid").select(
+            "cluster", F.posexplode("pn").alias("pos", "v")
+        )
+        means = (
+            members.groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("mvec")
+            )
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("mvec"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        fresh = means.select(
+            "cluster", "mvec", F.greatest(norm, F.lit(1e-12)).alias("_cn")
+        ).select(
+            "cluster",
+            F.transform(F.col("mvec"), lambda x: x / F.col("_cn")).alias("cn_new"),
+        )
+        cent = (
+            cent.join(fresh, "cluster", "left")
+            .select("cluster", F.coalesce("cn_new", "cn").alias("cn"))
+            .localCheckpoint()
+        )
+    assign = _kmeans_assign(pts, cent)
+    side = assign.join(pts, "pid")
+    a = side.select(
+        F.col("cluster"), F.col("pid").alias("a"), F.col("pn").alias("va")
+    )
+    b = side.select(
+        F.col("cluster"), F.col("pid").alias("b"), F.col("pn").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.aggregate(
+                F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .where(F.col("cos") >= F.lit(float(tau)))
+        .select("a", "b")
+    )
+    comps = _dedup.duplicate_clusters(pairs, "a", "b").select(
+        F.col("x").alias("pid"), F.col("cluster").alias("rep")
+    )
+    return (
+        assign.join(comps, "pid", "left")
+        .select(
+            F.col("pid").alias(key),
+            F.col("cluster").alias("kcluster"),
+            F.coalesce("rep", "pid").alias("rep"),
+            (F.coalesce("rep", "pid") != F.col("pid")).alias("dropped"),
+        )
+    )

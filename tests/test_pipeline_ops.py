@@ -762,3 +762,52 @@ class TestBigramLM:
         )
         out = {r["doc_id"]: r["perplexity"] for r in lm.perplexity(docs, model).collect()}
         assert out[1] < out[2]
+
+
+class TestSemanticDedup:
+    def test_planted_clusters_and_dups(self, spark):
+        import math
+
+        # two orthogonal directions; ids 0/1 seed the clusters, 10/11
+        # are near-dups of 0 (rotated by ~2deg), 20 a near-dup of 1
+        def rot(theta):
+            return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+        rows = [
+            (0, rot(0.0)),
+            (1, [0.0, 0.0, 1.0, 0.0]),
+            (10, rot(0.03)),
+            (11, rot(-0.03)),
+            (20, [0.0, 0.0, 2.0, 0.1]),  # norm != 1: normalization path
+            (30, [0.0, 0.7, 0.7, 0.0]),  # between clusters, no dup
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: r
+            for r in similarity.semantic_dedup(
+                df, n_clusters=2, iters=2, tau=0.99
+            ).collect()
+        }
+        assert len(out) == 6
+        assert out[10]["rep"] == 0 and out[10]["dropped"]
+        assert out[11]["rep"] == 0 and out[11]["dropped"]
+        assert out[20]["rep"] == 1 and out[20]["dropped"]
+        assert not out[0]["dropped"] and not out[1]["dropped"]
+        assert not out[30]["dropped"] and out[30]["rep"] == 30
+        # near-dups share their representative's k-means cluster
+        assert out[10]["kcluster"] == out[0]["kcluster"]
+        assert out[20]["kcluster"] == out[1]["kcluster"]
+
+    def test_empty_cluster_keeps_seed(self, spark):
+        # 3 clusters requested, but only 2 distinct directions: one
+        # cluster goes empty after reassignment and must not NaN out
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.01]),
+            (2, [0.0, 1.0]),
+            (3, [0.01, 0.99]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.semantic_dedup(df, n_clusters=3, iters=2, tau=0.999).collect()
+        assert len(out) == 4
+        assert all(r["rep"] is not None for r in out)
