@@ -4851,6 +4851,78 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (T=0.5) over the documents
+    table grouped by lang: deterministic md5-coin selection so the
+    oracle replays the exact subset with strpos digit arithmetic."""
+    from sophox_spark.operators import sampling
+
+    _load(spark, sf_dir, "documents")
+    return sampling.temperature_mix(
+        spark.table("documents"), group_col="lang",
+        temperature=0.5, budget_frac=0.5,
+    )
+
+
+def _temperature_mix_sql() -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) "
+        f"* {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH sizes AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+tot AS (SELECT sum(pow(CAST(n_d AS DOUBLE), 0.5e0)) AS z,
+               sum(n_d) AS n_total FROM sizes),
+rates AS (
+  SELECT lang, n_d,
+         least(1.0e0, 0.5e0 * n_total
+               * (pow(CAST(n_d AS DOUBLE), 0.5e0) / z) / n_d) AS keep_rate
+  FROM sizes CROSS JOIN tot
+),
+coin AS (
+  SELECT doc_id, lang, {digits} AS u
+  FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+)
+SELECT c.doc_id, c.lang, CAST(r.n_d AS BIGINT) AS n_d, r.keep_rate
+FROM coin c JOIN rates r USING (lang)
+WHERE c.u < r.keep_rate * 4294967296
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing at a 512-token budget over
+    the documents table — the engine runs the two-phase distributed
+    prefix sum; the oracle is the defining single-window cumsum."""
+    from sophox_spark.operators import sampling
+
+    _load(spark, sf_dir, "documents")
+    return sampling.pack_sequences(spark.table("documents"), budget=512)
+
+
+def _pack_sequences_sql() -> str:
+    return r"""
+WITH nt AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM nt
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(before / 512) AS BIGINT) AS bin,
+       CAST(before % 512 AS BIGINT) AS bin_offset
+FROM pre
+"""
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (Abbas et al. 2023) over the planted-duplicate
     embedding fixture: deterministic-seeded spherical k-means (2 Lloyd
@@ -5384,6 +5456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substr_strip": _q_substr_strip,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_semantic_dedup": _q_semantic_dedup,
+        "q_temperature_mix": _q_temperature_mix,
+        "q_pack_sequences": _q_pack_sequences,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -5510,6 +5584,8 @@ def oracle_sql() -> dict[str, str]:
         "q_substr_strip": _substr_strip_sql(),
         "q_lm_perplexity": _lm_perplexity_sql(),
         "q_semantic_dedup": _semantic_dedup_sql(),
+        "q_temperature_mix": _temperature_mix_sql(),
+        "q_pack_sequences": _pack_sequences_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

@@ -811,3 +811,87 @@ class TestSemanticDedup:
         out = similarity.semantic_dedup(df, n_clusters=3, iters=2, tau=0.999).collect()
         assert len(out) == 4
         assert all(r["rep"] is not None for r in out)
+
+
+class TestSamplingAndPacking:
+    def test_temperature_one_is_proportional(self, spark):
+        from sophox_spark.operators import sampling
+
+        rows = [(i, "en" if i < 80 else "de", "w " * 5) for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        out = sampling.temperature_mix(
+            df, temperature=1.0, budget_frac=0.4
+        ).collect()
+        # T=1: every group keeps at the same rate = budget_frac
+        assert all(abs(r["keep_rate"] - 0.4) < 1e-12 for r in out)
+
+    def test_low_temperature_boosts_tail(self, spark):
+        from sophox_spark.operators import sampling
+
+        rows = [(i, "en" if i < 90 else "de", "w") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        rates = {
+            r["lang"]: r["keep_rate"]
+            for r in sampling.temperature_mix(
+                df, temperature=0.3, budget_frac=0.3
+            ).collect()
+        }
+        assert rates["de"] > rates["en"]
+
+    def test_mix_is_deterministic(self, spark):
+        from sophox_spark.operators import sampling
+
+        rows = [(i, "en", "w") for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        a = sorted(r["doc_id"] for r in sampling.temperature_mix(df).collect())
+        b = sorted(r["doc_id"] for r in sampling.temperature_mix(df).collect())
+        assert a == b and 0 < len(a) < 200
+
+    def test_pack_hand_computed(self, spark):
+        from sophox_spark.operators import sampling
+
+        rows = [
+            (1, "a b c d e f"),        # 6 tokens: bin 0 @ 0
+            (2, "a b c d e f"),        # before 6, crosses 10: bin 0 @ 6
+            (3, "a b"),                # before 12: bin 1 @ 2
+            (4, ""),                   # before 14: 0 tokens, bin 1 @ 4
+            (5, " ".join(["t"] * 9)),  # before 14: bin 1 @ 4
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["bin"], r["bin_offset"])
+            for r in sampling.pack_sequences(df, budget=10).collect()
+        }
+        assert out == {
+            1: (6, 0, 0), 2: (6, 0, 6), 3: (2, 1, 2), 4: (0, 1, 4), 5: (9, 1, 4)
+        }
+
+    def test_pack_matches_naive_window_any_partitioning(self, spark):
+        from pyspark.sql import Window as W
+
+        from sophox_spark.operators import sampling
+
+        rows = [(i, "tok " * (1 + i % 37)) for i in range(400)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(13)
+        got = {
+            r["doc_id"]: (r["bin"], r["bin_offset"])
+            for r in sampling.pack_sequences(df, budget=100).collect()
+        }
+        n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        before = F.coalesce(
+            F.sum("n_tokens").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        naive = {
+            r["doc_id"]: (r["bin"], r["bin_offset"])
+            for r in df.select("doc_id", n_tok.alias("n_tokens"))
+            .select(
+                "doc_id",
+                F.floor(before / 100).alias("bin"),
+                (before % 100).alias("bin_offset"),
+            )
+            .collect()
+        }
+        assert got == naive
