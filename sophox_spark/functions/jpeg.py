@@ -655,7 +655,12 @@ def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
     n_units = ux * uy
     munits = np.arange(n_units, dtype=np.int64)
     bfs = (munits // ux) * a + (munits % ux) * b + c0 + ss
-    bands = coef[bfs[:, None] + np.arange(kmax + 1)]
+    if a == ux * b and b == 64:
+        # contiguous block raster (the common ns=1 layout): the band
+        # matrix is a strided VIEW of the store — no gather copy
+        bands = coef[c0:c0 + n_units * 64].reshape(n_units, 64)[:, ss:se + 1]
+    else:
+        bands = coef[bfs[:, None] + np.arange(kmax + 1)]
     nzmask = bands != 0
     # row-major nonzero ordinals: every correction group below is a
     # contiguous [o1, o2) slice of this order
@@ -671,12 +676,9 @@ def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
     # sits at column zt with exactly zi+r+1 zeros at or before it, so
     # the nz count through zt is zt - zi - r by construction.
     z_cols = np.nonzero(~nzmask)[1]
-    z_counts_l = ((kmax + 1) - nz_counts).tolist()
-    z_off_l = [0]
-    acc = 0
-    for zc in z_counts_l:
-        acc += zc
-        z_off_l.append(acc)
+    z_counts = (kmax + 1) - nz_counts
+    z_counts_l = z_counts.tolist()
+    z_off_l = np.concatenate(([0], np.cumsum(z_counts))).tolist()
 
     def flush(si_bytes, go1, go2, gstart, ins_pos, ins_bit):
         """Apply one segment's deferred correction + sign bits."""
@@ -848,16 +850,31 @@ def _assemble(frame, qt):
     for ci, c in enumerate(frame.comps):
         if c["tq"] not in qt:
             raise JpegFormatError(f"missing quant table {c['tq']}")
-        # float32 quant steps: keeps the dequant product + unzigzag
-        # gather in narrow dtype (int64 temporaries double the traffic)
-        q = qt[c["tq"]].reshape(-1)[ZIGZAG].astype(np.float32)
+        # unzigzag FIRST with np.take (the cheapest of the gather
+        # shapes), cast, then dequant against the natural-order table:
+        # multiplying int32 coefficients by a float32 q silently
+        # promotes to float64 and doubles the traffic of this stage
+        q = qt[c["tq"]].reshape(-1).astype(np.float32)
         ny, nx = c["rows"], c["cols"]
-        blocks = (
-            (frame.coef[ci].reshape(-1, 64) * q)[:, UNZIGZAG]
-            .reshape(-1, 8, 8)
+        deq = (
+            np.take(frame.coef[ci].reshape(-1, 64), UNZIGZAG, axis=1)
+            .astype(np.float32)
+            * q
         )
-        # IDCT = T^T F T as two batched matmuls
-        pix = (_T32.T @ blocks) @ _T32
+        # IDCT = T^T F T as two flat GEMMs: one (8N, 8) x (8, 8)
+        # product per side beats the (N, 8, 8) batched-matmul path ~3x
+        # (the batch loop overhead dwarfs the 8x8 flops); each
+        # transpose copy is contiguous and cheap next to that
+        tmp = (
+            np.ascontiguousarray(deq.reshape(-1, 8, 8).transpose(0, 2, 1))
+            .reshape(-1, 8)
+            @ _T32
+        )  # rows of B^T T
+        pix = (
+            np.ascontiguousarray(tmp.reshape(-1, 8, 8).transpose(0, 2, 1))
+            .reshape(-1, 8)
+            @ _T32
+        ).reshape(-1, 8, 8)  # (T^T B) T
         pix += np.float32(128.0)
         plane = (
             pix.reshape(ny, nx, 8, 8)
