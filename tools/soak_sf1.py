@@ -189,6 +189,39 @@ def main():
     print(f"decontaminate_13gram: {n_flagged} docs flagged in {dt:.1f}s",
           file=sys.stderr)
 
+    # exact-substring dedup at sf1 (round 6, third pass): the k=13
+    # window explode is the newest k-times row blowup in the repo; the
+    # replica corpus makes nearly EVERY window corpus-wide duplicated —
+    # worst case for both the hot-hash semi-join and the span merge.
+    t0 = time.perf_counter()
+    n_spans = dedup.duplicated_spans(docs, k=13).count()
+    dt = time.perf_counter() - t0
+    out["queries"]["substr_spans"] = {"rows": n_spans, "sec": round(dt, 2)}
+    print(f"substr_spans: {n_spans} spans in {dt:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    st = dedup.strip_duplicated_spans(docs, k=13).agg(
+        F.count("*").alias("n"), F.sum("n_removed").alias("removed")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    out["queries"]["substr_strip"] = {
+        "rows": int(st["n"]), "sec": round(dt, 2),
+        "tokens_removed": int(st["removed"]),
+    }
+    print(f"substr_strip: {st['n']} docs in {dt:.1f}s "
+          f"({st['removed']} tokens removed)", file=sys.stderr)
+
+    # bigram-LM perplexity at sf1: train on the 10% shard, score the
+    # rest — the broadcast count-table join shape at 45k scored docs.
+    from sophox_spark.functions import lm
+
+    t0 = time.perf_counter()
+    model = lm.train_bigram_lm(docs.where("doc_id % 10 = 0"))
+    n_scored = lm.perplexity(docs.where("doc_id % 10 <> 0"), model).count()
+    dt = time.perf_counter() - t0
+    out["queries"]["lm_perplexity"] = {"rows": n_scored, "sec": round(dt, 2)}
+    print(f"lm_perplexity: {n_scored} docs in {dt:.1f}s", file=sys.stderr)
+
     out["jvm_peak_rss_mb"] = jvm_peak_rss_mb()
     print(json.dumps(out))
 
