@@ -143,6 +143,22 @@ def main() -> None:
         jpeg_codec.decode(jenc_p)
     jpeg_prog_sec = time.perf_counter() - t0
 
+    # corpus-pipeline side metrics (round 6): exact-substring dedup and
+    # bigram-LM perplexity over the full documents table — not in
+    # `queries` so the headline total stays comparable across rounds
+    from sophox_spark.functions import lm as lm_mod
+    from sophox_spark.operators import dedup as dedup_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    dedup_mod.strip_duplicated_spans(docs, k=13).count()
+    substr_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lm_model = lm_mod.train_bigram_lm(docs.where("doc_id % 10 = 0"))
+    lm_mod.perplexity(docs.where("doc_id % 10 <> 0"), lm_model).count()
+    lm_sec = time.perf_counter() - t0
+
     joined_rows = counts["q_pip_engine"]
     pip_sec = timings["q_pip_engine"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,6 +174,8 @@ def main() -> None:
         "png_decode_mb_per_sec": round(png_mb / png_sec, 1) if png_sec else None,
         "jpeg_decode_mb_per_sec": round(jpeg_mb / jpeg_sec, 1) if jpeg_sec else None,
         "jpeg_progressive_mb_per_sec": round(jpeg_mb / jpeg_prog_sec, 1) if jpeg_prog_sec else None,
+        "substr_dedup_docs_per_sec": round(n_docs / substr_sec, 1) if substr_sec else None,
+        "lm_perplexity_docs_per_sec": round(n_docs / lm_sec, 1) if lm_sec else None,
         "cpus": CPUS,
     }
     # attach the N->4N scaling evidence (tools/bench_scaling.py):

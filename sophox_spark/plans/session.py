@@ -32,6 +32,16 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # one BLAS thread per python WORKER: parallelism comes from the N
+    # concurrent workers, and OpenBLAS's per-gemm thread pool on top of
+    # that thrashes (spin-waiting threads from 32 processes serialized
+    # the mapInPandas JPEG stage ~12x in the sf1 soak). Set before the
+    # JVM launches so worker daemons inherit it at numpy-init time; the
+    # DRIVER's numpy (already initialized) keeps its threaded BLAS,
+    # which is the right split — driver-side codec microbenches are
+    # single-process, workers are many-per-host.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     # under spark-submit (SPARK_GRAFT_INHERIT_MASTER=1) the master and
     # driver memory are launch-time properties owned by the submit
     # command; overriding them here would silently fork the deployment
