@@ -4851,6 +4851,79 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+BPE_DOCS = """
+WITH d AS (SELECT DISTINCT doc_id % 16 AS i FROM documents)
+SELECT i AS doc_id,
+  trim(repeat('low ', 5) || repeat('lower ', 2)
+       || repeat('newest ', 6) || repeat('widest ', 3)) AS text
+FROM d
+"""
+
+# hand-derived merge sequence for the classic Sennrich vocabulary
+# (low:5 lower:2 newest:6 widest:3), ties (count desc, left, right);
+# corpus counts scale by the 16 identical docs without reordering.
+# Independently verified by tests/test_functions.py::TestBpe against
+# a from-scratch reference implementation.
+BPE_EXPECTED = [
+    (0, "e", "s", 9), (1, "es", "t", 9), (2, "l", "o", 7),
+    (3, "lo", "w", 7), (4, "e", "w", 6), (5, "ew", "est", 6),
+]
+BPE_SEGMENTED = " ".join(
+    ["low"] * 5 + ["low", "e", "r"] * 2
+    + ["n", "ewest"] * 6 + ["w", "i", "d", "est"] * 3
+)
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016): the corpus
+    collapses once to a vocab table; each merge is one pair-count agg
+    + a bounded argmax + a symbol-array fold. Oracle: the closed-form
+    merge sequence of the classic fixture, counts scaled by doc
+    multiplicity."""
+    from sophox_spark.functions import bpe
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(BPE_DOCS)
+    merges = bpe.train_bpe(docs, n_merges=6)
+    return bpe.merges_df(spark, merges)
+
+
+def _bpe_merges_sql() -> str:
+    vals = ", ".join(f"({r}, '{l}', '{x}', {c})" for r, l, x, c in BPE_EXPECTED)
+    return f"""
+WITH d AS (SELECT count(DISTINCT doc_id % 16) AS n FROM documents)
+SELECT CAST(v."rank" AS INT) AS "rank", v."left", v."right",
+       CAST(v.c * d.n AS BIGINT) AS pair_count
+FROM d, (VALUES {vals}) AS v("rank", "left", "right", c)
+"""
+
+
+def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table (Arrow-batched, per-word memoized)
+    — train + segment end-to-end on the fixture corpus."""
+    from sophox_spark.functions import bpe
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(BPE_DOCS)
+    merges = bpe.train_bpe(docs, n_merges=6)
+    seg = bpe.apply_bpe(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.concat_ws(" ", "pieces").alias("segmented"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+    )
+
+
+def _bpe_segment_sql() -> str:
+    n = len(BPE_SEGMENTED.split())
+    return f"""
+WITH d AS (SELECT DISTINCT doc_id % 16 AS i FROM documents)
+SELECT i AS doc_id, '{BPE_SEGMENTED}' AS segmented,
+       CAST({n} AS INT) AS n_pieces
+FROM d
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing (T=0.5) over the documents
     table grouped by lang: deterministic md5-coin selection so the
@@ -5458,6 +5531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": _q_semantic_dedup,
         "q_temperature_mix": _q_temperature_mix,
         "q_pack_sequences": _q_pack_sequences,
+        "q_bpe_merges": _q_bpe_merges,
+        "q_bpe_segment": _q_bpe_segment,
         # OSM geometry assembly + incremental views
         "q_osm_way_locations": _q_way_locations,
         "q_way_assembly": _q_way_assembly,
@@ -5586,6 +5661,8 @@ def oracle_sql() -> dict[str, str]:
         "q_semantic_dedup": _semantic_dedup_sql(),
         "q_temperature_mix": _temperature_mix_sql(),
         "q_pack_sequences": _pack_sequences_sql(),
+        "q_bpe_merges": _bpe_merges_sql(),
+        "q_bpe_segment": _bpe_segment_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

@@ -602,6 +602,7 @@ def strip_duplicated_spans(
     text_col: str = "text",
     k: int = 13,
     min_count: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Remove every duplicated span found by :func:`duplicated_spans`
     from the document text (the paper's ExactSubstr dedup action).
@@ -611,10 +612,14 @@ def strip_duplicated_spans(
     through untouched (null span array). Reconstruction keeps tokens
     whose index falls in no span and rejoins with single spaces, so
     the output text is whitespace-normalized on both the engine and
-    oracle sides. Output: (key, text, n_tokens, n_removed).
+    oracle sides. Pass a precomputed ``spans`` frame (the output of
+    :func:`duplicated_spans`, possibly persisted) to avoid recomputing
+    the window-hash pipeline when both views are needed.
+    Output: (key, text, n_tokens, n_removed).
     """
     spans = (
-        duplicated_spans(df, key, text_col, k, min_count)
+        (duplicated_spans(df, key, text_col, k, min_count)
+         if spans is None else spans)
         .groupBy(key)
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_spans")

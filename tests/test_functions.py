@@ -420,3 +420,90 @@ def test_pretoken_count_hand_computed(spark):
     }
     for i, want in enumerate(cases.values()):
         assert out[i] == want, (i, list(cases)[i], out[i], want)
+
+
+class TestBpe:
+    def test_sennrich_classic_merges(self, spark):
+        from sophox_spark.functions import bpe
+
+        rows = []
+        for i, (w, c) in enumerate(
+            [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        ):
+            rows.append((i, (w + " ") * c))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe.train_bpe(df, n_merges=6)
+        # hand-derived: ties break (count desc, left asc, right asc)
+        assert merges == [
+            (0, "e", "s", 9),
+            (1, "es", "t", 9),
+            (2, "l", "o", 7),
+            (3, "lo", "w", 7),
+            (4, "e", "w", 6),
+            (5, "ew", "est", 6),
+        ]
+        seg = {
+            r["doc_id"]: r["pieces"]
+            for r in bpe.apply_bpe(df, merges).collect()
+        }
+        assert seg[0] == ["low"] * 5
+        assert seg[1] == ["low", "e", "r"] * 2
+        assert seg[2] == ["n", "ewest"] * 6  # merge 5 (ew,est) applies too
+        assert seg[3] == ["w", "i", "d", "est"] * 3
+
+    def test_matches_reference_bpe(self, spark):
+        # independent reference implementation (Sennrich get_stats /
+        # merge_vocab semantics, deterministic tie-break) over a
+        # less-structured corpus
+        import collections
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the dog and the fox and the quick cat",
+            "lazy lazy dogs dogs dogs foxes",
+        ]
+
+        def ref_bpe(texts, n):
+            vocab = collections.Counter()
+            for t in texts:
+                for w in t.lower().split():
+                    vocab[tuple(w)] += 1
+            out = []
+            for rank in range(n):
+                stats = collections.Counter()
+                for syms, c in vocab.items():
+                    for i in range(len(syms) - 1):
+                        stats[(syms[i], syms[i + 1])] += c
+                if not stats:
+                    break
+                best = max(stats.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0][0]], ))
+                # deterministic: count desc, left asc, right asc
+                bc = max(stats.values())
+                cands = sorted(k for k, v in stats.items() if v == bc)
+                left, right = cands[0]
+                out.append((rank, left, right, bc))
+                new = {}
+                for syms, c in vocab.items():
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    new[tuple(merged)] = new.get(tuple(merged), 0) + c
+                vocab = collections.Counter(new)
+            return out
+
+        from sophox_spark.functions import bpe
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = bpe.train_bpe(df, n_merges=10)
+        assert got == ref_bpe(texts, 10)
