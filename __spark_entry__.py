@@ -4851,6 +4851,104 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+def _q_quality_clf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter: hashed-feature logistic regression
+    (lang='en' as the positive class) trained by 2 unrolled full-batch
+    GD steps — iterative ML as pure DataFrame algebra; the oracle
+    replays both iterations in SQL."""
+    from sophox_spark.functions import quality_clf
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    labeled = docs.select(
+        "doc_id", "text",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+    )
+    return quality_clf.train_quality_clf(labeled, dim=64, iters=2, lr=1.0)
+
+
+def _q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the doc_id%7==0 shard under the learned weights — the
+    broadcast-weights scoring path (corpus side never shuffles beyond
+    its per-doc aggregation)."""
+    from sophox_spark.functions import quality_clf
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    labeled = docs.select(
+        "doc_id", "text",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+    )
+    w = quality_clf.train_quality_clf(labeled, dim=64, iters=2, lr=1.0)
+    return quality_clf.score_quality(
+        docs.where(F.col("doc_id") % 7 == 0), w, dim=64
+    )
+
+
+def _clf_duck_core() -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) "
+        f"* {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    it = """
+m{n} AS (
+  SELECT fx.doc_id, fx.y, sum(fx.x * coalesce(w.w, 0.0e0)) AS m
+  FROM fx LEFT JOIN w{p} w USING (f) GROUP BY fx.doc_id, fx.y
+),
+r{n} AS (
+  SELECT doc_id, 1.0e0 / (1.0e0 + exp(-m)) - y AS r FROM m{n}
+),
+g{n} AS (
+  SELECT fx.f, sum(fx.x * r{n}.r) / (SELECT nd FROM nd) AS g
+  FROM fx JOIN r{n} USING (doc_id) GROUP BY fx.f
+),
+w{n} AS (
+  SELECT w.f, w.w - 1.0e0 * coalesce(g{n}.g, 0.0e0) AS w
+  FROM w{p} w LEFT JOIN g{n} USING (f)
+)"""
+    return f"""
+labeled AS (
+  SELECT doc_id, lower(trim(text)) AS t,
+         CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM documents
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM labeled),
+toks AS (
+  SELECT doc_id, y, u.tok AS tok
+  FROM labeled, unnest(string_split_regex(t, '\\s+')) AS u(tok)
+  WHERE length(u.tok) > 0
+),
+fc AS (
+  SELECT doc_id, y, ({digits}) % 64 AS f, count(*) AS c
+  FROM toks GROUP BY doc_id, y, 3
+),
+ft AS (SELECT doc_id, sum(c) AS tt FROM fc GROUP BY doc_id),
+fx AS (
+  SELECT fc.doc_id, fc.y, fc.f, fc.c / ft.tt AS x
+  FROM fc JOIN ft USING (doc_id)
+),
+w0 AS (SELECT CAST(t.f AS BIGINT) AS f, 0.0e0 AS w FROM range(64) t(f)),
+{it.format(n=1, p=0).strip()},
+{it.format(n=2, p=1).strip()}
+"""
+
+
+def _quality_clf_weights_sql() -> str:
+    return f"WITH {_clf_duck_core()} SELECT f, w FROM w2"
+
+
+def _quality_clf_scores_sql() -> str:
+    return f"""
+WITH {_clf_duck_core()},
+sfx AS (SELECT doc_id, f, x FROM fx WHERE doc_id % 7 = 0)
+SELECT s.doc_id, sum(s.x * coalesce(w2.w, 0.0e0)) AS margin,
+       1.0e0 / (1.0e0 + exp(-sum(s.x * coalesce(w2.w, 0.0e0)))) AS p_good
+FROM sfx s LEFT JOIN w2 USING (f)
+GROUP BY s.doc_id
+"""
+
+
 BPE_DOCS = """
 WITH d AS (SELECT DISTINCT doc_id % 16 AS i FROM documents)
 SELECT i AS doc_id,
@@ -5531,6 +5629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_segment": _q_bpe_segment,
+        "q_quality_clf_weights": _q_quality_clf_weights,
+        "q_quality_clf_scores": _q_quality_clf_scores,
         # rows-only engine showcases with oracle-green siblings: parked
         # just past the 50-query driver window (their hash-exact
         # siblings q_regions_geojson_rects / q_ann recall pytest cover
@@ -5667,6 +5767,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_sequences": _pack_sequences_sql(),
         "q_bpe_merges": _bpe_merges_sql(),
         "q_bpe_segment": _bpe_segment_sql(),
+        "q_quality_clf_weights": _quality_clf_weights_sql(),
+        "q_quality_clf_scores": _quality_clf_scores_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

@@ -507,3 +507,58 @@ class TestBpe:
         )
         got = bpe.train_bpe(df, n_merges=10)
         assert got == ref_bpe(texts, 10)
+
+
+class TestQualityClf:
+    @staticmethod
+    def _bucket(tok, dim=64):
+        import hashlib
+
+        h = hashlib.md5(tok.encode()).hexdigest()
+        u = 0
+        for j in range(8):
+            u += int(h[j], 16) * 16 ** (7 - j)
+        return u % dim
+
+    def test_hand_computed_two_steps(self, spark):
+        import math
+
+        from sophox_spark.functions import quality_clf
+
+        fa, fb = self._bucket("aaa"), self._bucket("bbb")
+        assert fa != fb
+        df = spark.createDataFrame(
+            [(1, "aaa", 1.0), (2, "bbb", 0.0)],
+            "doc_id long, text string, label double",
+        )
+        w = {
+            r["f"]: r["w"]
+            for r in quality_clf.train_quality_clf(df, iters=2).collect()
+        }
+        # step 1: margins 0 -> sigmoid .5; grads -(1-.5)/2 and +.5/2
+        wa1, wb1 = 0.25, -0.25
+        # step 2
+        ra = 1.0 / (1.0 + math.exp(-wa1)) - 1.0
+        rb = 1.0 / (1.0 + math.exp(-wb1)) - 0.0
+        wa2 = wa1 - ra / 2
+        wb2 = wb1 - rb / 2
+        assert abs(w[fa] - wa2) < 1e-12
+        assert abs(w[fb] - wb2) < 1e-12
+        assert sum(1 for v in w.values() if v == 0.0) == 62
+
+    def test_separates_vocabularies(self, spark):
+        from sophox_spark.functions import quality_clf
+
+        rows = []
+        for i in range(20):
+            rows.append((i, "good clean prose with substance", 1.0))
+            rows.append((100 + i, "spam junk noise garbage clutter", 0.0))
+        df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+        w = quality_clf.train_quality_clf(df, iters=5, lr=4.0)
+        scores = {
+            r["doc_id"]: r["p_good"]
+            for r in quality_clf.score_quality(df, w).collect()
+        }
+        assert min(scores[i] for i in range(20)) > max(
+            scores[100 + i] for i in range(20)
+        )
