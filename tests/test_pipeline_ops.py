@@ -895,3 +895,106 @@ class TestSamplingAndPacking:
             .collect()
         }
         assert got == naive
+
+
+class TestRandomizedReferenceEquivalence:
+    """Seeded random corpora vs independent pure-Python references —
+    the operator-level analog of the byte-golden strategy."""
+
+    @staticmethod
+    def _corpus(seed, n_docs=40, vocab=12, max_len=60):
+        import random
+
+        rng = random.Random(seed)
+        docs = []
+        for i in range(n_docs):
+            n = rng.randrange(0, max_len)
+            docs.append((i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(n))))
+        return docs
+
+    def test_substring_dedup_matches_reference(self, spark):
+        k = 5
+        for seed in (1, 2, 3):
+            docs = self._corpus(seed)
+            # pure-python reference: window multiset -> duplicated ->
+            # per-doc interval union -> strip
+            wins = {}
+            toks = {i: t.split() for i, t in docs if t.strip()}
+            toks.update({i: [] for i, t in docs if not t.strip()})
+            for i, ts in toks.items():
+                for p in range(len(ts) - k + 1):
+                    wins.setdefault(tuple(ts[p:p + k]), []).append((i, p))
+            dup = {w: occ for w, occ in wins.items() if len(occ) >= 2}
+            spans = {}
+            for occ in dup.values():
+                for i, p in occ:
+                    spans.setdefault(i, []).append((p, p + k))
+            ref_spans, ref_strip = {}, {}
+            for i, ts in toks.items():
+                merged = []
+                for s, e in sorted(spans.get(i, [])):
+                    if merged and s <= merged[-1][1]:
+                        merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                    else:
+                        merged.append((s, e))
+                ref_spans[i] = merged
+                covered = set()
+                for s, e in merged:
+                    covered.update(range(s, e))
+                kept = [t for j, t in enumerate(ts) if j not in covered]
+                ref_strip[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got_spans = {}
+            for r in dedup.duplicated_spans(df, k=k).collect():
+                got_spans.setdefault(r["doc_id"], []).append(
+                    (r["span_start"], r["span_end"])
+                )
+            assert {i: sorted(v) for i, v in got_spans.items()} == {
+                i: v for i, v in ref_spans.items() if v
+            }, f"seed {seed}"
+            got_strip = {
+                r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+                for r in dedup.strip_duplicated_spans(df, k=k).collect()
+            }
+            assert got_strip == ref_strip, f"seed {seed}"
+
+    def test_lm_perplexity_matches_reference(self, spark):
+        import math
+
+        for seed in (11, 12):
+            docs = self._corpus(seed, n_docs=30, vocab=8)
+            ref_docs = [d for d in docs if d[0] % 3 == 0]
+            score_docs = [d for d in docs if d[0] % 3 != 0]
+            uni, bi = {}, {}
+            for _, t in ref_docs:
+                ts = t.lower().split()
+                for w in ts:
+                    uni[w] = uni.get(w, 0) + 1
+                for a, b in zip(ts, ts[1:]):
+                    bi[(a, b)] = bi.get((a, b), 0) + 1
+            V = len(uni)
+            expected = {}
+            for i, t in score_docs:
+                ts = t.lower().split()
+                if len(ts) < 2:
+                    continue
+                lps = [
+                    math.log(
+                        (bi.get((a, b), 0) + 0.5) / (uni.get(a, 0) + 0.5 * V)
+                    )
+                    for a, b in zip(ts, ts[1:])
+                ]
+                avg = sum(lps) / len(lps)
+                expected[i] = (len(lps), avg)
+            from sophox_spark.functions import lm
+
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            model = lm.train_bigram_lm(df.where("doc_id % 3 = 0"))
+            got = {
+                r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+                for r in lm.perplexity(df.where("doc_id % 3 != 0"), model).collect()
+            }
+            assert set(got) == set(expected), f"seed {seed}"
+            for i in expected:
+                assert got[i][0] == expected[i][0]
+                assert abs(got[i][1] - expected[i][1]) < 1e-9, f"seed {seed} doc {i}"
