@@ -4851,6 +4851,42 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk=32, overlap=8) over
+    the real documents table — the RAG/embedding-pipeline splitter;
+    zero shuffle, one explode. Oracle: full DuckDB replay."""
+    from sophox_spark.operators import sampling
+
+    _load(spark, sf_dir, "documents")
+    return sampling.chunk_documents(
+        spark.table("documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def _chunk_documents_sql() -> str:
+    return r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+nn AS (
+  SELECT doc_id, toks,
+         CASE WHEN array_to_string(toks, '') = '' THEN 0
+              ELSE len(toks) END AS n
+  FROM toked
+)
+SELECT doc_id,
+       CAST(t.s / 24 AS BIGINT) AS chunk_id,
+       CAST(t.s AS BIGINT) AS tok_start,
+       CAST(least(t.s + 32, n) AS BIGINT) AS tok_end,
+       array_to_string(toks[t.s + 1:least(t.s + 32, n)], ' ') AS chunk
+FROM nn, unnest(range(0,
+       CAST(floor((greatest(n - 8, 1) - 1) / 24) AS BIGINT) * 24 + 1,
+       24)) AS t(s)
+WHERE n > 0
+"""
+
+
 def _q_quality_clf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality filter: hashed-feature logistic regression
     (lang='en' as the positive class) trained by 2 unrolled full-batch
@@ -5628,6 +5664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_segment": _q_bpe_segment,
         "q_quality_clf_weights": _q_quality_clf_weights,
         "q_quality_clf_scores": _q_quality_clf_scores,
+        "q_chunk_documents": _q_chunk_documents,
         # rows-only engine showcases with oracle-green siblings: parked
         # just past the 50-query driver window (their hash-exact
         # siblings q_regions_geojson_rects / q_vector_tiles and the
@@ -5770,6 +5807,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_segment": _bpe_segment_sql(),
         "q_quality_clf_weights": _quality_clf_weights_sql(),
         "q_quality_clf_scores": _quality_clf_scores_sql(),
+        "q_chunk_documents": _chunk_documents_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

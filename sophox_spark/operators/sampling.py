@@ -156,3 +156,60 @@ def pack_sequences(
             (before % F.lit(budget)).alias("bin_offset"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    standard chunker in front of embedding / RAG / long-context
+    training pipelines. Chunks start every ``chunk_tokens - overlap``
+    tokens; the last chunk may be short; empty documents yield no
+    chunks. Pure array expressions (one explode, zero Python, zero
+    shuffle — chunking is embarrassingly row-parallel).
+
+    Output: (key, chunk_id, tok_start, tok_end, chunk) with token
+    offsets [tok_start, tok_end) and the space-rejoined chunk text.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(key), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.when(F.array_join(toks, "") == "", F.lit(0)).otherwise(F.size(toks))
+    # chunk starts: 0, stride, 2*stride, ... while start < n - overlap
+    # (a start inside the previous chunk's tail would yield a chunk
+    # fully contained in it — the standard no-redundant-tail rule)
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0),
+            F.floor((F.greatest(n - F.lit(overlap), F.lit(1)) - 1) / F.lit(stride))
+            .cast("int") * F.lit(stride),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("tok_start"),
+            F.least(s + F.lit(chunk_tokens), n).alias("tok_end"),
+            F.array_join(
+                F.slice(toks, s + 1, F.least(F.lit(chunk_tokens), n - s)), " "
+            ).alias("chunk"),
+        ),
+    )
+    out = toked.select(F.col(key), F.posexplode(chunks).alias("chunk_id", "c"))
+    return out.select(
+        key,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.tok_start").cast("long").alias("tok_start"),
+        F.col("c.tok_end").cast("long").alias("tok_end"),
+        F.col("c.chunk").alias("chunk"),
+    )

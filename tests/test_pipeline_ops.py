@@ -998,3 +998,64 @@ class TestRandomizedReferenceEquivalence:
             for i in expected:
                 assert got[i][0] == expected[i][0]
                 assert abs(got[i][1] - expected[i][1]) < 1e-9, f"seed {seed} doc {i}"
+
+
+class TestChunking:
+    def test_hand_computed_chunks(self, spark):
+        from sophox_spark.operators import sampling
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"t{i}" for i in range(10))),  # 2 chunks
+                (2, "a b c"),                                # 1 short chunk
+                (3, ""),                                     # none
+                (4, " ".join(f"u{i}" for i in range(7))),   # boundary: n-overlap=5 -> 1 chunk? stride=4, last=4
+            ],
+            ["doc_id", "text"],
+        )
+        out = {}
+        for r in sampling.chunk_documents(
+            docs, chunk_tokens=6, overlap=2
+        ).collect():
+            out.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["tok_start"], r["tok_end"], r["chunk"])
+            )
+        # doc1: starts while start < n-overlap=8 -> 0, 4 (a start at 8
+        # would be fully inside [4,10) — the no-redundant-tail rule)
+        assert [c[:3] for c in sorted(out[1])] == [(0, 0, 6), (1, 4, 10)]
+        assert sorted(out[1])[1][3] == "t4 t5 t6 t7 t8 t9"
+        assert out[2] == [(0, 0, 3, "a b c")]
+        assert 3 not in out
+        # doc4: n=7, overlap=2 -> starts while start < 5: 0, 4
+        assert [c[:3] for c in sorted(out[4])] == [(0, 0, 6), (1, 4, 7)]
+
+    def test_no_redundant_tail(self, spark):
+        from sophox_spark.operators import sampling
+
+        # n=120 < chunk=128: exactly one chunk, no tail fully inside it
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(120)))], ["doc_id", "text"]
+        )
+        out = sampling.chunk_documents(docs, chunk_tokens=128, overlap=16).collect()
+        assert len(out) == 1 and out[0]["tok_end"] == 120
+
+    def test_coverage_and_overlap_invariants(self, spark):
+        from sophox_spark.operators import sampling
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(i * 7 % 97))) for i in range(1, 40)],
+            ["doc_id", "text"],
+        )
+        rows = sampling.chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["doc_id"], []).append(r)
+        for i, chunks in per.items():
+            n = (i * 7) % 97
+            chunks.sort(key=lambda r: r["chunk_id"])
+            # full coverage, correct overlap, ends at n
+            assert chunks[0]["tok_start"] == 0
+            assert chunks[-1]["tok_end"] == n
+            for a, b in zip(chunks, chunks[1:]):
+                assert b["tok_start"] == a["tok_start"] + 12
+                assert b["tok_start"] < a["tok_end"]  # overlapping
