@@ -4851,6 +4851,88 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+# mixed-script fixture: per-script letter counts are closed-form in i
+# and pairwise-distinct by construction (latin 4(i%5+1), cyrillic
+# 3(i%4), greek 2[i%6=0], cjk (i%7)[i%4=0] — ranges never collide), so
+# the dominant-script argmax needs no tie-break in the oracle
+SCRIPT_DOCS = (
+    "WITH d AS (SELECT DISTINCT doc_id % 32 AS i FROM documents) "
+    "SELECT i AS doc_id, "
+    "repeat('word ', i % 5 + 1) "
+    "|| repeat('абв ', i % 4) "
+    "|| CASE WHEN i % 6 = 0 THEN 'αβ ' ELSE '' END "
+    "|| CASE WHEN i % 4 = 0 THEN repeat('你 ', i % 7) ELSE '' END "
+    "AS text FROM d"
+)
+
+
+def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script signals (the crawl-hygiene companion to lang_id:
+    a lang='en' doc in Cyrillic script flags mislabeling): per-script
+    letter counts via portable length-after-removal regex, argmax
+    dominant script."""
+    from sophox_spark.functions import textstats
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.sql(SCRIPT_DOCS)
+    counts = textstats.script_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[counts[n].alias(n) for n in ("latin", "cyrillic", "greek", "arabic", "cjk")],
+        textstats.dominant_script(F.col("text")).alias("dominant"),
+    )
+
+
+def _script_detect_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT doc_id % 32 AS i FROM documents),
+c AS (
+  SELECT i AS doc_id,
+         CAST(4 * (i % 5 + 1) AS BIGINT) AS latin,
+         CAST(3 * (i % 4) AS BIGINT) AS cyrillic,
+         CAST(CASE WHEN i % 6 = 0 THEN 2 ELSE 0 END AS BIGINT) AS greek,
+         CAST(0 AS BIGINT) AS arabic,
+         CAST(CASE WHEN i % 4 = 0 THEN i % 7 ELSE 0 END AS BIGINT) AS cjk
+  FROM d
+)
+SELECT doc_id, latin, cyrillic, greek, arabic, cjk,
+       CASE WHEN greatest(latin, cyrillic, greek, arabic, cjk) = 0 THEN 'none'
+            WHEN latin = greatest(latin, cyrillic, greek, arabic, cjk) THEN 'latin'
+            WHEN cyrillic = greatest(latin, cyrillic, greek, arabic, cjk) THEN 'cyrillic'
+            WHEN greek = greatest(latin, cyrillic, greek, arabic, cjk) THEN 'greek'
+            WHEN arabic = greatest(latin, cyrillic, greek, arabic, cjk) THEN 'arabic'
+            ELSE 'cjk' END AS dominant
+FROM c
+"""
+
+
+def _q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 97-sample by md5-coin order — rerun-stable
+    eval-set carving; Spark executes it as a global top-k (per-
+    partition k + merge), never a full sort."""
+    from sophox_spark.operators import sampling
+
+    _load(spark, sf_dir, "documents")
+    return sampling.uniform_sample(
+        spark.table("documents"), k=97
+    ).select("doc_id", "lang")
+
+
+def _uniform_sample_sql() -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) "
+        f"* {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang, {digits} AS u
+  FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+)
+SELECT doc_id, lang FROM u ORDER BY u, doc_id LIMIT 97
+"""
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (chunk=32, overlap=8) over
     the real documents table — the RAG/embedding-pipeline splitter;
@@ -5665,6 +5747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_clf_weights": _q_quality_clf_weights,
         "q_quality_clf_scores": _q_quality_clf_scores,
         "q_chunk_documents": _q_chunk_documents,
+        "q_script_detect": _q_script_detect,
+        "q_uniform_sample": _q_uniform_sample,
         # rows-only engine showcases with oracle-green siblings: parked
         # just past the 50-query driver window (their hash-exact
         # siblings q_regions_geojson_rects / q_vector_tiles and the
@@ -5808,6 +5892,8 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_clf_weights": _quality_clf_weights_sql(),
         "q_quality_clf_scores": _quality_clf_scores_sql(),
         "q_chunk_documents": _chunk_documents_sql(),
+        "q_script_detect": _script_detect_sql(),
+        "q_uniform_sample": _uniform_sample_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),

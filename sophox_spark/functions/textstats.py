@@ -359,3 +359,45 @@ def pretoken_count(text: Column) -> Column:
     split WITHIN a pre-token, so this lower-bounds and tightly tracks
     the true BPE count). Pure JVM regexp_count — no Python, no UDF."""
     return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE)).cast("long")
+
+
+# Unicode script ranges used for crawl-corpus script detection. Kept to
+# BMP blocks expressible as contiguous codepoint ranges so the same
+# predicate compiles to a regexp count in Spark AND DuckDB.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\\u00C0-\\u024F",
+    "cyrillic": "\\u0400-\\u04FF",
+    "greek": "\\u0370-\\u03FF",
+    "arabic": "\\u0600-\\u06FF",
+    "cjk": "\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script letter counts: length minus length-after-removal —
+    the same subtraction trick as occurrence_count, fully portable."""
+    return {
+        name: (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(text: Column) -> Column:
+    """argmax script by letter count; 'none' when no script letters.
+    Deterministic tie-break: reversed iteration with strict > keeps
+    the first-processed candidate, i.e. ties resolve to the LAST
+    entry in SCRIPT_RANGES declaration order. The standard crawl
+    signal next to lang_id: a 'lang=en' doc in Cyrillic script is a
+    mislabeling red flag."""
+    counts = script_counts(text)
+    best_name = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name in reversed(list(counts)):
+        c = counts[name]
+        better = c > best
+        best_name = F.when(better, F.lit(name)).otherwise(best_name)
+        best = F.when(better, c).otherwise(best)
+    return best_name

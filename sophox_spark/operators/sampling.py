@@ -213,3 +213,14 @@ def chunk_documents(
         F.col("c.tok_end").cast("long").alias("tok_end"),
         F.col("c.chunk").alias("chunk"),
     )
+
+
+def uniform_sample(
+    df: DataFrame, k: int = 100, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic uniform k-sample: order by the md5 coin of the
+    key (ties by key) and take k — the rerun-stable analog of
+    reservoir sampling for eval-set carving. A global top-k, not a
+    global sort: Spark's TakeOrderedAndProject keeps k rows per
+    partition then merges, so no full-corpus shuffle."""
+    return df.orderBy(md5_uniform(F.col(key)).asc(), F.col(key).asc()).limit(k)

@@ -1059,3 +1059,47 @@ class TestChunking:
             for a, b in zip(chunks, chunks[1:]):
                 assert b["tok_start"] == a["tok_start"] + 12
                 assert b["tok_start"] < a["tok_end"]  # overlapping
+
+
+class TestScriptAndSample:
+    def test_script_counts_and_dominant(self, spark):
+        from sophox_spark.functions import textstats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "hello world"),
+                (2, "привет мир hello"),      # cyrillic 9 > latin 5
+                (3, "你好 世界"),               # cjk only
+                (4, "123 .,!?"),               # no script letters
+                (5, "καλημέρα"),               # greek
+            ],
+            ["doc_id", "text"],
+        )
+        counts = textstats.script_counts(F.col("text"))
+        out = {
+            r["doc_id"]: r
+            for r in docs.select(
+                "doc_id",
+                counts["latin"].alias("latin"),
+                counts["cyrillic"].alias("cyr"),
+                counts["cjk"].alias("cjk"),
+                textstats.dominant_script(F.col("text")).alias("dom"),
+            ).collect()
+        }
+        assert (out[1]["latin"], out[1]["dom"]) == (10, "latin")
+        assert out[2]["cyr"] == 9 and out[2]["dom"] == "cyrillic"
+        assert out[3]["cjk"] == 4 and out[3]["dom"] == "cjk"
+        assert out[4]["dom"] == "none"
+        assert out[5]["dom"] == "greek"
+
+    def test_uniform_sample_deterministic_and_uniform(self, spark):
+        from sophox_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(1000)], ["doc_id", "grp"]
+        )
+        a = sorted(r["doc_id"] for r in sampling.uniform_sample(df, k=100).collect())
+        b = sorted(r["doc_id"] for r in sampling.uniform_sample(df, k=100).collect())
+        assert a == b and len(a) == 100
+        # roughly uniform across the key range (md5 coin, not head-of-table)
+        assert sum(1 for x in a if x < 500) in range(30, 71)
