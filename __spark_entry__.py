@@ -4851,6 +4851,114 @@ FROM ntok n LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composed pipeline (the stages are not just
+    individually correct — they CHAIN): exact-substring strip (k=13)
+    over the raw corpus → drop emptied docs → bigram-LM perplexity on
+    the cleaned text (trained on the doc_id%10==0 shard of the cleaned
+    corpus) → keep docs with avg_logprob > -7.5 → greedy sequence
+    packing of the survivors at a 256-token budget. Output carries the
+    per-doc evidence from every stage. Oracle: the same four stages
+    composed as CTEs in DuckDB."""
+    from sophox_spark.functions import lm
+    from sophox_spark.operators import dedup, sampling
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cleaned = dedup.strip_duplicated_spans(docs, k=13).where(
+        F.size(F.split(F.col("text"), " ")) > 0
+    ).where(F.col("text") != "")
+    model = lm.train_bigram_lm(cleaned.where(F.col("doc_id") % 10 == 0))
+    scored = lm.perplexity(cleaned.where(F.col("doc_id") % 10 != 0), model)
+    kept = (
+        cleaned.join(scored, "doc_id")
+        .where(F.col("avg_logprob") > -7.5)
+        .select("doc_id", "text", "avg_logprob")
+    )
+    packed = sampling.pack_sequences(kept, budget=256)
+    return (
+        packed.join(kept.select("doc_id", "avg_logprob"), "doc_id")
+        .select("doc_id", "n_tokens", "bin", "bin_offset", "avg_logprob")
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    return f"""
+WITH {_SUBSTR_WIN_DUCK},
+tokpos AS (
+  SELECT doc_id, t.i AS i, toks[t.i+1] AS tok
+  FROM toked, unnest(range(0, CASE WHEN array_to_string(toks, '') = ''
+                                   THEN 0 ELSE len(toks) END)) AS t(i)
+),
+keptt AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM tokpos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i >= s.span_start AND p.i < s.span_end
+  )
+),
+cleaned AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS text
+  FROM keptt GROUP BY doc_id
+  HAVING array_to_string(list(tok ORDER BY i), ' ') <> ''
+),
+rt AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ltoks
+  FROM cleaned WHERE doc_id % 10 = 0 AND trim(text) <> ''
+),
+uni AS (
+  SELECT u.w1, count(*) AS c1 FROM rt, unnest(ltoks) AS u(w1) GROUP BY u.w1
+),
+bi AS (
+  SELECT ltoks[i+1] AS w1, ltoks[i+2] AS w2, count(*) AS c12
+  FROM rt, unnest(range(0, greatest(len(ltoks)-1, 0))) AS t(i)
+  GROUP BY 1, 2
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uni),
+corpus AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ltoks
+  FROM cleaned WHERE doc_id % 10 <> 0 AND trim(text) <> ''
+),
+cb AS (
+  SELECT doc_id, ltoks[i+1] AS w1, ltoks[i+2] AS w2
+  FROM corpus, unnest(range(0, greatest(len(ltoks)-1, 0))) AS t(i)
+),
+lp AS (
+  SELECT cb.doc_id,
+         avg(ln((coalesce(bi.c12, 0) + 0.5e0)
+                / (coalesce(uni.c1, 0) + 0.5e0 * v.V))) AS avg_logprob
+  FROM cb LEFT JOIN uni USING (w1) LEFT JOIN bi USING (w1, w2) CROSS JOIN v
+  GROUP BY cb.doc_id
+),
+surv AS (
+  SELECT c.doc_id, c.text, lp.avg_logprob
+  FROM cleaned c JOIN lp USING (doc_id)
+  WHERE lp.avg_logprob > -7.5e0
+),
+nt AS (
+  SELECT doc_id, avg_logprob,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM surv
+),
+pre AS (
+  SELECT doc_id, avg_logprob, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM nt
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(before / 256) AS BIGINT) AS bin,
+       CAST(before % 256 AS BIGINT) AS bin_offset,
+       avg_logprob
+FROM pre
+"""
+
+
 # mixed-script fixture: per-script letter counts are closed-form in i
 # and pairwise-distinct by construction (latin 4(i%5+1), cyrillic
 # 3(i%4), greek 2[i%6=0], cjk (i%7)[i%4=0] — ranges never collide), so
@@ -5749,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q_chunk_documents,
         "q_script_detect": _q_script_detect,
         "q_uniform_sample": _q_uniform_sample,
+        "q_corpus_pipeline": _q_corpus_pipeline,
         # rows-only engine showcases with oracle-green siblings: parked
         # just past the 50-query driver window (their hash-exact
         # siblings q_regions_geojson_rects / q_vector_tiles and the
@@ -5894,6 +6003,7 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_documents": _chunk_documents_sql(),
         "q_script_detect": _script_detect_sql(),
         "q_uniform_sample": _uniform_sample_sql(),
+        "q_corpus_pipeline": _corpus_pipeline_sql(),
         "q_pages_with_template": _pages_with_template_sql(),
         "q_items_by_strid": _items_by_strid_sql(),
         "q_page_titles": _page_titles_sql(),
