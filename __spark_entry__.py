@@ -5802,7 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship spatial engine + derived-region pipeline
         "q_pip_engine": _q_pip_engine,
         "q_pip_engine_rects": _q_pip_engine_rects,
-        "q_pip_water_engine": _q_pip_water_engine,
+        "q_corpus_pipeline": _q_corpus_pipeline,
         "q_regions_clipped": _q_regions_clipped,
         "q_s2_cells": _q_s2_cells,
         "q_regions_geojson_rects": _q_regions_geojson_rects,
@@ -5857,7 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q_chunk_documents,
         "q_script_detect": _q_script_detect,
         "q_uniform_sample": _q_uniform_sample,
-        "q_corpus_pipeline": _q_corpus_pipeline,
+        "q_pip_water_engine": _q_pip_water_engine,
         # rows-only engine showcases with oracle-green siblings: parked
         # just past the 50-query driver window (their hash-exact
         # siblings q_regions_geojson_rects / q_vector_tiles and the
