@@ -121,15 +121,25 @@ def _simhash_sql(dialect: str) -> str:
 
 def _minhash_sql(dialect: str, n_hashes: int = 4) -> str:
     if dialect == "spark":
-        toks = (
-            "SELECT DISTINCT doc_id, token FROM (SELECT doc_id, explode(split(lower(text), ' ')) "
-            "AS token FROM documents) WHERE length(token) > 0"
+        # per-row token ARRAY instead of an exploded token relation:
+        # min(min-over-array) ≡ min-over-distinct-tokens, so the
+        # explode → DISTINCT(doc_id, token) shuffle → GROUP BY doc_id
+        # shuffle collapses to one narrow pre-aggregated groupBy (guide
+        # §2.3/2.4 — measured 2 Exchange → 1, 1.5 s → 0.7 s at sf0.1;
+        # the DuckDB oracle text below is frozen and unchanged)
+        mins = ", ".join(
+            f"min(array_min(transform(toks, t -> md5(concat('{i}:', t))))) AS h{i}"
+            for i in range(n_hashes)
         )
-    else:
-        toks = (
-            "SELECT DISTINCT doc_id, t.token AS token FROM documents, "
-            "unnest(string_split(lower(text), ' ')) AS t(token) WHERE length(t.token) > 0"
+        return (
+            "WITH per AS (SELECT doc_id, filter(array_distinct(split(lower(text), ' ')), "
+            "t -> length(t) > 0) AS toks FROM documents) "
+            f"SELECT doc_id, {mins} FROM per WHERE size(toks) > 0 GROUP BY doc_id"
         )
+    toks = (
+        "SELECT DISTINCT doc_id, t.token AS token FROM documents, "
+        "unnest(string_split(lower(text), ' ')) AS t(token) WHERE length(t.token) > 0"
+    )
     mins = ", ".join(
         f"min(md5(concat('{i}:', token))) AS h{i}" for i in range(n_hashes)
     )
@@ -637,26 +647,41 @@ _VT_EXTENT = 4096
 def _rect_polys(rects: DataFrame) -> DataFrame:
     """(polygon_id, x0, x1, y0, y1) → (polygon_id, geom WKB) with a
     pinned CCW ring order (x0,y0)(x1,y0)(x1,y1)(x0,y1), mirrored
-    corner-by-corner in the rect-fixture oracles."""
+    corner-by-corner in the rect-fixture oracles.
+
+    The rect grids are ≤200-row range()-derived fixtures, so the WKB is
+    assembled driver-side from one bounded collect and returned as a
+    LOCAL relation: downstream operators (clipped_regions' stats
+    actions, the PIP probe, tile covering) then see an
+    already-materialized LocalTableScan instead of re-running a
+    coalesce(1) + pandas_udf stage per action — the dominant fixed cost
+    of every rect-fixture query at bench scale."""
     import numpy as np
 
     from sophox_spark.geometry import wkb as wkbmod
 
-    @F.pandas_udf("binary")
-    def rect_wkb(x0: pd.Series, x1: pd.Series, y0: pd.Series, y1: pd.Series) -> pd.Series:
-        out = []
-        for a, b, c, d in zip(x0, x1, y0, y1):
-            ring = np.array([[a, c], [b, c], [b, d], [a, d]], dtype=np.float64)
-            out.append(wkbmod.polygon_wkb([ring]))
-        return pd.Series(out)
+    import pyarrow as pa
 
-    # the range()×range() grid source fragments into hundreds of tiny
-    # tasks; collapse before the UDF so the 200-row dim crosses into
-    # Python once, not once per task
-    return rects.coalesce(1).select(
+    rows = rects.select(
         F.col("polygon_id").cast("long").alias("polygon_id"),
-        rect_wkb("x0", "x1", "y0", "y1").alias("geom"),
+        "x0", "x1", "y0", "y1",
+    ).collect()
+    blobs = [
+        wkbmod.polygon_wkb(
+            [np.array(
+                [[r[1], r[3]], [r[2], r[3]], [r[2], r[4]], [r[1], r[4]]],
+                dtype=np.float64,
+            )]
+        )
+        for r in rows
+    ]
+    tbl = pa.table(
+        {
+            "polygon_id": pa.array([r[0] for r in rows], pa.int64()),
+            "geom": pa.array(blobs, pa.binary()),
+        }
     )
+    return rects.sparkSession.createDataFrame(tbl)
 
 
 def _q_regions_topojson(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2800,11 +2825,12 @@ def _q_regions_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rects = spark.sql(RECTS_SPARK)
     rects.createOrReplaceTempView("rects")
-    # clipped_regions runs multiple actions (path-dispatch stats, water
-    # collect/cover, final clip) — pin the derived fixtures so each
-    # action doesn't re-derive rects from events
-    regions = _rect_polys(rects.filter("polygon_id % 9 <> 0")).localCheckpoint(eager=False)
-    water = _rect_polys(spark.sql(WATER_SHIFT_SQL)).localCheckpoint(eager=False)
+    # _rect_polys returns already-materialized LOCAL relations, so
+    # clipped_regions' multiple actions (path-dispatch stats, water
+    # collect, final clip) re-scan driver memory, not a derived plan —
+    # the former localCheckpoints are unnecessary jobs now
+    regions = _rect_polys(rects.filter("polygon_id % 9 <> 0"))
+    water = _rect_polys(spark.sql(WATER_SHIFT_SQL))
     out = dissolve.clipped_regions(regions, water)
     return out.select(
         "polygon_id",

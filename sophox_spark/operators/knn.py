@@ -124,6 +124,8 @@ def knn_join(
     resolution (results are identical at any resolution — only the
     number of escalation rounds changes).
     """
+    from .spatial_join import cell_expr
+
     base_pois = pois_df.select(
         F.col(poi_key),
         F.col(poi_lon).alias("__poi_lon"),
@@ -132,12 +134,91 @@ def knn_join(
     if adaptive_res:
         res = _density_adapted_res(pois_df, k, res, poi_lon, poi_lat)
     remaining = points_df.select(point_key, lon_col, lat_col)
+    if broadcast_pois:
+        # TWO-ROUND SHAPE for a broadcastable POI dim: one ring-1 round
+        # at the density-adapted res resolves the vast majority of
+        # points (guarantee-radius proof, unchanged); the stragglers
+        # then go STRAIGHT to the exact exhaustive scan the old ladder
+        # only reached after up to 4 more escalation levels — each of
+        # which cost a localCheckpoint job, a stats job, an isEmpty job
+        # and a worklist checkpoint. The exhaustive scan is the same
+        # broadcast nested-loop the final ladder level already was, so
+        # results are identical row-for-row; it is exact by definition
+        # and its cost is |stragglers| × |pois| with pois broadcast —
+        # bounded by the same argument that justified broadcast_pois.
+        # The non-broadcast path keeps the full coarsening ladder.
+        lvl_res, ring = res, 1
+        pois = F.broadcast(
+            base_pois.withColumn(
+                "__poi_cell", cell_expr("__poi_lon", "__poi_lat", lvl_res)
+            )
+        )
+        n = 1 << lvl_res
+        expanded = (
+            remaining.withColumn("__cell", cell_expr(lon_col, lat_col, lvl_res))
+            .withColumn("__x", (F.col("__cell") / F.lit(1 << 29)).cast("long") % F.lit(1 << 29))
+            .withColumn("__y", F.col("__cell") % F.lit(1 << 29))
+            .withColumn("__dx", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+            .withColumn("__dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+            .withColumn("__nx", F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)))
+            .withColumn("__ny", F.col("__y") + F.col("__dy"))
+            .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
+            .withColumn(
+                "__poi_cell",
+                F.lit(lvl_res).cast("long") * F.lit(1 << 58)
+                + F.col("__nx") * F.lit(1 << 29)
+                + F.col("__ny"),
+            )
+            .drop("__cell", "__x", "__y", "__dx", "__dy", "__nx", "__ny")
+        )
+        if 2 * ring + 1 > n:
+            expanded = expanded.dropDuplicates([point_key, "__poi_cell"])
+        cand = expanded.join(pois, "__poi_cell").withColumn(
+            "dist_m",
+            haversine_m_expr(
+                F.col(lon_col), F.col(lat_col), F.col("__poi_lon"), F.col("__poi_lat")
+            ),
+        )
+        w = Window.partitionBy(point_key).orderBy(
+            F.col("dist_m").asc(), F.col(poi_key).asc()
+        )
+        # the done test (≥k candidates, k-th dist inside the guarantee
+        # radius) folds into window aggs over the SAME partitioning as
+        # the rank — no second groupBy shuffle, no separate stats job
+        wp = Window.partitionBy(point_key)
+        guarantee = _guarantee_radius_m(lvl_res, ring, lat_col)
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .withColumn(
+                "__nk", F.count(F.when(F.col("rank") <= k, F.lit(1))).over(wp)
+            )
+            .withColumn(
+                "__maxd",
+                F.max(F.when(F.col("rank") <= k, F.col("dist_m"))).over(wp),
+            )
+            .filter(F.col("rank") <= k)
+            .withColumn(
+                "__done", (F.col("__nk") >= k) & (F.col("__maxd") < guarantee)
+            )
+            .select(
+                point_key, lon_col, lat_col, poi_key, "dist_m", "rank", "__done"
+            )
+        )
+        # one materialization: done rows AND the straggler anti-join
+        # both read it without recomputing the candidate join
+        topk = topk.localCheckpoint(eager=True)
+        done_keys = topk.filter("__done").select(point_key).distinct()
+        stragglers = remaining.join(F.broadcast(done_keys), point_key, "left_anti")
+        exhaustive = brute_force_knn(
+            stragglers, base_pois, k, point_key=point_key, poi_key=poi_key,
+            lon_col=lon_col, lat_col=lat_col,
+            poi_lon="__poi_lon", poi_lat="__poi_lat",
+        )
+        return topk.filter("__done").drop("__done").unionByName(exhaustive)
     results = None
     schedule = _escalation_schedule(res)
     for li, (lvl_res, ring) in enumerate(schedule):
         last = li == len(schedule) - 1
-        from .spatial_join import cell_expr
-
         pois = base_pois.withColumn(
             "__poi_cell", cell_expr("__poi_lon", "__poi_lat", lvl_res)
         )

@@ -47,6 +47,14 @@ DEFAULT_RES = 13  # ≈ 2.4 km cells (H3 res-7 analog, grid.H3_ANALOG_RES)
 # seed-parallel covering's reshuffle beats one-task-local recursion
 _SEED_PARALLEL_MIN_BYTES = 128 << 10
 
+# broadcast-route dims up to this many WKB bytes build their cell
+# covering ON THE DRIVER (single vectorized numpy pass over geometry
+# that is already collected for the broadcast) instead of paying a
+# repartition shuffle + a Python-worker stage to parallelize
+# sub-second work; bigger broadcastable dims keep the distributed
+# builder
+_DRIVER_COVER_MAX_BYTES = 8 << 20
+
 
 def cell_expr(lon_col: str, lat_col: str, res: int):
     """NATIVE column expression for grid.encode — identical IEEE double
@@ -235,25 +243,23 @@ def build_polygon_cells_adaptive(
     return cells_df
 
 
-def _broadcast_polygons(points_df: DataFrame, polygons_df, geom_col, id_col):
-    """Collect the polygon dim to a {id: wkb} map and broadcast it to
-    executors (the STRtree-packed broadcast side of the north_star —
-    packing happens lazily per python worker)."""
-    rows = polygons_df.select(id_col, geom_col).collect()
-    mapping = {r[0]: bytes(r[1]) for r in rows if r[1] is not None}
-    return points_df.sparkSession.sparkContext.broadcast(mapping)
-
-
 _PROBE_ROWS = 4096  # row bound for the single-job fast probe
 
 
 def _probe_polygon_dim(polygons_df, geom_col, id_col, max_bytes):
-    """Byte-bounded auto-route probe. Two tiers:
+    """Byte-bounded auto-route probe. Three tiers:
 
-    FAST PATH (the common admin/region dim): one cheap column-pruned
-    job counts up to ``_PROBE_ROWS + 1`` ids; when the dim has at most
-    ``_PROBE_ROWS`` rows, a single ``collect`` both decides the route
-    and materializes the broadcast {id: wkb} map. ``toLocalIterator``
+    LOCAL-RELATION PATH: a dim built with ``createDataFrame`` (the
+    common synthetic/admin fixture) executes as a LocalTableScan —
+    ``collect`` runs driver-side with no Spark job at all, and the rows
+    are already held in driver memory, so collecting them adds nothing.
+
+    FAST PATH (small distributed dim): ONE cheap job computes
+    count/sum/max of wkb length over ``limit(_PROBE_ROWS + 1)`` rows
+    (sizing executor-side first, so an over-budget dim of a few huge
+    polygons is never collected); when the dim has at most
+    ``_PROBE_ROWS`` rows and fits the byte budget, a single ``collect``
+    materializes the broadcast {id: wkb} map. ``toLocalIterator``
     here would launch one sequential job per partition — measured as
     the dominant constant cost of the sf0.1 flagship (32 near-empty
     partitions for 60 polygons).
@@ -263,27 +269,41 @@ def _probe_polygon_dim(polygons_df, geom_col, id_col, max_bytes):
     planet-scale dim is read at most ``max_bytes`` + one partition
     deep, never fully scanned or OOM-collected.
 
-    Returns (mapping, fits, max_polygon_bytes); ``mapping`` is None
-    when the dim doesn't fit, ``max_polygon_bytes`` covers only the
-    rows actually probed (exact whenever ``fits``)."""
+    Returns (mapping, fits, max_polygon_bytes, total_bytes); ``mapping``
+    is None when the dim doesn't fit, ``max_polygon_bytes`` /
+    ``total_bytes`` cover only the rows actually probed (exact whenever
+    ``fits``)."""
     dim = polygons_df.select(id_col, geom_col)
-    n_rows = dim.select(id_col).limit(_PROBE_ROWS + 1).count()
+    try:
+        is_local = dim.isLocal()
+    except Exception:  # pragma: no cover - defensive
+        is_local = False
     mapping: dict = {}
     total = 0
     max_poly = 0
+    if is_local:
+        for r in dim.collect():
+            g = r[1]
+            if g is None:
+                continue
+            total += len(g)
+            max_poly = max(max_poly, len(g))
+            mapping[r[0]] = bytes(g)
+            if total > max_bytes:
+                return None, False, max_poly, total
+        return mapping, True, max_poly, total
+    stats = dim.limit(_PROBE_ROWS + 1).agg(
+        F.count(F.lit(1)), F.sum(F.length(geom_col)), F.max(F.length(geom_col))
+    ).first()
+    n_rows = int(stats[0] or 0)
     if n_rows <= _PROBE_ROWS:
-        # size executor-side first so an over-budget dim of few huge
-        # polygons is never collected to the driver
-        stats = dim.agg(
-            F.sum(F.length(geom_col)), F.max(F.length(geom_col))
-        ).first()
-        total, max_poly = int(stats[0] or 0), int(stats[1] or 0)
+        total, max_poly = int(stats[1] or 0), int(stats[2] or 0)
         if total > max_bytes:
-            return None, False, max_poly
+            return None, False, max_poly, total
         for r in dim.collect():
             if r[1] is not None:
                 mapping[r[0]] = bytes(r[1])
-        return mapping, True, max_poly
+        return mapping, True, max_poly, total
     for r in dim.toLocalIterator():
         g = r[1]
         if g is None:
@@ -291,9 +311,9 @@ def _probe_polygon_dim(polygons_df, geom_col, id_col, max_bytes):
         total += len(g)
         max_poly = max(max_poly, len(g))
         if total > max_bytes:
-            return None, False, max_poly
+            return None, False, max_poly, total
         mapping[r[0]] = bytes(g)
-    return mapping, True, max_poly
+    return mapping, True, max_poly, total
 
 
 def point_in_polygon_join(
@@ -339,8 +359,9 @@ def point_in_polygon_join(
     """
     poly_map = None
     seed_parallel = True
+    total_dim_bytes = None
     if broadcast_dim is None:
-        poly_map, broadcast_dim, max_poly_bytes = _probe_polygon_dim(
+        poly_map, broadcast_dim, max_poly_bytes, total_dim_bytes = _probe_polygon_dim(
             polygons_df, geom_col, id_col, broadcast_max_bytes
         )
         # covering fan-out auto-route: the seed reshuffle only pays off
@@ -348,6 +369,43 @@ def point_in_polygon_join(
         # dims of small polygons the one-crossing local recursion wins
         # (this was the sole r5 bench regression at sf0.1's 60 rects)
         seed_parallel = not broadcast_dim or max_poly_bytes > _SEED_PARALLEL_MIN_BYTES
+    if broadcast_dim and poly_map is None:
+        # forced-broadcast caller: materialize the dim map driver-side
+        # (same bounded collect the auto-route would have done)
+        rows = polygons_df.select(id_col, geom_col).collect()
+        poly_map = {r[0]: bytes(r[1]) for r in rows if r[1] is not None}
+        total_dim_bytes = sum(len(b) for b in poly_map.values())
+    # DRIVER-SIDE COVERING (broadcast route only): the dim's WKB is
+    # already in driver memory, and the covering kernel is a vectorized
+    # numpy pass measured far cheaper than even ONE Spark stage of
+    # Python workers (the distributed builder pays a repartition
+    # shuffle + a mapInPandas crossing to parallelize sub-second work).
+    # The resulting dim table ships to executors through the same
+    # broadcast join it always used. Dims past the byte budget — or a
+    # caller-supplied covering — keep the distributed builder.
+    packed_dim = None  # PackedPolygons + sorted ids when driver-built
+    dim_ids = None
+    use_driver_cover = (
+        broadcast_dim
+        and polygon_cells_df is None
+        and poly_map is not None
+        and (total_dim_bytes or 0) <= _DRIVER_COVER_MAX_BYTES
+    )
+    if use_driver_cover:
+        dim_ids = sorted(poly_map)
+        packed_dim = wkb.pack([poly_map[i] for i in dim_ids])
+        ids_arr = np.asarray(dim_ids, dtype=np.int64)
+        if isinstance(res, tuple):
+            pi, cells, full = cover.cover_polygons_adaptive(packed_dim, res[0], res[1])
+        else:
+            pi, cells, full = cover.cover_polygons(packed_dim, res)
+        spark = points_df.sparkSession
+        polygon_cells_df = spark.createDataFrame(
+            pd.DataFrame(
+                {"cell": cells, id_col: ids_arr[pi], "fully_contained": full}
+            ),
+            schema=f"cell long, {id_col} long, fully_contained boolean",
+        )
     if isinstance(res, tuple):
         res_min, res_max = res
         pcells = (
@@ -390,6 +448,71 @@ def point_in_polygon_join(
     cand = pts.join(dimj, join_keys)
 
     out_cols = [c for c in points_df.columns] + [id_col]
+    if broadcast_dim and not covers:
+        # PURE-JVM REFINE: the even-odd ray cast is a fixed arithmetic
+        # fold over the polygon's edge list, so with the dim already
+        # collected it compiles to a codegen'd higher-order-function
+        # filter over a broadcast (polygon_id → edges array) row — the
+        # flagship path then has NO Python boundary at all (no
+        # ArrowEvalPython node, no worker startup, no Arrow transpose).
+        # The expression replicates PreparedPolygons.contains
+        # bit-for-bit: same bbox pre-reject, same crossing predicate
+        # ((y1>lat) != (y2>lat)), same IEEE evaluation order for the
+        # intercept x1 + ((lat-y1)/(y2-y1))*(x2-x1) — JVM and numpy
+        # doubles agree exactly on identical op sequences. Stale
+        # covering ids (caller-supplied polygon_cells_df) left-join no
+        # edge row: fully_contained pairs still pass, boundary pairs
+        # drop — the Python path's semantics.
+        if packed_dim is None:
+            dim_ids = sorted(poly_map)
+            packed_dim = wkb.pack([poly_map[i] for i in dim_ids])
+        prep = PreparedPolygons(packed_dim)
+        spark = points_df.sparkSession
+        # hand the edge table to Spark as one Arrow batch: a
+        # LocalTableScan the broadcast build reads driver-side (the
+        # row-list form would round-trip through a pickled RDD)
+        import pyarrow as pa
+
+        offsets = np.concatenate(
+            ([0], np.cumsum(prep.edge_count))
+        ).astype(np.int32)
+        edge_struct = pa.StructArray.from_arrays(
+            [pa.array(prep.x1, pa.float64()), pa.array(prep.y1, pa.float64()),
+             pa.array(prep.x2, pa.float64()), pa.array(prep.y2, pa.float64())],
+            names=["x1", "y1", "x2", "y2"],
+        )
+        edge_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), edge_struct)
+        arrow_tbl = pa.table(
+            {
+                id_col: pa.array(
+                    np.asarray(dim_ids, dtype=np.int64), pa.int64()
+                ),
+                "__bx0": pa.array(prep.bbox[:, 0], pa.float64()),
+                "__by0": pa.array(prep.bbox[:, 1], pa.float64()),
+                "__bx1": pa.array(prep.bbox[:, 2], pa.float64()),
+                "__by1": pa.array(prep.bbox[:, 3], pa.float64()),
+                "__edges": edge_lists,
+            }
+        )
+        edges_df = spark.createDataFrame(arrow_tbl)
+        lon, lat = F.col(lon_col), F.col(lat_col)
+
+        def _edge_hit(e):
+            crosses = (e["y1"] > lat) != (e["y2"] > lat)
+            xint = e["x1"] + ((lat - e["y1"]) / (e["y2"] - e["y1"])) * (e["x2"] - e["x1"])
+            return crosses & (lon < xint)
+
+        parity = (F.size(F.filter(F.col("__edges"), _edge_hit)) % 2) == 1
+        inside = F.col("fully_contained") | (
+            (lon >= F.col("__bx0")) & (lon <= F.col("__bx1"))
+            & (lat >= F.col("__by0")) & (lat <= F.col("__by1"))
+            & parity
+        )
+        return (
+            cand.join(F.broadcast(edges_df), on=id_col, how="left")
+            .filter(inside)
+            .select(*out_cols)
+        )
     out_schema = cand.select(*out_cols).schema
     if not broadcast_dim:
         # PARTITIONED REFINE: the dim is too big to collect/broadcast, so
@@ -441,11 +564,9 @@ def point_in_polygon_join(
 
         return cand.mapInPandas(refine_partitioned, out_schema)
 
-    poly_bc = (
-        points_df.sparkSession.sparkContext.broadcast(poly_map)
-        if poly_map is not None
-        else _broadcast_polygons(points_df, polygons_df, geom_col, id_col)
-    )
+    # covers=True broadcast path: the boundary-eps test stays in the
+    # Arrow kernel (poly_map is always materialized on broadcast routes)
+    poly_bc = points_df.sparkSession.sparkContext.broadcast(poly_map)
 
     def refine(batches):
         # SINGLE-PASS accept/refine: every candidate pair flows through

@@ -90,51 +90,9 @@ def cover_polygon_tiles(
                     continue
                 polys = wkb.decode_one(bytes(blob))
                 proj = [[_project_to_tile_plane(r, z) for r in rings] for rings in polys]
-                packed = _pack_plane(proj)
-                prep = PreparedPolygons(packed)
-                bb = packed.bbox[0]
-                x0, y0 = int(np.floor(bb[0])), int(np.floor(bb[1]))
-                x1, y1 = int(np.floor(bb[2])), int(np.floor(bb[3]))
-                nx, ny = x1 - x0 + 1, y1 - y0 + 1
-                if nx * ny > max_tiles_per_poly:
-                    raise ValueError(
-                        f"polygon {pid} covers {nx * ny} tiles at z{z}; lower z"
-                    )
-                gx, gy = np.meshgrid(
-                    np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
+                gx, gy, interior, keep = _cover_one_projected(
+                    proj, max_tiles_per_poly, z, pid
                 )
-                gx, gy = gx.ravel(), gy.ravel()
-                # edge-touch: conservative seg-bbox vs tile-square overlap,
-                # via segment→tile-range binning — O(Σ tiles-per-segment),
-                # not O(tiles × segments). Tile t covers [t, t+1]; a seg
-                # bbox [lo, hi] overlaps iff t ∈ [ceil(lo−1), floor(hi)]
-                # (identical predicate to lo <= t+1 & hi >= t).
-                ex_lo = np.minimum(prep.x1, prep.x2)
-                ex_hi = np.maximum(prep.x1, prep.x2)
-                ey_lo = np.minimum(prep.y1, prep.y2)
-                ey_hi = np.maximum(prep.y1, prep.y2)
-                sx0 = np.clip(np.ceil(ex_lo - 1.0).astype(np.int64) - x0, 0, nx - 1)
-                sx1 = np.clip(np.floor(ex_hi).astype(np.int64) - x0, 0, nx - 1)
-                sy0 = np.clip(np.ceil(ey_lo - 1.0).astype(np.int64) - y0, 0, ny - 1)
-                sy1 = np.clip(np.floor(ey_hi).astype(np.int64) - y0, 0, ny - 1)
-                touched2d = np.zeros((nx, ny), dtype=bool)
-                wx, wy = sx1 - sx0 + 1, sy1 - sy0 + 1
-                area = wx * wy
-                tot = int(area.sum())
-                if tot:
-                    rep_wy = np.repeat(wy, area)
-                    k = np.arange(tot) - np.repeat(np.cumsum(area) - area, area)
-                    tx_idx = np.repeat(sx0, area) + k // rep_wy
-                    ty_idx = np.repeat(sy0, area) + k % rep_wy
-                    touched2d[tx_idx, ty_idx] = True
-                touched = touched2d.ravel()  # meshgrid 'ij' ⇒ x-major, same order
-                interior = np.zeros(gx.size, dtype=bool)
-                un = ~touched
-                if un.any():
-                    interior[un] = prep.contains(
-                        gx[un] + 0.5, gy[un] + 0.5, np.zeros(int(un.sum()), np.int64)
-                    )
-                keep = touched | interior
                 rows["tile_x"].extend(gx[keep].tolist())
                 rows["tile_y"].extend(gy[keep].tolist())
                 rows[id_col].extend([pid] * int(keep.sum()))
@@ -145,6 +103,59 @@ def cover_polygon_tiles(
         gen, f"tile_x long, tile_y long, {id_col} long, fully_contained boolean"
     )
     return out.withColumn("tile", tile_key_col(z, F.col("tile_x"), F.col("tile_y")))
+
+
+def _cover_one_projected(proj, max_tiles_per_poly, z, pid):
+    """Tile covering for ONE polygon already projected to the tile
+    plane. Returns (gx, gy, interior, keep) over the bbox tile grid —
+    shared by ``cover_polygon_tiles`` and the fused
+    ``vector_tile_features`` single-pass path."""
+    packed = _pack_plane(proj)
+    prep = PreparedPolygons(packed)
+    bb = packed.bbox[0]
+    x0, y0 = int(np.floor(bb[0])), int(np.floor(bb[1]))
+    x1, y1 = int(np.floor(bb[2])), int(np.floor(bb[3]))
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    if nx * ny > max_tiles_per_poly:
+        raise ValueError(
+            f"polygon {pid} covers {nx * ny} tiles at z{z}; lower z"
+        )
+    gx, gy = np.meshgrid(
+        np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
+    )
+    gx, gy = gx.ravel(), gy.ravel()
+    # edge-touch: conservative seg-bbox vs tile-square overlap,
+    # via segment→tile-range binning — O(Σ tiles-per-segment),
+    # not O(tiles × segments). Tile t covers [t, t+1]; a seg
+    # bbox [lo, hi] overlaps iff t ∈ [ceil(lo−1), floor(hi)]
+    # (identical predicate to lo <= t+1 & hi >= t).
+    ex_lo = np.minimum(prep.x1, prep.x2)
+    ex_hi = np.maximum(prep.x1, prep.x2)
+    ey_lo = np.minimum(prep.y1, prep.y2)
+    ey_hi = np.maximum(prep.y1, prep.y2)
+    sx0 = np.clip(np.ceil(ex_lo - 1.0).astype(np.int64) - x0, 0, nx - 1)
+    sx1 = np.clip(np.floor(ex_hi).astype(np.int64) - x0, 0, nx - 1)
+    sy0 = np.clip(np.ceil(ey_lo - 1.0).astype(np.int64) - y0, 0, ny - 1)
+    sy1 = np.clip(np.floor(ey_hi).astype(np.int64) - y0, 0, ny - 1)
+    touched2d = np.zeros((nx, ny), dtype=bool)
+    wx, wy = sx1 - sx0 + 1, sy1 - sy0 + 1
+    area = wx * wy
+    tot = int(area.sum())
+    if tot:
+        rep_wy = np.repeat(wy, area)
+        k = np.arange(tot) - np.repeat(np.cumsum(area) - area, area)
+        tx_idx = np.repeat(sx0, area) + k // rep_wy
+        ty_idx = np.repeat(sy0, area) + k % rep_wy
+        touched2d[tx_idx, ty_idx] = True
+    touched = touched2d.ravel()  # meshgrid 'ij' ⇒ x-major, same order
+    interior = np.zeros(gx.size, dtype=bool)
+    un = ~touched
+    if un.any():
+        interior[un] = prep.contains(
+            gx[un] + 0.5, gy[un] + 0.5, np.zeros(int(un.sum()), np.int64)
+        )
+    keep = touched | interior
+    return gx, gy, interior, keep
 
 
 def _pack_plane(proj_polys) -> wkb.PackedPolygons:
@@ -203,13 +214,52 @@ def vector_tile_features(
     divergence from MVT).
 
     The covering fan-out (tiles × polygons) is always ≥ the polygon dim,
-    so the geometry re-attach join broadcasts the polygon side by
-    default (no shuffle of the fan-out); pass ``broadcast_polys=False``
-    for a polygon table too large to broadcast — the join then shuffles
-    both sides on ``id_col``."""
+    so with ``broadcast_polys=True`` (default) the covering AND the
+    per-tile quantization run FUSED in one partition pass over the
+    polygon dim — the polygon is decoded and projected once, its
+    covered tiles enumerated, and each tile's rings quantized, with no
+    covering↔geometry re-attach join and a single Python crossing
+    (formerly: covering mapInPandas → broadcast join → second
+    mapInPandas). Pass ``broadcast_polys=False`` for a polygon table
+    too large to broadcast — the covering is built separately and the
+    re-attach join shuffles both sides on ``id_col``."""
+    out_schema = f"tile long, {id_col} long, ring_idx int, coords_q array<long>"
+    zkey = z << 58
+
+    if broadcast_polys:
+        def fused(batches):
+            for pdf in batches:
+                out = {"tile": [], id_col: [], "ring_idx": [], "coords_q": []}
+                for pid, blob in zip(pdf[id_col], pdf[geom_col]):
+                    if blob is None:
+                        continue
+                    polys_d = wkb.decode_one(bytes(blob))
+                    proj = [
+                        [_project_to_tile_plane(r, z) for r in rings]
+                        for rings in polys_d
+                    ]
+                    gx, gy, _interior, keep = _cover_one_projected(
+                        proj, 65536, z, pid
+                    )
+                    proj_rings = [r for rings in proj for r in rings]
+                    for tx, ty in zip(gx[keep].tolist(), gy[keep].tolist()):
+                        origin = np.array([tx, ty], dtype=np.float64)
+                        tile = zkey + (tx << 29) + ty
+                        for ri, pr in enumerate(proj_rings):
+                            q = simp.dedup_consecutive(
+                                np.round((pr - origin) * extent).astype(np.int64)
+                            )
+                            out["tile"].append(tile)
+                            out[id_col].append(pid)
+                            out["ring_idx"].append(ri)
+                            out["coords_q"].append([int(v) for xy in q for v in xy])
+                yield pd.DataFrame(out)
+
+        return polygons_df.select(id_col, geom_col).mapInPandas(fused, out_schema)
+
     cov = cover_polygon_tiles(polygons_df, z, geom_col, id_col)
     polys = polygons_df.select(id_col, geom_col)
-    joined = cov.join(F.broadcast(polys) if broadcast_polys else polys, id_col)
+    joined = cov.join(polys, id_col)
 
     def gen(batches):
         for pdf in batches:

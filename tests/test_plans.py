@@ -67,14 +67,21 @@ class TestSpatialJoinPlan:
         # broadcast join: zero non-broadcast exchanges on the whole plan
         assert explain.count_exchanges(out) == 0
 
-    def test_python_only_on_refine_branch(self, spark, points):
+    def test_no_python_on_broadcast_path(self, spark, points):
         polygons = synth.admin_polygons_df(spark, 40)
         pcells = spatial_join.build_polygon_cells(polygons, 13).localCheckpoint()
         out = spatial_join.point_in_polygon_join(
             points, polygons, polygon_cells_df=pcells
         )
-        # exactly ONE python crossing: the ray-cast refinement
-        # (cell encode + accept path are native expressions)
+        # ZERO python crossings: cell encode, accept path AND the
+        # even-odd ray-cast refine (a codegen'd higher-order filter
+        # over broadcast edge arrays) are all native expressions
+        assert explain.python_eval_nodes(out) == 0
+
+    def test_covers_refine_stays_python(self, spark, points):
+        # the boundary-eps covers test still runs in the Arrow kernel
+        polygons = synth.admin_polygons_df(spark, 40)
+        out = spatial_join.point_in_polygon_join(points, polygons, covers=True)
         assert explain.python_eval_nodes(out) == 1
 
     def test_shuffle_path_when_not_broadcast(self, spark, points):

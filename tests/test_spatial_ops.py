@@ -144,29 +144,33 @@ class TestCoveringAutoRoute:
         assert ra == rb and len(ra) > 0
 
     def test_probe_fast_path_small_dim(self, spark, polygons):
-        mapping, fits, max_poly = spatial_join._probe_polygon_dim(
-            polygons, "geom", "polygon_id", 64 << 20
-        )
-        assert fits
         want = {
             r.polygon_id: bytes(r.geom)
             for r in polygons.collect()
             if r.geom is not None
         }
-        assert mapping == want
-        assert max_poly == max(len(g) for g in want.values())
+        for dim in (polygons, polygons.repartition(4)):
+            # both the local-relation shortcut and the one-job fast path
+            mapping, fits, max_poly, total = spatial_join._probe_polygon_dim(
+                dim, "geom", "polygon_id", 64 << 20
+            )
+            assert fits
+            assert mapping == want
+            assert max_poly == max(len(g) for g in want.values())
+            assert total == sum(len(g) for g in want.values())
 
     def test_probe_fast_path_over_budget_no_collect(self, spark, polygons):
         """A dim of few huge polygons over budget must be refused via the
         executor-side sizing agg, never collected."""
-        mapping, fits, max_poly = spatial_join._probe_polygon_dim(
-            polygons, "geom", "polygon_id", 1
+        mapping, fits, max_poly, _ = spatial_join._probe_polygon_dim(
+            polygons.repartition(4), "geom", "polygon_id", 1
         )
         assert mapping is None and not fits and max_poly > 0
 
     def test_probe_streams_big_dim(self, spark):
-        """> _PROBE_ROWS rows: the probe must fall back to the bounded
-        toLocalIterator stream and abort once over budget."""
+        """> _PROBE_ROWS rows (repartitioned so the local-relation
+        shortcut does not apply): the probe must fall back to the
+        bounded toLocalIterator stream and abort once over budget."""
         n = spatial_join._PROBE_ROWS + 64
         ii = np.arange(n)
         blobs = [
@@ -178,16 +182,17 @@ class TestCoveringAutoRoute:
         polys = spark.createDataFrame(
             pd.DataFrame({"polygon_id": ii, "geom": blobs}),
             "polygon_id long, geom binary",
-        )
-        mapping, fits, _ = spatial_join._probe_polygon_dim(
+        ).repartition(4)
+        mapping, fits, _, _ = spatial_join._probe_polygon_dim(
             polys, "geom", "polygon_id", 1024
         )
         assert mapping is None and not fits
-        mapping, fits, max_poly = spatial_join._probe_polygon_dim(
+        mapping, fits, max_poly, total = spatial_join._probe_polygon_dim(
             polys, "geom", "polygon_id", 64 << 20
         )
         assert fits and len(mapping) == n
         assert max_poly == max(len(b) for b in blobs)
+        assert total == sum(len(b) for b in blobs)
 
 
 class TestKnn:
