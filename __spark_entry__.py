@@ -5902,8 +5902,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_upsert": _q_incremental_upsert,
         "q_delta_upsert": _q_delta_upsert,
         # previously gated stalwarts filling the 50-query window
-        "q01_pricing_agg": _sql_query(Q01_SPARK, ("lineitem",)),
-        "q03_join_topk": _sql_query(Q03_SPARK, ("customer", "orders", "lineitem")),
+        # EXEC variants add a REPARTITION hint (guide §2.5: the sf
+        # parquet inputs are single-row-group files, so the scan is one
+        # unsplittable task and the whole pipelined filter/probe/
+        # partial-agg runs serially without it). The hint takes the
+        # session's shuffle-partition count — nothing local[32]-tuned.
+        # Q01_SPARK/Q03_SPARK themselves are FROZEN oracle text and the
+        # hint changes no row: same agg, same deterministic order.
+        "q01_pricing_agg": _sql_query(
+            Q01_SPARK.replace(
+                "SELECT l_returnflag", "SELECT /*+ REPARTITION */ l_returnflag", 1
+            ),
+            ("lineitem",),
+        ),
+        "q03_join_topk": _sql_query(
+            Q03_SPARK.replace(
+                "SELECT l.l_orderkey",
+                "SELECT /*+ REPARTITION(l_orderkey) */ l.l_orderkey",
+                1,
+            ),
+            ("customer", "orders", "lineitem"),
+        ),
         "q_pbf_scan": _q_pbf_scan,
         "q_pbf_to_ttl": _q_pbf_to_ttl,
         "q_osc_apply": _q_osc_apply,

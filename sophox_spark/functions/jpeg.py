@@ -42,6 +42,8 @@ import struct
 
 import numpy as np
 
+from . import _native
+
 
 class JpegFormatError(ValueError):
     """Malformed or out-of-subset JPEG input."""
@@ -161,17 +163,19 @@ def _window32(seg: bytes) -> tuple[list[int], int]:
 
 
 _LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_NP_CACHE: dict[bytes, np.ndarray] = {}
 
 
-def _huff_lut(table) -> list[int]:
-    """(BITS, HUFFVAL) → 65536-entry LUT: lut[peek16] = (value<<5)|len,
-    0 for invalid prefixes (T.81 canonical code assignment)."""
+def _huff_lut_np(table) -> np.ndarray:
+    """(BITS, HUFFVAL) → 65536-entry int32 LUT array:
+    lut[peek16] = (value<<5)|len, 0 for invalid prefixes (T.81
+    canonical code assignment)."""
     bits, values = table
     key = bytes(bits) + bytes(values)
-    lut = _LUT_CACHE.get(key)
-    if lut is None:
-        if len(_LUT_CACHE) > 64:
-            _LUT_CACHE.clear()
+    arr = _LUT_NP_CACHE.get(key)
+    if arr is None:
+        if len(_LUT_NP_CACHE) > 64:
+            _LUT_NP_CACHE.clear()
         arr = np.zeros(1 << 16, np.int32)
         code = 0
         k = 0
@@ -182,7 +186,20 @@ def _huff_lut(table) -> list[int]:
                 code += 1
                 k += 1
             code <<= 1
-        lut = arr.tolist()
+        _LUT_NP_CACHE[key] = arr
+    return arr
+
+
+def _huff_lut(table) -> list[int]:
+    """List form of :func:`_huff_lut_np` for the pure-Python bit loop
+    (plain-int indexing is ~2× faster than numpy scalar indexing)."""
+    bits, values = table
+    key = bytes(bits) + bytes(values)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) > 64:
+            _LUT_CACHE.clear()
+        lut = _huff_lut_np(table).tolist()
         _LUT_CACHE[key] = lut
     return lut
 
@@ -439,12 +456,12 @@ def _decode_one_scan(frame, scomps, ss, se, ah, al, segs, huff_dc, huff_ac,
         raise JpegFormatError("invalid spectral band")
     ux, uy, entries = frame.sched(scomps)
     ci, _c, _td, ta = scomps[0]
-    aclut = _huff_lut(huff_ac[ta])
+    actab = huff_ac[ta]
     if ah == 0:
-        _scan_ac_first(frame.coef[ci], entries[0], ux, uy, segs, aclut,
+        _scan_ac_first(frame.coef[ci], entries[0], ux, uy, segs, actab,
                        restart_interval, ss, se, al)
     else:
-        _scan_ac_refine(frame.coef[ci], entries[0], ux, uy, segs, aclut,
+        _scan_ac_refine(frame.coef[ci], entries[0], ux, uy, segs, actab,
                         restart_interval, ss, se, al)
 
 
@@ -457,10 +474,40 @@ def _seg_for(segs, si):
 def _scan_dc_ac(frame, entries, ux, uy, segs, huff_dc, huff_ac, ri,
                 dc_only, al):
     """Sequential scan (full band) or progressive first DC scan.
-    Hot path: LUT symbol decode + window bit reads, coefficient
-    (index, value) pairs appended to python lists and scattered into
-    the numpy store once at the end."""
+    Hot path: the C kernel when available (byte-identical port, guide
+    §4.2 — the Huffman bit loop is the decode bottleneck and is
+    inherently sequential); else LUT symbol decode + window bit reads,
+    coefficient (index, value) pairs appended to python lists and
+    scattered into the numpy store once at the end."""
     ncomp = len(frame.comps)
+    if _native.get_lib() is not None:
+        lut_list: list = []
+        lut_pos: dict = {}
+
+        def lidx(tbl):
+            arr = _huff_lut_np(tbl)
+            p = lut_pos.get(id(arr))
+            if p is None:
+                p = len(lut_list)
+                lut_pos[id(arr)] = p
+                lut_list.append(arr)
+            return p
+
+        ents_n = [
+            (ci, a, b, c0, lidx(huff_dc[td]),
+             -1 if dc_only else lidx(huff_ac[ta]))
+            for ci, a, b, c0, td, ta in entries
+        ]
+        res = _native.jpeg_scan_dc_ac(
+            segs, lut_list, ents_n, ncomp, ux, uy, int(ri or 0), al
+        )
+        if res is not None:
+            comp_o, idx_o, val_o = res
+            for ci in range(ncomp):
+                m = comp_o == ci
+                if m.any():
+                    frame.coef[ci][idx_o[m]] = val_o[m]
+            return
     idxs = [[] for _ in range(ncomp)]
     vals = [[] for _ in range(ncomp)]
     ents = []
@@ -575,10 +622,21 @@ def _scan_dc_refine(frame, entries, ux, uy, segs, ri, al):
                 frame.coef[ci][muy[sel] * a + mux[sel] * b + c0] |= p1
 
 
-def _scan_ac_first(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
+def _scan_ac_first(coef, entry, ux, uy, segs, actab, ri, ss, se, al):
     """Progressive first AC scan for one band (T.81 G.1.2.2): run-length
     symbols as in sequential plus EOBn end-of-band run codes."""
     _ci, a, b, c0 = entry[0], entry[1], entry[2], entry[3]
+    if _native.get_lib() is not None:
+        res = _native.jpeg_scan_ac_first(
+            segs, _huff_lut_np(actab), a, b, c0, ux, uy, int(ri or 0),
+            ss, se, al,
+        )
+        if res is not None:
+            idx_o, val_o = res
+            if idx_o.size:
+                coef[idx_o] = val_o
+            return
+    aclut = _huff_lut(actab)
     idx, val = [], []
     ia, va = idx.append, val.append
     eobrun = 0
@@ -635,11 +693,16 @@ def _scan_ac_first(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
         coef[np.asarray(idx, np.int64)] = np.asarray(val, np.int32)
 
 
-def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
+def _scan_ac_refine(coef, entry, ux, uy, segs, actab, ri, ss, se, al):
     """Progressive AC refinement (T.81 G.1.2.3): newly significant
     coefficients arrive as (run, 1) symbols whose run counts ZERO-
     HISTORY positions; every already-nonzero coefficient passed over —
     including those inside an EOB run — reads one correction bit.
+
+    The C kernel (when available) runs the textbook per-coefficient
+    loop directly against the coefficient store; the batched numpy
+    implementation below remains the fallback and the equivalence
+    oracle in tests.
 
     Fully batched: the scan's band matrix, its nonzero/zero position
     indexes and prefix counts are gathered ONCE up front, so each
@@ -649,6 +712,12 @@ def _scan_ac_refine(coef, entry, ux, uy, segs, aclut, ri, ss, se, al):
     as the counts are — are read and applied in one vectorized pass per
     restart segment.  Bit-identical to the per-coefficient reference
     loop (pinned by decode(progressive)==decode(baseline) tests)."""
+    if _native.get_lib() is not None and _native.jpeg_scan_ac_refine(
+        segs, _huff_lut_np(actab), coef, entry[1], entry[2], entry[3],
+        ux, uy, int(ri or 0), ss, se, al,
+    ):
+        return
+    aclut = _huff_lut(actab)
     p1 = 1 << al
     kmax = se - ss
     a, b, c0 = entry[1], entry[2], entry[3]

@@ -32,6 +32,8 @@ import zlib
 
 import numpy as np
 
+from . import _native
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # spec-legal bit depths per color type (PNG §11.2.2, table 11.1)
@@ -97,12 +99,14 @@ def _decode_subimage(raw: np.ndarray, height, width, channels, depth) -> np.ndar
     if np.any(filters > 4):
         bad = int(filters[filters > 4][0])
         raise PngFormatError(f"unknown scanline filter {bad}")
-    if np.any(filters >= 3):
-        # Average/Paeth present: anti-diagonal wavefront unfilter —
-        # vectorized, h+w numpy steps instead of h×stride python ones
-        flat = _unfilter_wavefront(rows, height, stride, bpp)
-    else:
-        flat = _unfilter_rowwise(rows, height, stride, bpp)
+    flat = _native.png_unfilter(rows, height, stride, bpp)
+    if flat is None:  # no native kernel: pure-numpy fallbacks
+        if np.any(filters >= 3):
+            # Average/Paeth present: anti-diagonal wavefront unfilter —
+            # vectorized, h+w numpy steps instead of h×stride python ones
+            flat = _unfilter_wavefront(rows, height, stride, bpp)
+        else:
+            flat = _unfilter_rowwise(rows, height, stride, bpp)
     if depth == 8:
         return flat
     if depth == 16:
