@@ -387,15 +387,18 @@ def script_counts(text: Column) -> dict[str, Column]:
 
 def dominant_script(text: Column) -> Column:
     """argmax script by letter count; 'none' when no script letters.
-    Deterministic tie-break: reversed iteration with strict > keeps
-    the first-processed candidate, i.e. ties resolve to the LAST
-    entry in SCRIPT_RANGES declaration order. The standard crawl
-    signal next to lang_id: a 'lang=en' doc in Cyrillic script is a
-    mislabeling red flag."""
+    Deterministic tie-break: forward iteration with strict > keeps the
+    FIRST entry in SCRIPT_RANGES declaration order on equal counts —
+    the same latin-first resolution as the q_script_detect oracle's
+    CASE chain (previously reversed iteration resolved ties to the
+    LAST entry; the divergence was latent because the parity fixture
+    is tie-free, ADVICE r6). The standard crawl signal next to
+    lang_id: a 'lang=en' doc in Cyrillic script is a mislabeling red
+    flag."""
     counts = script_counts(text)
     best_name = F.lit("none")
     best = F.lit(0).cast("long")
-    for name in reversed(list(counts)):
+    for name in list(counts):
         c = counts[name]
         better = c > best
         best_name = F.when(better, F.lit(name)).otherwise(best_name)

@@ -142,7 +142,7 @@ def point_in_region_minus_water(
     points_df: DataFrame,
     regions_df: DataFrame,
     water_df: DataFrame,
-    res: int = 13,
+    res: int | tuple[int, int] = (8, 13),
     id_col: str = "polygon_id",
     **kw,
 ) -> DataFrame:
@@ -152,7 +152,10 @@ def point_in_region_minus_water(
     classification the set identity  p ∈ (R − W) ⟺ p ∈ R ∧ p ∉ ⋃W
     turns the geometric difference into pure join composition — a PIP
     join against regions and a LEFT-ANTI PIP join against water. No
-    vector clipping, fully distributed, exact."""
+    vector clipping, fully distributed, exact. The default covering is
+    the adaptive (8, 13) quadtree — results are res-invariant (the
+    refine is exact), and the single-res-13 covering was measured 4×
+    slower (O(area) dim rows vs O(perimeter))."""
     from .spatial_join import point_in_polygon_join
 
     in_region = point_in_polygon_join(points_df, regions_df, res=res, id_col=id_col, **kw)

@@ -109,7 +109,11 @@ def pack_sequences(
     Output: (key, n_tokens, bin, bin_offset) where bin_offset is the
     token offset of the document inside its bin's running stream.
     """
-    t = F.trim(F.col(text_col))
+    # coalesce NULL text to '' so a NULL row contributes 0 tokens like
+    # an empty document instead of a NULL n_tokens that silently drops
+    # out of the prefix sum and shifts every later bin_offset (the
+    # DuckDB oracle's length(trim(coalesce)) semantics; ADVICE r6)
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     n_tok = (
         F.when(F.length(t) == 0, F.lit(0))
         .otherwise(F.size(F.split(t, r"\s+")))

