@@ -693,7 +693,8 @@ def parse_select(query: str) -> dict:
 class SparqlEngine:
     """Executes the parsed subset against a (s, p, o) triples DataFrame."""
 
-    def __init__(self, triples: DataFrame, endpoints: dict | None = None):
+    def __init__(self, triples: DataFrame, endpoints: dict | None = None,
+                 materialize: bool | None = None):
         # optional named-graph column: a (s, p, o, g) quads store
         # enables GRAPH <iri> / GRAPH ?var; the default graph is the
         # DISTINCT union of all named graphs (documented subset)
@@ -703,6 +704,23 @@ class SparqlEngine:
         else:
             self.quads = None
             self.triples = triples.select("s", "p", "o")
+        # every BGP pattern scans the store, so an N-pattern query
+        # replays the store's DERIVATION plan N times. For a COMPUTED
+        # store (TTL statement generation through Python stages —
+        # measured the dominant cost of every multi-pattern query) one
+        # localCheckpoint pins a single materialization. For a plain
+        # file/relation-backed store the re-scan is the BETTER plan: a
+        # checkpoint wall would break predicate pushdown of pattern
+        # constants into the scan (plan-tested), and each pattern then
+        # reads only its predicate's rows. ``materialize=None``
+        # auto-routes on whether the plan crosses into Python;
+        # True/False force it.
+        if materialize is None:
+            materialize = self._has_python_stage(triples)
+        if materialize:
+            self.triples = self.triples.localCheckpoint(eager=False)
+            if self.quads is not None:
+                self.quads = self.quads.localCheckpoint(eager=False)
         self._gvar: str | None = None
         # SERVICE endpoint registry: iri -> SparqlEngine or triples
         # DataFrame (federation spec §2.2; transport is out of scope in
@@ -712,6 +730,23 @@ class SparqlEngine:
             self.endpoints[iri] = (
                 ep if isinstance(ep, SparqlEngine) else SparqlEngine(ep)
             )
+
+    @staticmethod
+    def _has_python_stage(df: DataFrame) -> bool:
+        # physical-plan markers: scalar python UDFs render generically
+        # in the analyzed plan, but every python crossing is explicit
+        # once planned (planning runs no job)
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:  # pragma: no cover - defensive
+            return False
+        return any(
+            marker in plan
+            for marker in (
+                "MapInPandas", "EvalPython", "FlatMapGroupsInPandas",
+                "pythonUDF", "MapInArrow", "PythonUDF",
+            )
+        )
 
     def select(self, query: str) -> DataFrame:
         return self._run_core(parse_select(query))
