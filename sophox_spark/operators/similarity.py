@@ -384,21 +384,28 @@ def cosine_dup_pairs(
 
         def gen(batches):
             ids_c, m_c, n_c = bc.value
+            # bound the (rows × corpus) sims block to ~64 MB so a large
+            # corpus can never balloon one batch's allocation
+            chunk = max(1, (64 << 20) // max(8 * len(ids_c), 1))
             for pdf in batches:
                 if not len(pdf) or not len(ids_c):
                     continue
-                A = np.stack(
+                A_all = np.stack(
                     [np.asarray(v, np.float64) for v in pdf[vec_col]]
                 )
-                an = np.sqrt(np.einsum("ij,ij->i", A, A))
-                sims = (A @ m_c.T) / np.outer(an, n_c)
-                aid = pdf[key].to_numpy()
-                keep = (sims >= thr) & (ids_c[None, :] > aid[:, None])
-                ri, ci = np.nonzero(keep)
-                if ri.size:
-                    yield pd.DataFrame(
-                        {"a": aid[ri], "b": ids_c[ci], "cosine": sims[ri, ci]}
-                    )
+                aid_all = pdf[key].to_numpy()
+                for s0 in range(0, len(A_all), chunk):
+                    A = A_all[s0:s0 + chunk]
+                    aid = aid_all[s0:s0 + chunk]
+                    an = np.sqrt(np.einsum("ij,ij->i", A, A))
+                    sims = (A @ m_c.T) / np.outer(an, n_c)
+                    keep = (sims >= thr) & (ids_c[None, :] > aid[:, None])
+                    ri, ci = np.nonzero(keep)
+                    if ri.size:
+                        yield pd.DataFrame(
+                            {"a": aid[ri], "b": ids_c[ci],
+                             "cosine": sims[ri, ci]}
+                        )
 
         return df.select(key, vec_col).mapInPandas(
             gen, "a long, b long, cosine double"
