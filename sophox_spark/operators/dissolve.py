@@ -38,6 +38,7 @@ def dissolve(
     key: str = "wikidata",
     geom_col: str = "geom",
     merge_overlaps: bool = True,
+    bounded: bool | None = None,
 ) -> DataFrame:
     """group polygons by ``key`` → one multipolygon per key.
     Output: ``key, geom (multipolygon WKB), n_parts``.
@@ -66,7 +67,9 @@ def dissolve(
         blob, n = merger(pdf[geom_col])
         return pd.DataFrame({key: [pdf[key].iloc[0]], geom_col: [blob], "n_parts": [n]})
 
-    partials = _dissolve_partials(polygons_df, key, geom_col, merge_overlaps)
+    partials = _dissolve_partials(
+        polygons_df, key, geom_col, merge_overlaps, bounded=bounded
+    )
     return partials.groupBy(key).applyInPandas(final, schema)
 
 
@@ -84,7 +87,7 @@ def _blob_merger(merge_overlaps: bool):
     return _merge_blobs
 
 
-def _dissolve_partials(polygons_df, key, geom_col, merge_overlaps):
+def _dissolve_partials(polygons_df, key, geom_col, merge_overlaps, bounded=None):
     """Map-side partial of :func:`dissolve` — one merged multipolygon
     per (partition batch, key). Shared by ``dissolve`` and the fused
     ``regions_geojson`` final pass.
@@ -93,15 +96,19 @@ def _dissolve_partials(polygons_df, key, geom_col, merge_overlaps):
     (≤ numPartitions partials per key instead of raw rows). A LOCAL
     relation is already bounded by driver memory, so its rows feed the
     reduce-side merge directly and one Python crossing disappears.
-    Merge grouping was already partition-layout-dependent (partials
-    batch by input partition); skipping the partial is the grouping a
-    one-row-per-batch layout produces — verified output-identical to
-    the prior code on every declared fixture (which never co-batches
-    same-key parts), and degenerate-contact outcomes remain within the
-    operator's documented layout-dependence envelope."""
+    ``bounded`` lets a caller assert boundedness when a narrow
+    transformation (e.g. a broadcast semi-join, which only ever drops
+    rows) hides the localness of the underlying relation from
+    ``isLocal()``. Merge grouping was already partition-layout-dependent
+    (partials batch by input partition); skipping the partial is the
+    grouping a one-row-per-batch layout produces — verified
+    output-identical to the prior code on every declared fixture (which
+    never co-batches same-key parts), and degenerate-contact outcomes
+    remain within the operator's documented layout-dependence
+    envelope."""
     schema = f"{key} string, {geom_col} binary, n_parts long"
     try:
-        if polygons_df.isLocal():
+        if bounded if bounded is not None else polygons_df.isLocal():
             return polygons_df.select(key, geom_col)
     except Exception:  # pragma: no cover - defensive
         pass
@@ -443,7 +450,14 @@ def regions_geojson(
     # regroup rows that were already keyed by ``key``  (guide §2.4:
     # operations keyed the same way share one exchange). Identical
     # output: the merge is the same associative _blob_merger.
-    partials = _dissolve_partials(selected, key, geom_col, True)
+    # The semi-join only drops rows, so the INPUT's localness decides
+    # boundedness — isLocal() on the joined frame would always be False
+    # and a no-op partial crossing would run for every local fixture.
+    try:
+        bounded = polygons_df.isLocal()
+    except Exception:  # pragma: no cover - defensive
+        bounded = None
+    partials = _dissolve_partials(selected, key, geom_col, True, bounded=bounded)
     merger = _blob_merger(True)
 
     def to_feature(pdf: pd.DataFrame) -> pd.DataFrame:

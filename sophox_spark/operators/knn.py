@@ -204,12 +204,19 @@ def knn_join(
                 point_key, lon_col, lat_col, poi_key, "dist_m", "rank", "__done"
             )
         )
-        # no materialization needed: the done-rows branch and the
-        # straggler anti-join share the window's shuffle (one exchange,
-        # computed once per job — measured identical warm and ~3 s
-        # cheaper cold than an eager localCheckpoint, which serialized
-        # an extra job); every recomputation is deterministic (ranked
-        # ties fully broken by dist, poi_key)
+        # lazy persist: the candidate-join + window subtree feeds BOTH
+        # the done-rows branch and (via the broadcast done_keys build)
+        # the straggler anti-join, and Catalyst cannot reuse the
+        # exchange between them (column pruning makes the two subtrees
+        # canonically different). A lazy MEMORY_AND_DISK persist
+        # computes it once — the broadcast-build job fills the cache,
+        # the main action reads it — without the extra serialization
+        # job an eager localCheckpoint was measured to cost (~3 s
+        # cold). The cache is created and consumed inside this query's
+        # own action and holds only the ≤ k·|points| ranked rows;
+        # every recomputation is deterministic anyway (ranked ties
+        # fully broken by dist, poi_key)
+        topk = topk.persist()
         done_keys = topk.filter("__done").select(point_key).distinct()
         stragglers = remaining.join(F.broadcast(done_keys), point_key, "left_anti")
         exhaustive = brute_force_knn(

@@ -160,7 +160,15 @@ def regions_topojson(
     ``n_arcs``, ``n_shared_arcs`` (arcs referenced more than once).
     """
     selected = polygons_df.join(F.broadcast(ids_df), key, "left_semi")
-    dissolved = dissolve(selected, key=key, geom_col=geom_col)
+    # the semi-join only drops rows: the INPUT's localness decides
+    # whether the map-side dissolve partial is needed (see
+    # dissolve._dissolve_partials — a local fixture skips the no-op
+    # partial crossing)
+    try:
+        bounded = polygons_df.isLocal()
+    except Exception:  # pragma: no cover - defensive
+        bounded = None
+    dissolved = dissolve(selected, key=key, geom_col=geom_col, bounded=bounded)
 
     def simplify_partial(batches):
         # distributed per-key simplification; quantization must wait for
