@@ -99,6 +99,55 @@ def _density_adapted_res(pois_df, k: int, res: int, poi_lon: str, poi_lat: str) 
     return max(2, min(res, r0))
 
 
+def _ring_expand_dim(base_pois, poi_key: str, res: int, ring: int, n: int):
+    """Explode the POI dim to one row per (poi, cell whose ring-``ring``
+    neighborhood contains the poi) — the dim-side half of the k-ring
+    join (guide §8: explode the small side, never the big one). A point
+    then joins on its OWN cell: point_cell ∈ ring(poi_cell) ⟺
+    poi_cell ∈ ring(point_cell), so the candidate pairs are identical
+    to exploding the point side. POIs with invalid coordinates
+    (cell −1) are dropped here — they were unreachable as candidates
+    before too (a −1 cell never equals any ring cell); invalid POINTS
+    now simply match nothing and resolve through the escalation /
+    exhaustive path instead of probing clamped garbage cells.
+    Output columns: ``poi_key, __poi_lon, __poi_lat, __poi_cell``."""
+    from .spatial_join import cell_expr
+
+    c = cell_expr("__poi_lon", "__poi_lat", res)
+    x = (c / F.lit(1 << 29)).cast("long") % F.lit(1 << 29)
+    y = c % F.lit(1 << 29)
+    exploded = (
+        base_pois.select(
+            F.col(poi_key), "__poi_lon", "__poi_lat",
+            c.alias("__c"), x.alias("__x"), y.alias("__y"),
+        )
+        .filter(F.col("__c") >= 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dx"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dy"),
+        )
+        .filter(
+            (F.col("__y") + F.col("__dy") >= 0)
+            & (F.col("__y") + F.col("__dy") < n)
+        )
+        .select(
+            F.col(poi_key), "__poi_lon", "__poi_lat",
+            (
+                F.lit(res).cast("long") * F.lit(1 << 58)
+                + F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)) * F.lit(1 << 29)
+                + (F.col("__y") + F.col("__dy"))
+            ).alias("__poi_cell"),
+        )
+    )
+    if 2 * ring + 1 > n:  # lon wrap can repeat cells at coarse res
+        exploded = exploded.dropDuplicates([poi_key, "__poi_cell"])
+    return exploded
+
+
 def knn_join(
     points_df: DataFrame,
     pois_df: DataFrame,
@@ -148,36 +197,31 @@ def knn_join(
         # bounded by the same argument that justified broadcast_pois.
         # The non-broadcast path keeps the full coarsening ladder.
         lvl_res, ring = res, 1
-        pois = F.broadcast(
-            base_pois.withColumn(
-                "__poi_cell", cell_expr("__poi_lon", "__poi_lat", lvl_res)
-            )
-        )
         n = 1 << lvl_res
-        expanded = (
-            remaining.withColumn("__cell", cell_expr(lon_col, lat_col, lvl_res))
-            .withColumn("__x", (F.col("__cell") / F.lit(1 << 29)).cast("long") % F.lit(1 << 29))
-            .withColumn("__y", F.col("__cell") % F.lit(1 << 29))
-            .withColumn("__dx", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
-            .withColumn("__dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
-            .withColumn("__nx", F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)))
-            .withColumn("__ny", F.col("__y") + F.col("__dy"))
-            .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
-            .withColumn(
-                "__poi_cell",
-                F.lit(lvl_res).cast("long") * F.lit(1 << 58)
-                + F.col("__nx") * F.lit(1 << 29)
-                + F.col("__ny"),
+        # ring expansion on the DIM side (guide §8 "explode the small
+        # side"): each POI's cell explodes to its (2r+1)² neighborhood
+        # inside the broadcast build — evaluated once over the small
+        # table — and the POINT side joins on its own single cell, so
+        # the big side carries no Generate and is never row-amplified
+        # before the join. The candidate set is identical by ring
+        # symmetry: point_cell ∈ ring(poi_cell) ⟺ poi_cell ∈
+        # ring(point_cell) (dx,dy closed under negation; pmod lon wrap
+        # symmetric; a valid lat offset inverts to the POI's own valid
+        # lat), so the joined pairs — and every downstream dist/rank —
+        # are unchanged row-for-row.
+        pois_exp = _ring_expand_dim(base_pois, poi_key, lvl_res, ring, n)
+        cand = (
+            remaining.withColumn(
+                "__poi_cell", cell_expr(lon_col, lat_col, lvl_res)
             )
-            .drop("__cell", "__x", "__y", "__dx", "__dy", "__nx", "__ny")
-        )
-        if 2 * ring + 1 > n:
-            expanded = expanded.dropDuplicates([point_key, "__poi_cell"])
-        cand = expanded.join(pois, "__poi_cell").withColumn(
-            "dist_m",
-            haversine_m_expr(
-                F.col(lon_col), F.col(lat_col), F.col("__poi_lon"), F.col("__poi_lat")
-            ),
+            .join(F.broadcast(pois_exp), "__poi_cell")
+            .withColumn(
+                "dist_m",
+                haversine_m_expr(
+                    F.col(lon_col), F.col(lat_col),
+                    F.col("__poi_lon"), F.col("__poi_lat"),
+                ),
+            )
         )
         w = Window.partitionBy(point_key).orderBy(
             F.col("dist_m").asc(), F.col(poi_key).asc()
@@ -219,48 +263,56 @@ def knn_join(
         topk = topk.persist()
         done_keys = topk.filter("__done").select(point_key).distinct()
         stragglers = remaining.join(F.broadcast(done_keys), point_key, "left_anti")
+        done = topk.filter("__done").drop("__done")
+        # short-circuit the straggler branch when round 1 resolved every
+        # point (the common case by construction — the density-adapted
+        # start res targets it): the isEmpty probe reuses the broadcast
+        # done_keys build (which also fills the persist cache), and the
+        # caller's action then compiles only a cache-scan + filter plan
+        # instead of the union with the brute-force subtree. Purely a
+        # plan-size decision from runtime data — the result set is
+        # identical either way (empty union branch vs no union branch).
+        if stragglers.isEmpty():
+            return done
         exhaustive = brute_force_knn(
             stragglers, base_pois, k, point_key=point_key, poi_key=poi_key,
             lon_col=lon_col, lat_col=lat_col,
             poi_lon="__poi_lon", poi_lat="__poi_lat",
         )
-        return topk.filter("__done").drop("__done").unionByName(exhaustive)
+        return done.unionByName(exhaustive)
     results = None
     schedule = _escalation_schedule(res)
     for li, (lvl_res, ring) in enumerate(schedule):
         last = li == len(schedule) - 1
-        pois = base_pois.withColumn(
-            "__poi_cell", cell_expr("__poi_lon", "__poi_lat", lvl_res)
-        )
+        # dim-side k-ring (same symmetry argument as the broadcast
+        # path): the POI table — the small side — explodes to its
+        # (2r+1)² neighborhood and the worklist joins on its OWN cell,
+        # so on the non-broadcast (shuffle-join) route the big side
+        # ships |points| rows per level instead of (2r+1)²·|points|
+        # (guide §2.3: shuffle fewer bytes; ring 4 alone was a 81×
+        # amplification of the worklist)
+        n = 1 << lvl_res
+        pois = _ring_expand_dim(base_pois, poi_key, lvl_res, ring, n)
         if broadcast_pois:
             pois = F.broadcast(pois)
-        # native k-ring: two explodes + modular lon wrap / lat clamp —
-        # no Python anywhere in the candidate path
-        n = 1 << lvl_res
-        expanded = (
-            remaining.withColumn("__cell", cell_expr(lon_col, lat_col, lvl_res))
-            .withColumn("__x", (F.col("__cell") / F.lit(1 << 29)).cast("long") % F.lit(1 << 29))
-            .withColumn("__y", F.col("__cell") % F.lit(1 << 29))
-            .withColumn("__dx", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
-            .withColumn("__dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
-            .withColumn("__nx", F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)))
-            .withColumn("__ny", F.col("__y") + F.col("__dy"))
-            .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
-            .withColumn(
+        # total join key: an invalid-coordinate point (cell −1) adopts
+        # the level's (0,0) cell so the LAST level — whose dim covering
+        # spans the whole grid — still gives every point the documented
+        # global scan instead of silently dropping it
+        pc = cell_expr(lon_col, lat_col, lvl_res)
+        cand = (
+            remaining.withColumn(
                 "__poi_cell",
-                F.lit(lvl_res).cast("long") * F.lit(1 << 58)
-                + F.col("__nx") * F.lit(1 << 29)
-                + F.col("__ny"),
+                F.when(pc >= 0, pc).otherwise(F.lit(lvl_res << 58).cast("long")),
             )
-            .drop("__cell", "__x", "__y", "__dx", "__dy", "__nx", "__ny")
-        )
-        if 2 * ring + 1 > n:  # lon wrap can repeat cells at coarse res
-            expanded = expanded.dropDuplicates([point_key, "__poi_cell"])
-        cand = expanded.join(pois, "__poi_cell").withColumn(
-            "dist_m",
-            haversine_m_expr(
-                F.col(lon_col), F.col(lat_col), F.col("__poi_lon"), F.col("__poi_lat")
-            ),
+            .join(pois, "__poi_cell")
+            .withColumn(
+                "dist_m",
+                haversine_m_expr(
+                    F.col(lon_col), F.col(lat_col),
+                    F.col("__poi_lon"), F.col("__poi_lat"),
+                ),
+            )
         )
         w = Window.partitionBy(point_key).orderBy(
             F.col("dist_m").asc(), F.col(poi_key).asc()
