@@ -148,6 +148,46 @@ def _ring_expand_dim(base_pois, poi_key: str, res: int, ring: int, n: int):
     return exploded
 
 
+def _ring_expand_points(points_df, point_key, lon_col, lat_col, res, ring, n):
+    """Point-side ring expansion (one row per point × ring cell) — used
+    when the WORKLIST is the smaller side (straggler rounds), where
+    amplifying it is cheaper than re-exploding the POI dim at a wider
+    ring. Same cell arithmetic as the dim-side expansion."""
+    from .spatial_join import cell_expr
+
+    c = cell_expr(lon_col, lat_col, res)
+    x = (c / F.lit(1 << 29)).cast("long") % F.lit(1 << 29)
+    y = c % F.lit(1 << 29)
+    expanded = (
+        points_df.select(
+            "*", x.alias("__x"), y.alias("__y"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dx"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dy"),
+        )
+        .filter(
+            (F.col("__y") + F.col("__dy") >= 0)
+            & (F.col("__y") + F.col("__dy") < n)
+        )
+        .select(
+            *points_df.columns,
+            (
+                F.lit(res).cast("long") * F.lit(1 << 58)
+                + F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)) * F.lit(1 << 29)
+                + (F.col("__y") + F.col("__dy"))
+            ).alias("__poi_cell"),
+        )
+    )
+    if 2 * ring + 1 > n:  # lon wrap can repeat cells at coarse res
+        expanded = expanded.dropDuplicates([point_key, "__poi_cell"])
+    return expanded
+
+
 def knn_join(
     points_df: DataFrame,
     pois_df: DataFrame,
@@ -184,102 +224,124 @@ def knn_join(
         res = _density_adapted_res(pois_df, k, res, poi_lon, poi_lat)
     remaining = points_df.select(point_key, lon_col, lat_col)
     if broadcast_pois:
-        # TWO-ROUND SHAPE for a broadcastable POI dim: one ring-1 round
-        # at the density-adapted res resolves the vast majority of
-        # points (guarantee-radius proof, unchanged); the stragglers
-        # then go STRAIGHT to the exact exhaustive scan the old ladder
-        # only reached after up to 4 more escalation levels — each of
-        # which cost a localCheckpoint job, a stats job, an isEmpty job
-        # and a worklist checkpoint. The exhaustive scan is the same
-        # broadcast nested-loop the final ladder level already was, so
-        # results are identical row-for-row; it is exact by definition
-        # and its cost is |stragglers| × |pois| with pois broadcast —
-        # bounded by the same argument that justified broadcast_pois.
-        # The non-broadcast path keeps the full coarsening ladder.
-        lvl_res, ring = res, 1
-        n = 1 << lvl_res
-        # ring expansion on the DIM side (guide §8 "explode the small
-        # side"): each POI's cell explodes to its (2r+1)² neighborhood
-        # inside the broadcast build — evaluated once over the small
-        # table — and the POINT side joins on its own single cell, so
-        # the big side carries no Generate and is never row-amplified
-        # before the join. The candidate set is identical by ring
-        # symmetry: point_cell ∈ ring(poi_cell) ⟺ poi_cell ∈
-        # ring(point_cell) (dx,dy closed under negation; pmod lon wrap
-        # symmetric; a valid lat offset inverts to the POI's own valid
-        # lat), so the joined pairs — and every downstream dist/rank —
-        # are unchanged row-for-row.
-        pois_exp = _ring_expand_dim(base_pois, poi_key, lvl_res, ring, n)
-        cand = (
-            remaining.withColumn(
-                "__poi_cell", cell_expr(lon_col, lat_col, lvl_res)
-            )
-            .join(F.broadcast(pois_exp), "__poi_cell")
-            .withColumn(
+        # BROADCAST-DIM SHAPE: ring-1 at the density-adapted res
+        # resolves the vast majority of points (guarantee-radius proof,
+        # unchanged); a ring-4 straggler round then resolves almost all
+        # of the rest with ~(2·4+1)²-cell candidate sets — measured 2
+        # orders of magnitude cheaper than sending the stragglers
+        # straight to the exhaustive scan (at 10× bench scale ~11% of
+        # points straggle after round 1: |stragglers| × |pois| pairs ≈
+        # 150M vs ~600k ring-4 candidates). Only what ring 4 still
+        # cannot prove goes to the exact exhaustive broadcast scan,
+        # whose cost is then bounded by the same argument that
+        # justified broadcast_pois. Each round short-circuits: when its
+        # worklist is empty the later plans are never even built (the
+        # isEmpty probe reuses the done-keys broadcast build, which
+        # also fills the round's persist cache). The non-broadcast path
+        # keeps the full coarsening ladder.
+        w = Window.partitionBy(point_key).orderBy(
+            F.col("dist_m").asc(), F.col(poi_key).asc()
+        )
+        wp = Window.partitionBy(point_key)
+        done_parts = []
+        rem = remaining
+        for ring in (1, 4):
+            lvl_res = res
+            n = 1 << lvl_res
+            if ring == 1:
+                # ring expansion on the DIM side (guide §8 "explode the
+                # small side"): each POI's cell explodes to its ring
+                # neighborhood inside the broadcast build and the POINT
+                # side joins on its own single cell — the big side
+                # carries no Generate and is never row-amplified before
+                # the join. Candidate pairs identical by ring symmetry:
+                # point_cell ∈ ring(poi_cell) ⟺ poi_cell ∈
+                # ring(point_cell) (dx,dy closed under negation; pmod
+                # lon wrap symmetric; a valid lat offset inverts to the
+                # POI's own valid lat).
+                pois_r = F.broadcast(
+                    _ring_expand_dim(base_pois, poi_key, lvl_res, ring, n)
+                )
+                cand = rem.withColumn(
+                    "__poi_cell", cell_expr(lon_col, lat_col, lvl_res)
+                ).join(pois_r, "__poi_cell")
+            else:
+                # straggler round: the worklist is now the SMALL side —
+                # explode its ring cells instead of 81×-amplifying the
+                # POI broadcast
+                pois_r = F.broadcast(
+                    base_pois.withColumn(
+                        "__poi_cell",
+                        cell_expr("__poi_lon", "__poi_lat", lvl_res),
+                    )
+                )
+                cand = _ring_expand_points(
+                    rem, point_key, lon_col, lat_col, lvl_res, ring, n
+                ).join(pois_r, "__poi_cell")
+            cand = cand.withColumn(
                 "dist_m",
                 haversine_m_expr(
                     F.col(lon_col), F.col(lat_col),
                     F.col("__poi_lon"), F.col("__poi_lat"),
                 ),
             )
-        )
-        w = Window.partitionBy(point_key).orderBy(
-            F.col("dist_m").asc(), F.col(poi_key).asc()
-        )
-        # the done test (≥k candidates, k-th dist inside the guarantee
-        # radius) folds into window aggs over the SAME partitioning as
-        # the rank — no second groupBy shuffle, no separate stats job
-        wp = Window.partitionBy(point_key)
-        guarantee = _guarantee_radius_m(lvl_res, ring, lat_col)
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .withColumn(
-                "__nk", F.count(F.when(F.col("rank") <= k, F.lit(1))).over(wp)
+            # the done test (≥k candidates, k-th dist inside the
+            # guarantee radius) folds into window aggs over the SAME
+            # partitioning as the rank — no second groupBy shuffle, no
+            # separate stats job
+            guarantee = _guarantee_radius_m(lvl_res, ring, lat_col)
+            topk = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .withColumn(
+                    "__nk",
+                    F.count(F.when(F.col("rank") <= k, F.lit(1))).over(wp),
+                )
+                .withColumn(
+                    "__maxd",
+                    F.max(F.when(F.col("rank") <= k, F.col("dist_m"))).over(wp),
+                )
+                .filter(F.col("rank") <= k)
+                .withColumn(
+                    "__done",
+                    (F.col("__nk") >= k) & (F.col("__maxd") < guarantee),
+                )
+                .select(
+                    point_key, lon_col, lat_col, poi_key,
+                    "dist_m", "rank", "__done",
+                )
             )
-            .withColumn(
-                "__maxd",
-                F.max(F.when(F.col("rank") <= k, F.col("dist_m"))).over(wp),
+            # lazy persist: the candidate-join + window subtree feeds
+            # BOTH the done-rows branch and (via the broadcast
+            # done_keys build) the straggler anti-join, and Catalyst
+            # cannot reuse the exchange between them (column pruning
+            # makes the two subtrees canonically different). A lazy
+            # MEMORY_AND_DISK persist computes it once — the
+            # broadcast-build job fills the cache, the main action
+            # reads it — without the extra serialization job an eager
+            # localCheckpoint was measured to cost (~3 s cold). The
+            # cache is created and consumed inside this query's own
+            # action and holds only the ≤ k·|worklist| ranked rows;
+            # every recomputation is deterministic anyway (ranked ties
+            # fully broken by dist, poi_key)
+            topk = topk.persist()
+            done_keys = topk.filter("__done").select(point_key).distinct()
+            done_parts.append(topk.filter("__done").drop("__done"))
+            rem = rem.join(F.broadcast(done_keys), point_key, "left_anti")
+            if rem.isEmpty():
+                rem = None
+                break
+        if rem is not None:
+            done_parts.append(
+                brute_force_knn(
+                    rem, base_pois, k, point_key=point_key, poi_key=poi_key,
+                    lon_col=lon_col, lat_col=lat_col,
+                    poi_lon="__poi_lon", poi_lat="__poi_lat",
+                )
             )
-            .filter(F.col("rank") <= k)
-            .withColumn(
-                "__done", (F.col("__nk") >= k) & (F.col("__maxd") < guarantee)
-            )
-            .select(
-                point_key, lon_col, lat_col, poi_key, "dist_m", "rank", "__done"
-            )
-        )
-        # lazy persist: the candidate-join + window subtree feeds BOTH
-        # the done-rows branch and (via the broadcast done_keys build)
-        # the straggler anti-join, and Catalyst cannot reuse the
-        # exchange between them (column pruning makes the two subtrees
-        # canonically different). A lazy MEMORY_AND_DISK persist
-        # computes it once — the broadcast-build job fills the cache,
-        # the main action reads it — without the extra serialization
-        # job an eager localCheckpoint was measured to cost (~3 s
-        # cold). The cache is created and consumed inside this query's
-        # own action and holds only the ≤ k·|points| ranked rows;
-        # every recomputation is deterministic anyway (ranked ties
-        # fully broken by dist, poi_key)
-        topk = topk.persist()
-        done_keys = topk.filter("__done").select(point_key).distinct()
-        stragglers = remaining.join(F.broadcast(done_keys), point_key, "left_anti")
-        done = topk.filter("__done").drop("__done")
-        # short-circuit the straggler branch when round 1 resolved every
-        # point (the common case by construction — the density-adapted
-        # start res targets it): the isEmpty probe reuses the broadcast
-        # done_keys build (which also fills the persist cache), and the
-        # caller's action then compiles only a cache-scan + filter plan
-        # instead of the union with the brute-force subtree. Purely a
-        # plan-size decision from runtime data — the result set is
-        # identical either way (empty union branch vs no union branch).
-        if stragglers.isEmpty():
-            return done
-        exhaustive = brute_force_knn(
-            stragglers, base_pois, k, point_key=point_key, poi_key=poi_key,
-            lon_col=lon_col, lat_col=lat_col,
-            poi_lon="__poi_lon", poi_lat="__poi_lat",
-        )
-        return done.unionByName(exhaustive)
+        out = done_parts[0]
+        for part in done_parts[1:]:
+            out = out.unionByName(part)
+        return out
     results = None
     schedule = _escalation_schedule(res)
     for li, (lvl_res, ring) in enumerate(schedule):
