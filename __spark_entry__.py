@@ -4891,16 +4891,23 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     docs = spark.table("documents")
+    # lazy persist: the substring-strip (itself a multi-shuffle
+    # operator) feeds THREE consumers — the LM train shard (an eager
+    # model collect), the scoring shard, and the survivor join — and
+    # `kept` feeds two more (the packer's prefix sum + the evidence
+    # join). Without the persists each consumer re-derives the full
+    # strip. Both caches live and die inside this query's own actions;
+    # recomputation is deterministic either way, so rows are unchanged.
     cleaned = dedup.strip_duplicated_spans(docs, k=13).where(
         F.size(F.split(F.col("text"), " ")) > 0
-    ).where(F.col("text") != "")
+    ).where(F.col("text") != "").persist()
     model = lm.train_bigram_lm(cleaned.where(F.col("doc_id") % 10 == 0))
     scored = lm.perplexity(cleaned.where(F.col("doc_id") % 10 != 0), model)
     kept = (
         cleaned.join(scored, "doc_id")
         .where(F.col("avg_logprob") > -7.5)
         .select("doc_id", "text", "avg_logprob")
-    )
+    ).persist()
     packed = sampling.pack_sequences(kept, budget=256)
     return (
         packed.join(kept.select("doc_id", "avg_logprob"), "doc_id")
