@@ -177,7 +177,28 @@ def ann_topk(
     bucket candidates. Recall vs ``cosine_topk`` measured in tests. At
     scale the only shuffle is the (table, bucket) equi-join; candidate
     count per query is bounded by bucket sizes × tables × probes, not n.
-    Output: (query_id, neighbor_id, cosine, rank)."""
+    Output: (query_id, neighbor_id, cosine, rank).
+
+    Route: a corpus inside ``_IVF_BROADCAST_MAX_BYTES`` (the size class
+    the join plan already broadcast twice for vector re-attach) runs as
+    one mapInPandas over the query side against the broadcast corpus +
+    its precomputed table buckets: multiprobe, candidate union-dedup,
+    exact cosine and per-query top-k all local — no bucket-join pair
+    materialization, no Arrow pair crossing, no window shuffle. The
+    bucket/probe math and the cosine einsum replicate the column
+    kernels bit-for-bit, so output is row-identical to the join path
+    (pinned by TestAnnBroadcastEquivalence). Larger corpora keep the
+    skinny (id, bucket) equi-join."""
+    key_type = df.schema[key].dataType.simpleString()
+    max_rows = _IVF_BROADCAST_MAX_BYTES // (dim * 8 + 16)
+    if key_type in ("bigint", "int", "smallint", "tinyint") and not (
+        df.limit(max_rows + 1).count() > max_rows
+    ):
+        out = _ann_topk_broadcast(
+            df, k, key, vec_col, dim, n_planes, n_tables, n_probes, seed
+        )
+        if out is not None:
+            return out
     # candidate generation and the union-over-tables dedup carry ONLY
     # (id, bucket) / (query_id, neighbor_id) — the embedding payloads
     # never ride through the bucket join or the dropDuplicates shuffle
@@ -214,6 +235,94 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _ann_topk_broadcast(
+    df: DataFrame, k: int, key: str, vec_col: str, dim: int,
+    n_planes: int, n_tables: int, n_probes: int, seed: int,
+) -> DataFrame | None:
+    """Broadcast-corpus ANN kernel (see ``ann_topk`` route comment).
+
+    Corpus-side single-bucket assignment replicates
+    ``multitable_signature_col`` and the query-side probe replicates
+    ``multiprobe_signature_col`` with the same rng/planes/weights ops;
+    candidate union over probed buckets is deduped with np.unique
+    (order-insensitive, same set the dropDuplicates produced), self
+    dropped by ID equality, cosine computed with the exact
+    ``_pair_cosine_col`` einsum formulation, local top-k by
+    (cosine desc, neighbor_id asc). Returns None on an empty corpus."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_tables * n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    table_off = np.arange(n_tables, dtype=np.int64) << 32
+
+    rows = df.select(key, vec_col).collect()
+    if not rows:
+        return None
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    bits = ((M @ planes) >= 0.0).reshape(len(M), n_tables, n_planes)
+    corpus_buckets = bits @ weights + table_off  # (n, n_tables)
+    members: dict[int, list[int]] = {}
+    for i, bs in enumerate(corpus_buckets):
+        for b in bs.tolist():
+            members.setdefault(b, []).append(i)
+    members_idx = {b: np.array(v, dtype=np.int64) for b, v in members.items()}
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, members_idx))
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"query_id {key_type}, neighbor_id {key_type}, cosine double, rank int"
+    )
+    empty = np.empty(0, dtype=np.int64)
+
+    def gen(batches):
+        ids_b, M_b, members_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            proj = (Q @ planes).reshape(len(Q), n_tables, n_planes)
+            base = (proj >= 0.0) @ weights + table_off
+            order_p = np.argsort(np.abs(proj), axis=2)
+            probes = [base]
+            for p in range(min(n_probes - 1, n_planes)):
+                flip = order_p[:, :, p].astype(np.int64)
+                probes.append(base ^ (np.int64(1) << flip))
+            probe_buckets = np.concatenate(probes, axis=1)  # (batch, tables*probes)
+            out_q, out_n, out_c, out_r = [], [], [], []
+            qids = pdf[key].to_numpy()
+            for i in range(len(pdf)):
+                qid = int(qids[i])
+                cand = np.unique(
+                    np.concatenate(
+                        [members_b.get(int(b), empty) for b in probe_buckets[i]]
+                    )
+                )
+                cand = cand[ids_b[cand] != qid]
+                if len(cand) == 0:
+                    continue
+                Cc = M_b[cand]
+                A = np.broadcast_to(Q[i], Cc.shape)
+                num = np.einsum("ij,ij->i", A, Cc)
+                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", Cc, Cc)
+                )
+                cos = num / den
+                nid = ids_b[cand]
+                order = np.lexsort((nid, -cos))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(nid[order].tolist())
+                out_c.extend(cos[order].tolist())
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "cosine": out_c,
+                    "rank": pd.array(out_r, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def train_ivf_centroids(
@@ -265,6 +374,13 @@ def ivf_lists_col(vec_col: str, centroids: np.ndarray, nprobe: int = 1):
     return _lists(F.col(vec_col))
 
 
+#: corpus byte budget for the IVF broadcast fast path (vectors ×
+#: float64); matches the session's autoBroadcastJoinThreshold default —
+#: the same size class the old plan already broadcast TWICE (query and
+#: corpus vector re-attach joins)
+_IVF_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -280,8 +396,32 @@ def ivf_topk(
     centroid list each; queries probe their ``nprobe`` nearest lists;
     exact cosine re-rank inside the probed lists. At scale the list
     equi-join is the only shuffle and list sizes are ~n/n_lists.
-    Output: (query_id, neighbor_id, cosine, rank)."""
+    Output: (query_id, neighbor_id, cosine, rank).
+
+    Route: when the corpus fits ``_IVF_BROADCAST_MAX_BYTES`` (the same
+    size class the join plan already broadcast twice for the vector
+    re-attach), the whole probe runs as ONE mapInPandas over the query
+    side against the broadcast corpus matrix: probe lists, candidate
+    gather, exact cosine and the per-query top-k all happen locally —
+    no candidate-pair materialization (~0.37·n² rows at nprobe=6/16),
+    no Arrow pair crossing, no window shuffle (guide §2.1: remove the
+    shuffle, don't tune it). Per-pair cosine uses the identical
+    ``einsum("ij,ij->i")`` float64 formulation as ``_pair_cosine_col``
+    and the probe/assignment replicate ``ivf_lists_col`` exactly, so
+    the output is row-for-row identical to the join path (verified both
+    directions at sf0.01/sf0.1). Larger corpora keep the skinny list
+    equi-join."""
     C = train_ivf_centroids(df, n_lists, key, vec_col, sample=sample, seed=seed)
+    key_type = df.schema[key].dataType.simpleString()
+    max_rows = _IVF_BROADCAST_MAX_BYTES // (
+        len(C[0]) * 8 + 16
+    )
+    if key_type in ("bigint", "int", "smallint", "tinyint") and not (
+        df.limit(max_rows + 1).count() > max_rows
+    ):
+        out = _ivf_topk_broadcast(df, C, k, key, vec_col, nprobe)
+        if out is not None:
+            return out
     # the list equi-join ships (id, list) only; vectors re-attach per
     # candidate pair by id and the exact-cosine rerank runs in one
     # Arrow batch (guide §8 / §4.2 — formerly the embedding payloads
@@ -313,6 +453,78 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _ivf_topk_broadcast(
+    df: DataFrame, C: np.ndarray, k: int, key: str, vec_col: str, nprobe: int
+) -> DataFrame | None:
+    """Broadcast-corpus IVF kernel (see ``ivf_topk`` route comment).
+
+    Collects the (byte-budgeted) corpus once, assigns each vector to
+    its list with the SAME normalized-argmax numpy ops as
+    ``ivf_lists_col``, then streams the query side through one
+    mapInPandas: per query, gather the members of its ``nprobe``
+    probed lists, drop self by ID equality (matching the join path's
+    ``query_id != neighbor_id`` filter), compute cosine with the exact
+    ``_pair_cosine_col`` einsum formulation, and emit the local top-k
+    ranked by (cosine desc, neighbor_id asc) — exact because a query's
+    full candidate set is present locally. Returns None on an empty
+    corpus (caller falls back to the join path, which yields the same
+    empty result)."""
+    rows = df.select(key, vec_col).collect()
+    if not rows:
+        return None
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Cm = np.ascontiguousarray(C)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    assign = np.argsort(-(Mn @ Cm.T), axis=1)[:, 0]
+    members = {j: np.nonzero(assign == j)[0] for j in range(len(Cm))}
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, members, Cm))
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"query_id {key_type}, neighbor_id {key_type}, cosine double, rank int"
+    )
+
+    def gen(batches):
+        ids_b, M_b, members_b, C_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Qn = np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            probe = np.argsort(-((Q / Qn) @ C_b.T), axis=1)[:, :nprobe]
+            out_q, out_n, out_c, out_r = [], [], [], []
+            qids = pdf[key].to_numpy()
+            for i in range(len(pdf)):
+                qid = int(qids[i])
+                cand = np.concatenate([members_b[int(j)] for j in probe[i]])
+                cand = cand[ids_b[cand] != qid]
+                if len(cand) == 0:
+                    continue
+                Cc = M_b[cand]
+                A = np.broadcast_to(Q[i], Cc.shape)
+                num = np.einsum("ij,ij->i", A, Cc)
+                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", Cc, Cc)
+                )
+                cos = num / den
+                nid = ids_b[cand]
+                order = np.lexsort((nid, -cos))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(nid[order].tolist())
+                out_c.extend(cos[order].tolist())
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "cosine": out_c,
+                    "rank": pd.array(out_r, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def cosine_dup_pairs(

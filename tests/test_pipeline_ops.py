@@ -393,6 +393,24 @@ class TestTaginfo:
         assert final.count() == 1 and final.collect()[0].key == "name"
 
 
+class TestAnnBroadcastEquivalence:
+    def test_broadcast_kernel_matches_join_path(self, spark, monkeypatch):
+        """The byte-budgeted broadcast fast path of ivf_topk/ann_topk
+        must be row-for-row identical to the distributed join path it
+        short-circuits (same probe/bucket math, same einsum cosine,
+        same tie-break) — pinned by forcing the budget to 0 for the
+        join-path run."""
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+        fast_ivf = similarity.ivf_topk(emb, k=3).collect()
+        fast_ann = similarity.ann_topk(emb, k=3).collect()
+        monkeypatch.setattr(similarity, "_IVF_BROADCAST_MAX_BYTES", 0)
+        join_ivf = similarity.ivf_topk(emb, k=3).collect()
+        join_ann = similarity.ann_topk(emb, k=3).collect()
+        assert sorted(map(tuple, fast_ivf)) == sorted(map(tuple, join_ivf))
+        assert sorted(map(tuple, fast_ann)) == sorted(map(tuple, join_ann))
+
+
 class TestIvf:
     def test_ivf_recall_clustered_vs_uniform(self, spark):
         """IVF's contract: on CLUSTERED embeddings (the realistic case)
