@@ -281,21 +281,22 @@ def duplicate_clusters(
             .groupBy("x")
             .agg(F.min("nl").alias("mn"))
         )
+        # the convergence flag rides the SAME projection as the label
+        # update (mn < label ⟺ the round changed this node), so each
+        # round is one checkpointed pass + a cheap count over it — the
+        # old separate new-vs-old labels join re-shuffled the full
+        # label table once more per round just to count changes
         new_labels = (
             labels.join(nbr_min, "x", "left")
             .select(
                 "x",
                 F.least(F.col("label"), F.coalesce("mn", "label")).alias("label"),
+                (F.col("mn") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "x")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__chg").count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             return labels.select("x", F.col("label").alias("cluster"))
     raise RuntimeError(

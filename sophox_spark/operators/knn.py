@@ -99,6 +99,115 @@ def _density_adapted_res(pois_df, k: int, res: int, poi_lon: str, poi_lat: str) 
     return max(2, min(res, r0))
 
 
+#: row cap for collecting the POI dim driver-side on the broadcast
+#: path — 64 MB at ~32 B/row (key + 2 doubles), the same size class
+#: ``broadcast_pois=True`` already commits to shipping to every task
+_POI_COLLECT_MAX_ROWS = 2_000_000
+
+
+def _collect_poi_dim(base_pois):
+    """Bounded collect of the (already broadcast-sized) POI dim so the
+    density probe, the ring-expanded broadcast build and the straggler
+    dims come from driver memory (LocalTableScan) instead of each
+    re-deriving the dim with its own Spark job — the same driver-side
+    dim treatment spatial_join's covering and ``_rect_polys`` use.
+    Returns None (caller keeps the distributed path) when the dim
+    exceeds the cap or contains null/NaN coordinates, whose min/max
+    semantics differ between numpy and Spark aggregates."""
+    rows = base_pois.limit(_POI_COLLECT_MAX_ROWS + 1).collect()
+    if len(rows) > _POI_COLLECT_MAX_ROWS:
+        return None
+    for r in rows:
+        lon, lat = r[1], r[2]
+        if lon is None or lat is None or lon != lon or lat != lat:
+            return None
+    return rows
+
+
+def _density_adapted_res_local(rows, k: int, res: int) -> int:
+    """Driver-side replica of :func:`_density_adapted_res` over the
+    collected POI dim (same formula, Python IEEE doubles ≡ the Spark
+    agg's) — the stats job disappears."""
+    if not rows:
+        return res
+    lons = [r[1] for r in rows]
+    lats = [r[2] for r in rows]
+    area = max((max(lons) - min(lons)) * (max(lats) - min(lats)), 1e-9)
+    density = len(rows) / area
+    want = 4.0 * k
+    ratio = 583_200.0 * density / want
+    r0 = int(math.floor(math.log(max(ratio, 4.0), 4)))
+    return max(2, min(res, r0))
+
+
+def _local_ring_dim(spark, rows, key_type: str, poi_key: str, res: int, ring: int):
+    """numpy replica of :func:`_ring_expand_dim` over the collected dim
+    → an Arrow local relation (zero build jobs). Cell arithmetic uses
+    ``grid.encode``, pinned ≡ ``cell_expr`` by the plan tests."""
+    n = 1 << res
+    lon = np.array([r[1] for r in rows], dtype=np.float64)
+    lat = np.array([r[2] for r in rows], dtype=np.float64)
+    c = grid.encode(lon, lat, res)
+    keep = np.nonzero(c >= 0)[0]
+    c = c[keep]
+    x = (c // (1 << 29)) % (1 << 29)
+    y = c % (1 << 29)
+    idx_parts, cell_parts = [], []
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            ok = (y + dy >= 0) & (y + dy < n)
+            cell = (
+                np.int64(res) * (1 << 58)
+                + ((x[ok] + dx) % n) * (1 << 29)
+                + (y[ok] + dy)
+            )
+            idx_parts.append(keep[ok])
+            cell_parts.append(cell)
+    idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
+    cells = np.concatenate(cell_parts) if cell_parts else np.empty(0, np.int64)
+    if 2 * ring + 1 > n and len(idx):  # lon wrap can repeat cells
+        _, first = np.unique(
+            np.stack([idx, cells]), axis=1, return_index=True
+        )
+        idx, cells = idx[sorted(first)], cells[sorted(first)]
+    pdf = pd.DataFrame(
+        {
+            poi_key: [rows[i][0] for i in idx],
+            "__poi_lon": lon[idx] if len(idx) else np.empty(0, np.float64),
+            "__poi_lat": lat[idx] if len(idx) else np.empty(0, np.float64),
+            "__poi_cell": cells,
+        }
+    )
+    schema = (
+        f"{poi_key} {key_type}, __poi_lon double, __poi_lat double, "
+        "__poi_cell long"
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
+def _local_cell_dim(spark, rows, key_type: str, poi_key: str, res: int):
+    """numpy replica of ``base_pois.withColumn(cell_expr(...))`` for the
+    straggler round — including the −1 cells of invalid coordinates
+    (they never match a constructed point cell, same as the column
+    expression path)."""
+    lon = np.array([r[1] for r in rows], dtype=np.float64)
+    lat = np.array([r[2] for r in rows], dtype=np.float64)
+    c = grid.encode(lon, lat, res) if len(rows) else np.empty(0, np.int64)
+    pdf = pd.DataFrame(
+        {
+            poi_key: [r[0] for r in rows],
+            "__poi_lon": lon,
+            "__poi_lat": lat,
+            "__poi_cell": c,
+        }
+    )
+    schema = (
+        f"{poi_key} {key_type}, __poi_lon double, __poi_lat double, "
+        "__poi_cell long"
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def _ring_expand_dim(base_pois, poi_key: str, res: int, ring: int, n: int):
     """Explode the POI dim to one row per (poi, cell whose ring-``ring``
     neighborhood contains the poi) — the dim-side half of the k-ring
@@ -220,8 +329,20 @@ def knn_join(
         F.col(poi_lon).alias("__poi_lon"),
         F.col(poi_lat).alias("__poi_lat"),
     )
+    # broadcast path: try ONE bounded collect of the dim up front — the
+    # density stats, the ring-expanded broadcast and the straggler dims
+    # then all come from driver memory (LocalTableScan, no build jobs)
+    # instead of each re-deriving the POI subquery
+    local_rows = None
+    key_type = pois_df.schema[poi_key].dataType.simpleString()
+    if broadcast_pois:
+        local_rows = _collect_poi_dim(base_pois)
     if adaptive_res:
-        res = _density_adapted_res(pois_df, k, res, poi_lon, poi_lat)
+        if local_rows is not None:
+            res = _density_adapted_res_local(local_rows, k, res)
+        else:
+            res = _density_adapted_res(pois_df, k, res, poi_lon, poi_lat)
+    spark = points_df.sparkSession
     remaining = points_df.select(point_key, lon_col, lat_col)
     if broadcast_pois:
         # BROADCAST-DIM SHAPE: ring-1 at the density-adapted res
@@ -260,7 +381,11 @@ def knn_join(
                 # lon wrap symmetric; a valid lat offset inverts to the
                 # POI's own valid lat).
                 pois_r = F.broadcast(
-                    _ring_expand_dim(base_pois, poi_key, lvl_res, ring, n)
+                    _local_ring_dim(
+                        spark, local_rows, key_type, poi_key, lvl_res, ring
+                    )
+                    if local_rows is not None
+                    else _ring_expand_dim(base_pois, poi_key, lvl_res, ring, n)
                 )
                 cand = rem.withColumn(
                     "__poi_cell", cell_expr(lon_col, lat_col, lvl_res)
@@ -270,7 +395,11 @@ def knn_join(
                 # explode its ring cells instead of 81×-amplifying the
                 # POI broadcast
                 pois_r = F.broadcast(
-                    base_pois.withColumn(
+                    _local_cell_dim(
+                        spark, local_rows, key_type, poi_key, lvl_res
+                    )
+                    if local_rows is not None
+                    else base_pois.withColumn(
                         "__poi_cell",
                         cell_expr("__poi_lon", "__poi_lat", lvl_res),
                     )
@@ -331,9 +460,15 @@ def knn_join(
                 rem = None
                 break
         if rem is not None:
+            exhaustive_pois = (
+                _local_cell_dim(spark, local_rows, key_type, poi_key, res)
+                .drop("__poi_cell")
+                if local_rows is not None
+                else base_pois
+            )
             done_parts.append(
                 brute_force_knn(
-                    rem, base_pois, k, point_key=point_key, poi_key=poi_key,
+                    rem, exhaustive_pois, k, point_key=point_key, poi_key=poi_key,
                     lon_col=lon_col, lat_col=lat_col,
                     poi_lon="__poi_lon", poi_lat="__poi_lat",
                 )
