@@ -98,10 +98,14 @@ def _udfs():
 def _metadata_rows(df: DataFrame, type_char: str) -> DataFrame:
     """osmm:type/version/user/timestamp/changeset (RdfHandler.py:29-34)."""
     _point_stmt, _str_stmt_user, _str_stmt_type, _str_stmt_role = _udfs()
+    # osmm:type is one constant string per element type — build it
+    # driver-side with the same grammar function instead of running a
+    # pandas UDF per row to produce a literal
+    type_stmt = "osmm:type " + ttl.stringify(type_char)
     rows = df.select(
         "id",
         F.array(
-            F.struct(F.lit(ORD_META + 0).alias("ord"), _str_stmt_type(F.lit(type_char)).alias("stmt")),
+            F.struct(F.lit(ORD_META + 0).alias("ord"), F.lit(type_stmt).alias("stmt")),
             F.struct(
                 F.lit(ORD_META + 1).alias("ord"),
                 F.concat(F.lit('osmm:version "'), F.col("version").cast("string"), F.lit('"^^xsd:integer')).alias("stmt"),
@@ -130,10 +134,18 @@ def node_statements(nodes_df: DataFrame) -> DataFrame:
     """Per-node statement rows (subject, ord, stmt)."""
     _point_stmt, _str_stmt_user, _str_stmt_type, _str_stmt_role = _udfs()
     live = nodes_df.filter(~F.col("deleted"))
+    # nodes with no remaining tags are skipped entirely (P1). A node is
+    # "tagged" iff its created_by-filtered map is non-empty — the same
+    # predicate the tag explode applies — so the skip is a map-side
+    # FILTER, not the former distinct + two semi-joins (one of which,
+    # tag_rows ⋉ tagged_ids, was a no-op: tagged_ids is derived from
+    # tag_rows). tag_statement never returns null, so "has exploded tag
+    # rows" ⟺ "filtered map non-empty" exactly. Removes two exchanges
+    # from every consumer, including each SPARQL store derivation.
+    live = live.filter(
+        F.size(F.map_filter(F.col("tags"), lambda k, v: k != "created_by")) > 0
+    )
     tag_rows = _tag_statement_rows(live, "n")
-    # nodes with no remaining tags are skipped entirely
-    tagged_ids = tag_rows.select("id").distinct()
-    live = live.join(tagged_ids, "id", "left_semi")
     bad = F.col("lon").isNull() | F.col("lat").isNull() | F.isnan("lon") | F.isnan("lat")
     loc_rows = live.select(
         "id",
@@ -144,7 +156,7 @@ def node_statements(nodes_df: DataFrame) -> DataFrame:
     )
     meta_rows = _metadata_rows(live, "n")
     return (
-        tag_rows.join(tagged_ids, "id", "left_semi")
+        tag_rows
         .unionByName(loc_rows)
         .unionByName(meta_rows)
         .withColumn("subject", F.concat(F.lit("osmnode:"), F.col("id")))
