@@ -410,6 +410,26 @@ class TestAnnBroadcastEquivalence:
         assert sorted(map(tuple, fast_ivf)) == sorted(map(tuple, join_ivf))
         assert sorted(map(tuple, fast_ann)) == sorted(map(tuple, join_ann))
 
+    def test_broadcast_kernel_degenerate_corpora(self, spark):
+        """Single-vector corpus (self excluded → batches that yield only
+        empty frames) and exact-duplicate ties must survive the Arrow
+        conversion and keep the deterministic neighbor_id tie-break."""
+        one = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1], "embedding": [[1.0] * 8]}),
+            "vec_id long, embedding array<double>",
+        )
+        assert similarity.ivf_topk(one, k=3, n_lists=1, sample=4).count() == 0
+        assert similarity.ann_topk(one, k=3, dim=8).count() == 0
+        two = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0] * 8] * 2}),
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ivf_topk(two, k=3, n_lists=1, sample=4).collect()
+        )
+        assert got == [(1, 2, 1), (2, 1, 1)]
+
 
 class TestIvf:
     def test_ivf_recall_clustered_vs_uniform(self, spark):
