@@ -100,9 +100,13 @@ def _density_adapted_res(pois_df, k: int, res: int, poi_lon: str, poi_lat: str) 
 
 
 #: row cap for collecting the POI dim driver-side on the broadcast
-#: path — 64 MB at ~32 B/row (key + 2 doubles), the same size class
-#: ``broadcast_pois=True`` already commits to shipping to every task
-_POI_COLLECT_MAX_ROWS = 2_000_000
+#: path. Budgeted for the DRIVER-side Python cost, not the payload
+#: arithmetic: collected Rows cost a few hundred bytes each and the
+#: ring build multiplies them (2·ring+1)² before Arrow conversion, so
+#: 500k rows ≈ low-hundreds of MB transient — well inside the 48 GB
+#: driver while still covering any dim the broadcast join itself
+#: could sensibly ship to every task
+_POI_COLLECT_MAX_ROWS = 500_000
 
 
 def _collect_poi_dim(base_pois):
@@ -145,6 +149,7 @@ def _local_ring_dim(spark, rows, key_type: str, poi_key: str, res: int, ring: in
     → an Arrow local relation (zero build jobs). Cell arithmetic uses
     ``grid.encode``, pinned ≡ ``cell_expr`` by the plan tests."""
     n = 1 << res
+    keys = np.array([r[0] for r in rows])
     lon = np.array([r[1] for r in rows], dtype=np.float64)
     lat = np.array([r[2] for r in rows], dtype=np.float64)
     c = grid.encode(lon, lat, res)
@@ -165,19 +170,19 @@ def _local_ring_dim(spark, rows, key_type: str, poi_key: str, res: int, ring: in
             cell_parts.append(cell)
     idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
     cells = np.concatenate(cell_parts) if cell_parts else np.empty(0, np.int64)
-    if 2 * ring + 1 > n and len(idx):  # lon wrap can repeat cells
-        _, first = np.unique(
-            np.stack([idx, cells]), axis=1, return_index=True
-        )
-        idx, cells = idx[sorted(first)], cells[sorted(first)]
     pdf = pd.DataFrame(
         {
-            poi_key: [rows[i][0] for i in idx],
-            "__poi_lon": lon[idx] if len(idx) else np.empty(0, np.float64),
-            "__poi_lat": lat[idx] if len(idx) else np.empty(0, np.float64),
+            poi_key: keys[idx],
+            "__poi_lon": lon[idx],
+            "__poi_lat": lat[idx],
             "__poi_cell": cells,
         }
     )
+    if 2 * ring + 1 > n:  # lon wrap can repeat cells — dedup on the
+        # SAME (key, cell) columns dropDuplicates uses on the
+        # distributed path (NOT the corpus row index, which would keep
+        # duplicate-keyed POIs the column path collapses)
+        pdf = pdf.drop_duplicates([poi_key, "__poi_cell"])
     schema = (
         f"{poi_key} {key_type}, __poi_lon double, __poi_lat double, "
         "__poi_cell long"
@@ -460,12 +465,19 @@ def knn_join(
                 rem = None
                 break
         if rem is not None:
-            exhaustive_pois = (
-                _local_cell_dim(spark, local_rows, key_type, poi_key, res)
-                .drop("__poi_cell")
-                if local_rows is not None
-                else base_pois
-            )
+            if local_rows is not None:
+                exhaustive_pois = spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            poi_key: [r[0] for r in local_rows],
+                            "__poi_lon": [r[1] for r in local_rows],
+                            "__poi_lat": [r[2] for r in local_rows],
+                        }
+                    ),
+                    f"{poi_key} {key_type}, __poi_lon double, __poi_lat double",
+                )
+            else:
+                exhaustive_pois = base_pois
             done_parts.append(
                 brute_force_knn(
                     rem, exhaustive_pois, k, point_key=point_key, poi_key=poi_key,

@@ -189,16 +189,11 @@ def ann_topk(
     kernels bit-for-bit, so output is row-identical to the join path
     (pinned by TestAnnBroadcastEquivalence). Larger corpora keep the
     skinny (id, bucket) equi-join."""
-    key_type = df.schema[key].dataType.simpleString()
-    max_rows = _IVF_BROADCAST_MAX_BYTES // (dim * 8 + 16)
-    if key_type in ("bigint", "int", "smallint", "tinyint") and not (
-        df.limit(max_rows + 1).count() > max_rows
-    ):
-        out = _ann_topk_broadcast(
-            df, k, key, vec_col, dim, n_planes, n_tables, n_probes, seed
+    rows = _bounded_corpus_collect(df, key, vec_col, dim)
+    if rows is not None:
+        return _ann_topk_broadcast(
+            df, k, key, vec_col, dim, n_planes, n_tables, n_probes, seed, rows
         )
-        if out is not None:
-            return out
     # candidate generation and the union-over-tables dedup carry ONLY
     # (id, bucket) / (query_id, neighbor_id) — the embedding payloads
     # never ride through the bucket join or the dropDuplicates shuffle
@@ -237,10 +232,57 @@ def ann_topk(
     )
 
 
+def _bounded_corpus_collect(df: DataFrame, key: str, vec_col: str, dim: int):
+    """ONE bounded collect that both answers the broadcast-budget
+    question and supplies the kernel's corpus (the knn
+    ``_collect_poi_dim`` pattern — the former separate count job
+    re-evaluated the whole upstream lineage twice). Returns the
+    collected (key, vec) rows with NULL keys dropped — the join path
+    drops them too (a NULL id never satisfies the equi-join /
+    ``query_id != neighbor_id`` filter) — or None when the corpus is
+    empty, oversized, or non-integral-keyed (callers keep the
+    distributed join)."""
+    key_type = df.schema[key].dataType.simpleString()
+    if key_type not in ("bigint", "int", "smallint", "tinyint"):
+        return None
+    max_rows = _IVF_BROADCAST_MAX_BYTES // (dim * 8 + 16)
+    rows = df.select(key, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:  # oversize test BEFORE the null drop — a
+        return None           # truncated collect must never pose as the
+    rows = [r for r in rows if r[0] is not None]  # full corpus
+    return rows or None
+
+
+def _score_topk(q, qid, cand, ids_b, M_b, k, out_q, out_n, out_c, out_r):
+    """Shared per-query scorer of both broadcast kernels: exact
+    ``_pair_cosine_col`` einsum cosine over the candidate indices,
+    local top-k by (cosine desc, neighbor_id asc). A 0/0 cosine (an
+    all-zero vector) is NaN here, but on the join path the pandas-UDF
+    Arrow conversion turns NaN into NULL and ``desc()`` is NULLS
+    LAST — so the sort key maps NaN to +inf (ranks last, ties broken
+    by neighbor_id like Spark's all-NULL tie group), keeping the two
+    routes row-identical (pinned by the zero-vector case in
+    TestAnnBroadcastEquivalence)."""
+    Cc = M_b[cand]
+    A = np.broadcast_to(q, Cc.shape)
+    num = np.einsum("ij,ij->i", A, Cc)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+        np.einsum("ij,ij->i", Cc, Cc)
+    )
+    cos = num / den
+    nid = ids_b[cand]
+    skey = np.where(np.isnan(cos), np.inf, -cos)
+    order = np.lexsort((nid, skey))[:k]
+    out_q.extend([qid] * len(order))
+    out_n.extend(nid[order].tolist())
+    out_c.extend(cos[order].tolist())
+    out_r.extend(range(1, len(order) + 1))
+
+
 def _ann_topk_broadcast(
     df: DataFrame, k: int, key: str, vec_col: str, dim: int,
-    n_planes: int, n_tables: int, n_probes: int, seed: int,
-) -> DataFrame | None:
+    n_planes: int, n_tables: int, n_probes: int, seed: int, rows,
+) -> DataFrame:
     """Broadcast-corpus ANN kernel (see ``ann_topk`` route comment).
 
     Corpus-side single-bucket assignment replicates
@@ -248,16 +290,11 @@ def _ann_topk_broadcast(
     ``multiprobe_signature_col`` with the same rng/planes/weights ops;
     candidate union over probed buckets is deduped with np.unique
     (order-insensitive, same set the dropDuplicates produced), self
-    dropped by ID equality, cosine computed with the exact
-    ``_pair_cosine_col`` einsum formulation, local top-k by
-    (cosine desc, neighbor_id asc). Returns None on an empty corpus."""
+    dropped by ID equality; scoring/top-k via ``_score_topk``."""
     planes = np.random.default_rng(seed).standard_normal((dim, n_tables * n_planes))
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     table_off = np.arange(n_tables, dtype=np.int64) << 32
 
-    rows = df.select(key, vec_col).collect()
-    if not rows:
-        return None
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     bits = ((M @ planes) >= 0.0).reshape(len(M), n_tables, n_planes)
@@ -277,6 +314,7 @@ def _ann_topk_broadcast(
     def gen(batches):
         ids_b, M_b, members_b = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[key].notna()]
             if not len(pdf):
                 continue
             Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -298,21 +336,11 @@ def _ann_topk_broadcast(
                     )
                 )
                 cand = cand[ids_b[cand] != qid]
-                if len(cand) == 0:
-                    continue
-                Cc = M_b[cand]
-                A = np.broadcast_to(Q[i], Cc.shape)
-                num = np.einsum("ij,ij->i", A, Cc)
-                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-                    np.einsum("ij,ij->i", Cc, Cc)
-                )
-                cos = num / den
-                nid = ids_b[cand]
-                order = np.lexsort((nid, -cos))[:k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(nid[order].tolist())
-                out_c.extend(cos[order].tolist())
-                out_r.extend(range(1, len(order) + 1))
+                if len(cand):
+                    _score_topk(
+                        Q[i], qid, cand, ids_b, M_b, k,
+                        out_q, out_n, out_c, out_r,
+                    )
             yield pd.DataFrame(
                 {
                     "query_id": out_q,
@@ -322,7 +350,9 @@ def _ann_topk_broadcast(
                 }
             )
 
-    return df.mapInPandas(gen, out_schema)
+    # project to the two consumed columns so wide corpora don't ship
+    # unused payloads through Arrow
+    return df.select(key, vec_col).mapInPandas(gen, out_schema)
 
 
 def train_ivf_centroids(
@@ -412,16 +442,9 @@ def ivf_topk(
     directions at sf0.01/sf0.1). Larger corpora keep the skinny list
     equi-join."""
     C = train_ivf_centroids(df, n_lists, key, vec_col, sample=sample, seed=seed)
-    key_type = df.schema[key].dataType.simpleString()
-    max_rows = _IVF_BROADCAST_MAX_BYTES // (
-        len(C[0]) * 8 + 16
-    )
-    if key_type in ("bigint", "int", "smallint", "tinyint") and not (
-        df.limit(max_rows + 1).count() > max_rows
-    ):
-        out = _ivf_topk_broadcast(df, C, k, key, vec_col, nprobe)
-        if out is not None:
-            return out
+    rows = _bounded_corpus_collect(df, key, vec_col, len(C[0]))
+    if rows is not None:
+        return _ivf_topk_broadcast(df, C, k, key, vec_col, nprobe, rows)
     # the list equi-join ships (id, list) only; vectors re-attach per
     # candidate pair by id and the exact-cosine rerank runs in one
     # Arrow batch (guide §8 / §4.2 — formerly the embedding payloads
@@ -456,24 +479,19 @@ def ivf_topk(
 
 
 def _ivf_topk_broadcast(
-    df: DataFrame, C: np.ndarray, k: int, key: str, vec_col: str, nprobe: int
-) -> DataFrame | None:
+    df: DataFrame, C: np.ndarray, k: int, key: str, vec_col: str, nprobe: int,
+    rows,
+) -> DataFrame:
     """Broadcast-corpus IVF kernel (see ``ivf_topk`` route comment).
 
-    Collects the (byte-budgeted) corpus once, assigns each vector to
+    Takes the already-collected corpus rows, assigns each vector to
     its list with the SAME normalized-argmax numpy ops as
     ``ivf_lists_col``, then streams the query side through one
     mapInPandas: per query, gather the members of its ``nprobe``
     probed lists, drop self by ID equality (matching the join path's
-    ``query_id != neighbor_id`` filter), compute cosine with the exact
-    ``_pair_cosine_col`` einsum formulation, and emit the local top-k
-    ranked by (cosine desc, neighbor_id asc) — exact because a query's
-    full candidate set is present locally. Returns None on an empty
-    corpus (caller falls back to the join path, which yields the same
-    empty result)."""
-    rows = df.select(key, vec_col).collect()
-    if not rows:
-        return None
+    ``query_id != neighbor_id`` filter); scoring/top-k via
+    ``_score_topk`` — exact because a query's full candidate set is
+    present locally."""
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     Cm = np.ascontiguousarray(C)
@@ -489,6 +507,7 @@ def _ivf_topk_broadcast(
     def gen(batches):
         ids_b, M_b, members_b, C_b = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[key].notna()]
             if not len(pdf):
                 continue
             Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -500,21 +519,11 @@ def _ivf_topk_broadcast(
                 qid = int(qids[i])
                 cand = np.concatenate([members_b[int(j)] for j in probe[i]])
                 cand = cand[ids_b[cand] != qid]
-                if len(cand) == 0:
-                    continue
-                Cc = M_b[cand]
-                A = np.broadcast_to(Q[i], Cc.shape)
-                num = np.einsum("ij,ij->i", A, Cc)
-                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-                    np.einsum("ij,ij->i", Cc, Cc)
-                )
-                cos = num / den
-                nid = ids_b[cand]
-                order = np.lexsort((nid, -cos))[:k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(nid[order].tolist())
-                out_c.extend(cos[order].tolist())
-                out_r.extend(range(1, len(order) + 1))
+                if len(cand):
+                    _score_topk(
+                        Q[i], qid, cand, ids_b, M_b, k,
+                        out_q, out_n, out_c, out_r,
+                    )
             yield pd.DataFrame(
                 {
                     "query_id": out_q,
@@ -524,7 +533,9 @@ def _ivf_topk_broadcast(
                 }
             )
 
-    return df.mapInPandas(gen, out_schema)
+    # project to the two consumed columns so wide corpora don't ship
+    # unused payloads through Arrow
+    return df.select(key, vec_col).mapInPandas(gen, out_schema)
 
 
 def cosine_dup_pairs(

@@ -430,6 +430,36 @@ class TestAnnBroadcastEquivalence:
         )
         assert got == [(1, 2, 1), (2, 1, 1)]
 
+    def test_broadcast_kernel_nan_cosine_matches_join(self, spark, monkeypatch):
+        """An all-zero vector's 0/0 cosine becomes NULL through the
+        join path's Arrow conversion and desc() is NULLS LAST; the
+        broadcast kernel's sort key must rank it the same (last, ties
+        by neighbor_id)."""
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": [1, 2, 3, 4],
+                    "embedding": [[1.0] * 8, [0.0] * 8, [0.5] * 8, [-1.0] * 8],
+                }
+            ),
+            "vec_id long, embedding array<double>",
+        )
+
+        def norm(rs):
+            return sorted(
+                (r.query_id, r.neighbor_id,
+                 None if r.cosine is None else round(r.cosine, 12), r.rank)
+                for r in rs
+            )
+
+        fast_ivf = norm(similarity.ivf_topk(emb, k=3, n_lists=1, sample=4).collect())
+        fast_ann = norm(similarity.ann_topk(emb, k=3, dim=8).collect())
+        monkeypatch.setattr(similarity, "_IVF_BROADCAST_MAX_BYTES", 0)
+        assert fast_ivf == norm(
+            similarity.ivf_topk(emb, k=3, n_lists=1, sample=4).collect()
+        )
+        assert fast_ann == norm(similarity.ann_topk(emb, k=3, dim=8).collect())
+
 
 class TestIvf:
     def test_ivf_recall_clustered_vs_uniform(self, spark):
